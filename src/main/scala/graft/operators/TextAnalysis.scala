@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * language-ID heuristic, quality scoring, token counting, and document
+  * fingerprinting (rolling hash).
+  *
+  * Everything is built from codegen'd Catalyst expressions (split /
+  * higher-order array functions / md5) — no UDFs — so the hot path stays
+  * inside whole-stage codegen and the same logic is reproducible in ANSI SQL
+  * for the oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties removed (the shared tokenizer). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Exploded (id, token) pairs — multiset (one row per occurrence). */
+  def tokenRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+
+  /** "BPE-ish" token count: alpha runs and digit runs as separate tokens. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0))).cast("long")
+
+  /** Stable 32-bit-ish token hash portable across engines: first 8 hex chars
+    * of md5, parsed base-16. Used by fingerprint + minhash-adjacent logic.
+    */
+  def tokenHash(token: Column): Column =
+    conv(substring(md5(token), 1, 8), 16, 10).cast("long")
+
+  /** Rolling-hash document fingerprint: fold h = (h*31 + tokenHash) mod p
+    * over the token sequence. Order-sensitive (unlike set hashes), so
+    * near-identical docs with reordered tokens fingerprint differently.
+    */
+  def fingerprint(text: Column, mod: Long = 1000000007L): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31 + tokenHash(t), lit(mod)))
+
+  /** Heuristic language scores from a stopword list; deterministic and
+    * oracle-checkable. Returns the ratio of stopword occurrences.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    nStop.cast("double") / size(toks).cast("double")
+  }
+}

@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication extension suite over `documents` / `embeddings`: exact
+  * hash-dedup, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+  * near-dup — each with a DuckDB oracle built on the same md5-keyed hashing.
+  */
+object DedupQueries {
+
+  private val K = 16 // minhash permutations
+  private val R = 4  // rows per LSH band -> 4 bands
+
+  /** Exact dedup counts: total vs distinct text vs distinct md5(text). */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("text")).as("n_unique_text"),
+      countDistinct(md5(col("text"))).as("n_unique_md5"))
+
+  /** Exact dedup keep-list: representative (min doc_id) per text hash. */
+  def exactKeep(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("h")
+
+  /** MinHash signatures folded to LSH band keys, one row per doc. */
+  def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val toks = Dedup.distinctTokenRows(Tables.documents(s, d), "doc_id", "text")
+    val sig = Dedup.minhashSignatures(toks, "doc_id", K)
+    Dedup.minhashBands(sig, "doc_id", K, R).orderBy("doc_id")
+  }
+
+  /** MinHash/LSH near-dup pairs: band-collision candidates verified with
+    * exact Jaccard >= 0.7 over distinct-token sets.
+    */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val toks = Dedup.distinctTokenRows(Tables.documents(s, d), "doc_id", "text")
+    val bands = Dedup.minhashBands(Dedup.minhashSignatures(toks, "doc_id", K), "doc_id", K, R)
+    val cand = Dedup.lshCandidatePairs(bands, "doc_id", K / R)
+    Dedup.jaccardVerify(cand, toks, "doc_id")
+      .filter(col("jaccard") >= 0.7)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+              round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 60-bit SimHash per document. */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Token-3-gram Jaccard near-dup pairs, blocked by (lang, n_chars±5).
+    * The Spark plan uses banded buckets (floor(n_chars/10), probe ±1 band)
+    * so the range predicate becomes an equi-join — the scalable form of a
+    * band range-join; the oracle states the same pairs with a plain
+    * abs() predicate.
+    */
+  def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      Dedup.ngramShingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
+    val withB = base.withColumn("bucket", floor(col("n_chars") / lit(10)))
+    val probe = withB.withColumn("jb",
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+    val cand = probe.alias("x").join(withB.alias("y"),
+        col("x.lang") === col("y.lang") && col("x.jb") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        abs(col("x.n_chars") - col("y.n_chars")) <= 5)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val shingleRows = base.select(col("doc_id"), explode(col("sh")).as("token"))
+    Dedup.jaccardVerify(cand, shingleRows, "doc_id")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+              round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
+      .limit(20)
+  }
+
+  /** Embedding-cosine near-dup: candidate pairs share (label, LSH bucket);
+    * top-20 by rounded cosine.
+    */
+  def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    val vecs = Similarity.prepared(Tables.embeddings(s, d))
+    val anchors = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("aid"), col("v").as("av"))
+    val eb = vecs.join(Similarity.bucketize(vecs, anchors), "vec_id")
+    val x = eb.select(col("vec_id").as("va"), col("v").as("xa"),
+                      col("label").as("la"), col("bucket").as("ba"))
+    val y = eb.select(col("vec_id").as("vb"), col("v").as("xb"),
+                      col("label").as("lb"), col("bucket").as("bb"))
+    x.join(y, col("ba") === col("bb") && col("la") === col("lb") && col("va") < col("vb"))
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("la").as("label"),
+              round(Similarity.cosine(col("xa"), col("xb")), 4).as("sim"))
+      .orderBy(desc("sim"), asc("vec_a"), asc("vec_b"))
+      .limit(20)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_exact_keep" -> (exactKeep _),
+    "dedup_minhash_sigs" -> (minhashSigs _),
+    "dedup_minhash_pairs" -> (minhashPairs _),
+    "dedup_simhash" -> (simhash _),
+    "dedup_ngram_pairs" -> (ngramPairs _),
+    "dedup_embedding" -> (embeddingPairs _),
+  )
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  private val tokCte =
+    """tok AS (
+      |  SELECT DISTINCT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      |  WHERE token <> '')""".stripMargin
+
+  private val sigCols = (0 until K)
+    .map(i => s"min(md5('$i:' || token)) AS m$i").mkString(",\n    ")
+
+  private val bandCols = (0 until K / R).map { j =>
+    val parts = (j * R until (j + 1) * R).map(i => s"m$i").mkString(" || ")
+    s"md5($parts) AS band$j"
+  }.mkString(",\n  ")
+
+  private val sigBandsCtes =
+    s"""$tokCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM tok GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id,
+       |  $bandCols
+       |  FROM sig)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS n_unique_text,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_md5
+        |FROM documents""".stripMargin,
+    "dedup_exact_keep" ->
+      """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "dedup_minhash_sigs" ->
+      s"""WITH $sigBandsCtes
+         |SELECT doc_id, band0, band1, band2, band3 FROM bands ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH $sigBandsCtes,
+         |bl AS (
+         |  SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM bands
+         |  UNION ALL SELECT doc_id, 1, band1 FROM bands
+         |  UNION ALL SELECT doc_id, 2, band2 FROM bands
+         |  UNION ALL SELECT doc_id, 3, band3 FROM bands),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bl x JOIN bl y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |   AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM cand c
+         |  JOIN tok ta ON c.a = ta.doc_id
+         |  JOIN tok tb ON c.b = tb.doc_id AND ta.token = tb.token
+         |  GROUP BY c.a, c.b)
+         |SELECT i.a AS doc_a, i.b AS doc_b,
+         |  round(CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 4) AS jaccard
+         |FROM inter i
+         |JOIN sz sa ON i.a = sa.doc_id
+         |JOIN sz sb ON i.b = sb.doc_id
+         |WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.7
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        |  WHERE token <> '' GROUP BY doc_id, token),
+        |th AS (
+        |  SELECT doc_id, tf, CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) AS h FROM tf),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN sum(tf * (2 * ((h >> CAST(b AS INTEGER)) & 1) - 1)) > 0
+        |         THEN 1 ELSE 0 END AS vote
+        |  FROM th, (SELECT unnest(range(0, 60)) AS b) bs
+        |  GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(sum(vote * (CAST(1 AS BIGINT) << CAST(b AS INTEGER))) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM documents) t),
+        |cand AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id
+        |   AND abs(x.n_chars - y.n_chars) <= 5),
+        |shr AS (SELECT doc_id, unnest(sh) AS g FROM d),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shr GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM cand c
+        |  JOIN shr xa ON c.a = xa.doc_id
+        |  JOIN shr xb ON c.b = xb.doc_id AND xa.g = xb.g
+        |  GROUP BY c.a, c.b)
+        |SELECT i.a AS doc_a, i.b AS doc_b,
+        |  round(CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 4) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON i.a = sa.doc_id
+        |JOIN sz sb ON i.b = sb.doc_id
+        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |a8 AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < 8),
+        |bk AS (
+        |  SELECT e.vec_id, CAST(sum(
+        |    CASE WHEN list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * a8.av[i])) > 0
+        |         THEN (CAST(1 AS BIGINT) << CAST(a8.aid AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM e, a8 GROUP BY e.vec_id),
+        |eb AS (SELECT e.vec_id, e.v, e.label, bk.bucket FROM e JOIN bk USING (vec_id))
+        |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.label AS label,
+        |  round(list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i] * y.v[i]))
+        |    / (sqrt(list_sum(list_transform(x.v, t -> t*t)))
+        |       * sqrt(list_sum(list_transform(y.v, t -> t*t)))), 4) AS sim
+        |FROM eb x JOIN eb y
+        |  ON x.bucket = y.bucket AND x.label = y.label AND x.vec_id < y.vec_id
+        |ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin,
+  )
+}

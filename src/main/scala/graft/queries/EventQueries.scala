@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Sessionize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** C-series part 2 (SURVEY.md §2c C8–C11): JSON extraction, event-time
+  * windows (batch analogs of the streaming twins in graft.streaming),
+  * sessionization, and dedup/distinct counting over `events`.
+  */
+object EventQueries {
+
+  /** C8 — JSON field extraction + aggregate. */
+  def c8(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** C9 — tumbling-window batch analog: hourly counts/sums per event type. */
+  def c9(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("hour", "event_type")
+
+  /** C10 — sessionization batch analog: 30-minute-gap sessions per user. */
+  def c10(s: SparkSession, d: String): DataFrame =
+    Sessionize(Tables.events(s, d), "user_id", "ts", 1800L, "event_id")
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+
+  /** C11 — exact dedup counts: distinct triples + distinct users. */
+  def c11(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).agg(
+      countDistinct(col("user_id"), col("event_type"), col("value")).as("n_distinct_triples"),
+      countDistinct(col("user_id")).as("n_users"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c8_json" -> (c8 _),
+    "c9_tumbling_hour" -> (c9 _),
+    "c10_sessionize" -> (c10 _),
+    "c11_exact_distinct" -> (c11 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "c8_json" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c9_tumbling_hour" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "c10_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, ts, sec,
+        |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), g AS (
+        |  SELECT user_id,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f
+        |)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "c11_exact_distinct" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT user_id, event_type, value FROM events) t) AS n_distinct_triples,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_users""".stripMargin,
+  )
+}

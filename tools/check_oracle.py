@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool only).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (Spark output), runs the matching
+oracle SQL from oracle_sql.json in DuckDB with the sf parquet tables
+registered as views, and compares row count, sorted column names, and a
+row-wise hash of values (columns sorted by name — mirroring the driver).
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        # canonicalize -0.0 and format compactly; both engines produce
+        # binary-identical doubles so repr is stable
+        if v == 0.0:
+            v = 0.0
+        return repr(v)
+    return repr(v)
+
+
+def table_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    import hashlib
+    h = hashlib.sha256()
+    for row in rows:
+        h.update("|".join(norm(row[i]) for i in order).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            spark_cols = list(spark_rel.columns)
+            spark_rows = spark_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            fail += 1
+            continue
+        try:
+            duck_rel = con.sql(sql)
+            duck_cols = list(duck_rel.columns)
+            duck_rows = duck_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            fail += 1
+            continue
+        problems = []
+        if sorted(spark_cols) != sorted(duck_cols):
+            problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rows spark={len(spark_rows)} duck={len(duck_rows)}")
+        if not problems:
+            hs = table_hash(spark_rows, spark_cols)
+            hd = table_hash(duck_rows, duck_cols)
+            if hs != hd:
+                problems.append("value hash mismatch")
+                # show first differing row
+                order_s = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+                order_d = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+                for i, (rs, rd) in enumerate(zip(spark_rows, duck_rows)):
+                    a = [norm(rs[j]) for j in order_s]
+                    b = [norm(rd[j]) for j in order_d]
+                    if a != b:
+                        problems.append(f"first diff row {i}: spark={a} duck={b}")
+                        break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            fail += 1
+        else:
+            print(f"OK   {name} ({len(spark_rows)} rows)")
+            ok += 1
+    print(f"\n{ok} ok, {fail} fail")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()
