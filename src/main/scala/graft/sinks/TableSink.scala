@@ -1,0 +1,38 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Write-path semantics of the reference sink (O17,
+  * `/root/reference/dags/google_trends_to_bigquery.py:116-159`): probe for the
+  * table, create with an explicit schema if absent, then schema-enforced
+  * append — re-expressed on Spark's writer API.
+  *
+  * The reference's blind `WRITE_APPEND` duplicates rows when a run repeats;
+  * [[overwriteWindow]] is the idempotent alternative (dynamic partition
+  * overwrite on the window column), which is the mode a 100 TB deployment
+  * should run — re-running a week replaces that week only, touching nothing
+  * else.
+  */
+object TableSink {
+
+  /** Bit-parity append (ref behavior): create-if-absent + append. */
+  def append(df: DataFrame, path: String, partitionCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(path)
+  }
+
+  /** Catalog-table variant with an existence probe (≡ ref `get_table` +
+    * `create_table`, lines 131-145): `saveAsTable` in Append mode performs
+    * exactly create-if-absent + schema-checked append.
+    */
+  def appendTable(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+
+  /** Idempotent re-run mode: overwrite only the partitions present in `df`
+    * (dynamic partition overwrite), keyed on the window column.
+    */
+  def overwriteWindow(df: DataFrame, path: String, partitionCol: String): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming twins of the batch event queries (SURVEY.md §2b/§5):
+  * each transform takes a (possibly streaming) DataFrame with the `events`
+  * schema and returns the transformed frame, so the same code path serves
+  * `spark.readStream` in production and `MemoryStream` in tests, and the
+  * batch analogs (C9/C10/C11) validate the semantics against the oracle.
+  *
+  * Watermarks bound state: at 100 TB/day the grouping state for windows and
+  * dedup would grow without bound otherwise. Output-mode/trigger choices are
+  * the caller's (sink concern, not transform concern).
+  */
+object Streams {
+
+  /** Tumbling event-time window aggregate (streaming twin of C9). */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("v"))
+
+  /** Sliding window aggregate. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Session windows by event-time gap (streaming twin of C10 / batch
+    * Sessionize).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+              col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup with bounded state (twin of C11's distinct). */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "event_type", "value")
+}

@@ -1,0 +1,62 @@
+package graft
+
+/** Smoke + determinism pins for every SparkEntry query at sf0.001.
+  * Row counts are pinned (the data is static); a count change means a
+  * semantic change, which must be deliberate and re-verified against the
+  * DuckDB oracle (tools/check_oracle.py).
+  */
+class QueriesSpec extends SparkSpec {
+
+  private val expectedCounts = Map(
+    "r1_unpivot_filter" -> 12000L,
+    "r2_project_literals" -> 589L,
+    "r3_cohort_semijoin" -> 150L,
+    "r4_case_ranking" -> 874L,
+    "r5_full_pipeline" -> 12000L,
+    "c1_join_agg_topk" -> 10L,
+    "c2_semi_anti" -> 145L,
+    "c3_broadcast_dims" -> 5L,
+    "c4_rollup" -> 119L,
+    "c5_window_frames" -> 1500L,
+    "c6_set_ops" -> 160L,
+    "c7_scalar_fns" -> 200L,
+    "c7_date_fns" -> 80L,
+    "c8_json" -> 5L,
+    "c9_tumbling_hour" -> 868L,
+    "c10_sessionize" -> 946L,
+    "c11_exact_distinct" -> 1L,
+    "c12_tokens" -> 20L,
+    "c12_lang" -> 5L,
+    "c13_cosine_topk" -> 10L,
+    "sim_knn" -> 50L,
+    "sim_lsh_ann" -> 29L,
+    "text_langid" -> 500L,
+    "text_quality" -> 500L,
+    "text_tokcount" -> 500L,
+    "text_fingerprint" -> 500L,
+    "dedup_exact" -> 1L,
+    "dedup_exact_keep" -> 500L,
+    "dedup_minhash_sigs" -> 500L,
+    "dedup_simhash" -> 500L,
+    "dedup_ngram_pairs" -> 20L,
+    "dedup_embedding" -> 20L,
+  )
+
+  test("every query has an oracle and vice versa") {
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001 with pinned count") {
+      val n = fn(spark, sf()).count()
+      expectedCounts.get(name) match {
+        case Some(expected) => assert(n === expected, s"row count drift for $name")
+        case None => assert(n > 0L, s"$name returned no rows")
+      }
+    }
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

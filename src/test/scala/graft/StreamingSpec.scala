@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.Sessionize
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Structured Streaming twins vs their batch analogs (SURVEY.md §5.5):
+  * the same transform fed by MemoryStream must agree with the batch frame,
+  * and `session_window` must agree with the batch Sessionize operator.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(min: Long): Timestamp = new Timestamp(1704067200000L + min * 60000L)
+
+  private val evs = Seq(
+    Ev(0, t(0), 1, "view", 1.0), Ev(1, t(5), 1, "view", 2.0),
+    Ev(2, t(50), 1, "click", 3.0),                    // gap 45min -> new session
+    Ev(3, t(65), 2, "view", 4.0), Ev(4, t(70), 2, "view", 4.0),
+    Ev(5, t(200), 2, "purchase", 5.0),                // gap 130min -> new session
+    Ev(6, t(10), 3, "view", 1.0), Ev(7, t(10), 3, "view", 1.0)) // dup triple
+
+  private def runStream(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        mode: String): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"out_${System.nanoTime()}"
+    val q = transform(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try {
+      // feed in event-time order so nothing is late w.r.t. the watermark
+      val ordered = evs.sortBy(_.ts.getTime)
+      mem.addData(ordered.take(5))
+      q.processAllAvailable()
+      mem.addData(ordered.drop(5))
+      q.processAllAvailable()
+      // two far-future sentinels push the watermark past every real window
+      mem.addData(Seq(Ev(98, t(10000), 99, "sentinel", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(99, t(20000), 99, "sentinel", 0.0)))
+      q.processAllAvailable()
+      spark.table(name).filter($"user_id" =!= 99 || lit(mode) === "complete").collect().toSeq
+    } finally q.stop()
+  }
+
+  test("streaming tumbling counts match the batch analog") {
+    val batch = Streams.tumblingCounts(evs.toDF())
+      .orderBy("win_start", "event_type").collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(mem.toDF()).writeStream
+      .format("memory").queryName("tumb").outputMode("complete").start()
+    try {
+      mem.addData(evs); q.processAllAvailable()
+      val got = spark.table("tumb").orderBy("win_start", "event_type").collect().toSeq
+      assert(got === batch)
+    } finally q.stop()
+  }
+
+  test("streaming session_window matches batch Sessionize session counts") {
+    // batch twin: per-user sorted multiset of session sizes
+    val batchSizes = Sessionize(evs.toDF(), "user_id", "ts", 1800L, "event_id")
+      .groupBy("user_id", "session_id").agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id").agg(sort_array(collect_list("n_events")).as("sizes"))
+      .orderBy("user_id").as[(Long, Seq[Long])].collect().toSeq
+
+    val rows = runStream(df => Streams.sessionCounts(df, "30 minutes", "0 seconds"), "append")
+    val streamed = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      .groupBy(_._1).map { case (u, xs) => (u, xs.map(_._2).sorted.toSeq) }
+      .toSeq.sortBy(_._1)
+    assert(streamed === batchSizes)
+  }
+
+  test("streaming dropDuplicates dedups the duplicate triple") {
+    val rows = runStream(df => Streams.dedupEvents(df, "0 seconds"), "append")
+    // user 3 emitted twice with identical (user_id, event_type, value)
+    assert(rows.count(_.getAs[Long]("user_id") == 3L) === 1)
+    assert(rows.count(_.getAs[Long]("user_id") == 1L) === 3)
+  }
+
+  test("watermark drops events arriving behind the advanced watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionCounts(mem.toDF(), "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      mem.addData(Seq(Ev(0, t(0), 1, "view", 1.0), Ev(1, t(500), 2, "view", 1.0)))
+      q.processAllAvailable() // watermark advances to t(500) after this batch
+      mem.addData(Seq(Ev(2, t(5), 3, "view", 1.0))) // behind watermark -> dropped
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(3, t(1000), 9, "s", 0.0), Ev(4, t(2000), 9, "s", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(5, t(3000), 9, "s", 0.0)))
+      q.processAllAvailable()
+      val users = spark.table("late").select("user_id").as[Long].collect().toSet
+      assert(users.contains(1L) && !users.contains(3L))
+    } finally q.stop()
+  }
+
+  test("sliding windows assign each event to width/slide windows") {
+    val batch = Streams.slidingCounts(evs.toDF(), "1 hour", "30 minutes")
+    // every event lands in exactly 2 sliding windows
+    val total = batch.agg(sum("n")).as[Long].head()
+    assert(total === evs.size * 2L)
+  }
+}
