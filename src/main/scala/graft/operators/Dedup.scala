@@ -43,38 +43,96 @@ object Dedup {
     sig.select(col(idCol) +: bands: _*)
   }
 
-  /** Candidate pairs (a < b) sharing at least one LSH band. */
-  def lshCandidatePairs(bands: DataFrame, idCol: String, nBands: Int): DataFrame = {
-    val long = bands.unpivot(
-      Array(col(idCol)),
-      (0 until nBands).map(j => col(s"band$j")).toArray,
-      "band_idx", "band_val")
-    val a = long.select(col(idCol).as("a"), col("band_idx"), col("band_val"))
-    val b = long.select(col(idCol).as("b"), col("band_idx").as("bi2"), col("band_val").as("bv2"))
-    a.join(b, col("band_idx") === col("bi2") && col("band_val") === col("bv2") && col("a") < col("b"))
-      .select("a", "b").distinct()
-  }
-
-  /** Exact Jaccard similarity for candidate pairs over distinct-token sets.
-    * Output: (a, b, jaccard). Pairs sharing zero tokens drop out (jaccard 0).
+  /** Candidate pairs (a < b) sharing at least one LSH band.
+    *
+    * Dedup across bands uses the first-matching-band rule (emit a pair only
+    * from the lowest band index where it collides, requiring all earlier
+    * bands to differ) instead of a `distinct()` — that removes an exchange
+    * over the band-duplicated pair stream entirely, which at sf0.1 is the
+    * single largest cost of the whole MinHash path (pairs collide in ~4
+    * bands each on near-identical docs).
     */
-  def jaccardVerify(cand: DataFrame, tokenRows: DataFrame, idCol: String): DataFrame = {
-    val sizes = tokenRows.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val ta = tokenRows.select(col(idCol).as("__ia"), col("token"))
-    val tb = tokenRows.select(col(idCol).as("__ib"), col("token").as("__tb"))
-    val inter = cand
-      .join(ta, col("a") === col("__ia"))
-      .join(tb, col("b") === col("__ib") && col("token") === col("__tb"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("a"), col("sz").as("sa")), "a")
-      .join(sizes.select(col(idCol).as("b"), col("sz").as("sb")), "b")
-      .select(col("a"), col("b"),
-              (col("inter").cast("double") /
-               (col("sa") + col("sb") - col("inter")).cast("double")).as("jaccard"))
+  def lshCandidatePairs(bands: DataFrame, idCol: String, nBands: Int): DataFrame = {
+    val bandCols = (0 until nBands).map(j => col(s"band$j"))
+    val entries = array((0 until nBands).map(j =>
+      struct(lit(j).as("bi"), col(s"band$j").as("bv"))): _*)
+    val long = bands
+      .select(col(idCol) +: bandCols :+ explode(entries).as("e"): _*)
+      .select(col(idCol) +: bandCols :+ col("e.bi").as("band_idx") :+ col("e.bv").as("band_val"): _*)
+    def pfx(p: String) = long.toDF(long.columns.map(c => s"$p$c").toIndexedSeq: _*)
+    val firstMatchOnly = (0 until nBands).map { i =>
+      (col("a_band_idx") <= lit(i)) || (col(s"a_band$i") =!= col(s"b_band$i"))
+    }.reduce(_ && _)
+    pfx("a_").join(pfx("b_"),
+        col("a_band_idx") === col("b_band_idx") &&
+        col("a_band_val") === col("b_band_val") &&
+        col(s"a_$idCol") < col(s"b_$idCol") &&
+        firstMatchOnly)
+      .select(col(s"a_$idCol").as("a"), col(s"b_$idCol").as("b"))
   }
 
-  /** Token n-gram shingles (adjacent n tokens joined by one space), distinct. */
+  /** Exact Jaccard for candidate pairs via packed 64-bit token bitmasks:
+    * tokens get dense ids from a (broadcast) vocabulary, each doc's set
+    * becomes a map word->bitmask, and |A∩B| is a popcount loop — constant
+    * small work per pair instead of per-token joins or string-array
+    * intersections. Exact, not approximate; identical results to
+    * [[jaccardVerify]].
+    */
+  def jaccardVerifyBitset(cand: DataFrame, tokenRows: DataFrame, idCol: String): DataFrame = {
+    val vocab = tokenRows.select("token").distinct()
+      .withColumn("tid",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("token"))
+          .cast("long") - 1)
+    val masks = tokenRows.join(broadcast(vocab), "token")
+      .select(col(idCol),
+              (col("tid") / 64).cast("long").as("w"),
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))").as("m"))
+      .groupBy(col(idCol), col("w")).agg(expr("bit_or(m)").as("mask"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("w"), col("mask"))))).as("mm"),
+           sum(expr("bit_count(mask)")).as("sz"))
+    val ma = masks.select(col(idCol).as("a"), col("mm").as("__ma"), col("sz").as("__za"))
+    val mb = masks.select(col(idCol).as("b"), col("mm").as("__mb"), col("sz").as("__zb"))
+    val inter = expr(
+      """aggregate(map_keys(__ma), CAST(0 AS BIGINT), (acc, k) ->
+        |  acc + bit_count(element_at(__ma, k) & coalesce(element_at(__mb, k), CAST(0 AS BIGINT))))"""
+        .stripMargin)
+    cand.join(ma, "a").join(mb, "b") // AQE broadcasts when the mask table is small
+      .withColumn("__i", inter)
+      .select(col("a"), col("b"),
+              (col("__i").cast("double") /
+               (col("__za") + col("__zb") - col("__i")).cast("double")).as("jaccard"))
+  }
+
+  /** Exact Jaccard similarity for candidate pairs over distinct-element set
+    * arrays. `docSets` is (idCol, set: array<string>) with distinct elements.
+    *
+    * Per-pair `array_intersect` beats the explode-then-shuffle join by orders
+    * of magnitude when candidate counts are large (measured at sf0.1: the
+    * exploded join moved ~170M intermediate rows; this moves one array lookup
+    * per pair). Pairs sharing zero elements keep jaccard 0 (inner joins only
+    * touch the id columns, so no pair is lost).
+    */
+  def jaccardVerify(cand: DataFrame, docSets: DataFrame, idCol: String): DataFrame = {
+    val sa = docSets.select(col(idCol).as("a"), col("set").as("__sa"))
+    val sb = docSets.select(col(idCol).as("b"), col("set").as("__sb"))
+    val inter = size(array_intersect(col("__sa"), col("__sb"))).cast("double")
+    val union = (size(col("__sa")) + size(col("__sb"))).cast("double") - inter
+    cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"), (inter / union).as("jaccard"))
+  }
+
+  /** Distinct-token set per document as a single array column. */
+  def distinctTokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), array_distinct(TextAnalysis.tokens(col(textCol))).as("set"))
+
+  /** Token n-gram shingles (adjacent n tokens joined by one space), distinct.
+    *
+    * IMPORTANT: pass a *materialized column* (e.g. `.withColumn("toks", ...)`
+    * first), not a raw `split(...)` expression — higher-order lambdas are
+    * interpreted without common-subexpression elimination, so an inline
+    * expression would be re-evaluated per element (measured ~60x slowdown).
+    */
   def ngramShingles(toks: Column, n: Int): Column = {
     val grams = transform(sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))

@@ -40,11 +40,13 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 31 + tokenHash(t), lit(mod)))
 
-  /** Heuristic language scores from a stopword list; deterministic and
-    * oracle-checkable. Returns the ratio of stopword occurrences.
+  val DefaultStopwords: Seq[String] = Seq("the", "a")
+
+  /** Heuristic language score: ratio of stopword occurrences over a
+    * *materialized* token-array column (see [[graft.operators.Dedup.ngramShingles]]
+    * for why the column must not be an inline split expression).
     */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
+  def stopwordRatioOf(toks: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
     nStop.cast("double") / size(toks).cast("double")
   }

@@ -39,10 +39,11 @@ object DedupQueries {
     * exact Jaccard >= 0.7 over distinct-token sets.
     */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val toks = Dedup.distinctTokenRows(Tables.documents(s, d), "doc_id", "text")
+    val docs = Tables.documents(s, d)
+    val toks = Dedup.distinctTokenRows(docs, "doc_id", "text")
     val bands = Dedup.minhashBands(Dedup.minhashSignatures(toks, "doc_id", K), "doc_id", K, R)
     val cand = Dedup.lshCandidatePairs(bands, "doc_id", K / R)
-    Dedup.jaccardVerify(cand, toks, "doc_id")
+    Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
       .filter(col("jaccard") >= 0.7)
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
               round(col("jaccard"), 4).as("jaccard"))
@@ -61,21 +62,25 @@ object DedupQueries {
     * abs() predicate.
     */
   def ngramPairs(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d).select(
-      col("doc_id"), col("lang"), col("n_chars"),
-      Dedup.ngramShingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+              TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+              Dedup.ngramShingles(col("toks"), 3).as("sh"))
     val withB = base.withColumn("bucket", floor(col("n_chars") / lit(10)))
     val probe = withB.withColumn("jb",
       explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
-    val cand = probe.alias("x").join(withB.alias("y"),
+    // the band join carries both shingle arrays, so jaccard is computed
+    // in-place per pair — no exploded-row shuffle at all
+    val inter = size(array_intersect(col("x.sh"), col("y.sh"))).cast("double")
+    val union = (size(col("x.sh")) + size(col("y.sh"))).cast("double") - inter
+    probe.alias("x").join(withB.alias("y"),
         col("x.lang") === col("y.lang") && col("x.jb") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id") &&
         abs(col("x.n_chars") - col("y.n_chars")) <= 5)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    val shingleRows = base.select(col("doc_id"), explode(col("sh")).as("token"))
-    Dedup.jaccardVerify(cand, shingleRows, "doc_id")
-      .select(col("a").as("doc_a"), col("b").as("doc_b"),
-              round(col("jaccard"), 4).as("jaccard"))
+      .filter(inter > 0) // oracle parity: zero-overlap pairs drop (inner join there)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              round(inter / union, 4).as("jaccard"))
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
       .limit(20)
   }

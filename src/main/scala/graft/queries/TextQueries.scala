@@ -11,7 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  private val stopwords = Seq("the", "a")
 
   /** C12a — top-20 tokens by frequency (explode + agg + top-k). */
   def c12Tokens(s: SparkSession, d: String): DataFrame =
@@ -26,27 +25,34 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("lang")
 
-  /** Language-ID heuristic: stopword-occurrence ratio thresholded. */
+  /** Language-ID heuristic: stopword-occurrence ratio thresholded.
+    * Tokens are materialized as a column first so the interpreted lambda
+    * doesn't re-split the text per reference.
+    */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val ratio = TextAnalysis.stopwordRatio(col("text"), stopwords)
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      round(ratio, 4).as("en_ratio"),
-      when(ratio >= 0.05, "en").otherwise("unk").as("pred_lang"))
+    val ratio = TextAnalysis.stopwordRatioOf(col("toks"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        round(ratio, 4).as("en_ratio"),
+        when(ratio >= 0.05, "en").otherwise("unk").as("pred_lang"))
       .orderBy("doc_id")
   }
 
   /** Quality scoring: token counts, avg token length, stopword ratio. */
   def quality(s: SparkSession, d: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
-      round(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
-              / size(toks).cast("double"), 4).as("avg_token_len"),
-      round(TextAnalysis.stopwordRatio(col("text"), stopwords), 4).as("stopword_ratio"),
-      col("n_chars"))
+    val toks = col("toks")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        round(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
+                / size(toks).cast("double"), 4).as("avg_token_len"),
+        round(TextAnalysis.stopwordRatioOf(toks), 4).as("stopword_ratio"),
+        col("n_chars"))
       .orderBy("doc_id")
   }
 
