@@ -27,7 +27,14 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
+  /** Composed-fold cosine (no session registration needed). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native codegen'd cosine (bit-identical to [[cosine]]; requires
+    * graft.functions.VectorFunctions.register on the session).
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** Embeddings normalized to (vec_id, v: array<double>, label). */
   def prepared(emb: DataFrame): DataFrame =
@@ -39,7 +46,7 @@ object Similarity {
   def bruteForceTopK(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val sims = vecs.crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"),
-              round(cosine(col("v"), col("qv")), 4).as("sim"))
+              round(cosineNative(col("v"), col("qv")), 4).as("sim"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
     sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }

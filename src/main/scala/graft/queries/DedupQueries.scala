@@ -89,6 +89,7 @@ object DedupQueries {
     * top-20 by rounded cosine.
     */
   def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val vecs = Similarity.prepared(Tables.embeddings(s, d))
     val anchors = vecs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("aid"), col("v").as("av"))
@@ -99,7 +100,7 @@ object DedupQueries {
                       col("label").as("lb"), col("bucket").as("bb"))
     x.join(y, col("ba") === col("bb") && col("la") === col("lb") && col("va") < col("vb"))
       .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("la").as("label"),
-              round(Similarity.cosine(col("xa"), col("xb")), 4).as("sim"))
+              round(Similarity.cosineNative(col("xa"), col("xb")), 4).as("sim"))
       .orderBy(desc("sim"), asc("vec_a"), asc("vec_b"))
       .limit(20)
   }

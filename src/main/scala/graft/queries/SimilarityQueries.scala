@@ -22,16 +22,18 @@ object SimilarityQueries {
 
   /** C13 — brute-force cosine similarity to vector 0, top-10. */
   def c13(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val vecs = prepared(Tables.embeddings(s, d))
     val target = vecs.filter(col("vec_id") === 0).select(col("v").as("tv"))
     vecs.crossJoin(broadcast(target))
-      .select(col("vec_id"), round(cosine(col("v"), col("tv")), 4).as("sim"))
+      .select(col("vec_id"), round(cosineNative(col("v"), col("tv")), 4).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(10)
   }
 
   /** Brute-force k-NN join: top-5 neighbours for each of 10 query vectors. */
   def knn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val vecs = prepared(Tables.embeddings(s, d))
     val queries = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -44,6 +46,7 @@ object SimilarityQueries {
     * top-3 per query within its bucket only.
     */
   def lshAnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val vecs = prepared(Tables.embeddings(s, d))
     val anchors = vecs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("aid"), col("v").as("av"))
@@ -52,7 +55,7 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val sims = eb.join(q, "bucket")
       .select(col("qid"), col("vec_id"), col("bucket"),
-              round(cosine(col("v"), col("qv")), 4).as("sim"))
+              round(cosineNative(col("v"), col("qv")), 4).as("sim"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
     sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
       .select("qid", "vec_id", "bucket", "sim", "rnk")
