@@ -16,12 +16,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.defs ++ CoreQueries.defs ++ EventQueries.defs ++
-      TextQueries.defs ++ SimilarityQueries.defs ++ DedupQueries.defs
+      TextQueries.defs ++ SimilarityQueries.defs ++ DedupQueries.defs ++
+      MiscQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables.
     */
   def oracleSql: Map[String, String] =
     RefQueries.oracle ++ CoreQueries.oracle ++ EventQueries.oracle ++
-      TextQueries.oracle ++ SimilarityQueries.oracle ++ DedupQueries.oracle
+      TextQueries.oracle ++ SimilarityQueries.oracle ++ DedupQueries.oracle ++
+      MiscQueries.oracle
 }

@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.AsOfJoin
+import java.sql.Timestamp
+
+/** As-of join edge cases: no prior right row, equal-timestamp inclusion
+  * ("<=", right row at the same instant is visible), and carry-forward.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Long) = new Timestamp(s * 1000L)
+
+  test("lastValue picks the latest right value at or before each left ts") {
+    val left = Seq((1L, t(10), "e1"), (1L, t(20), "e2"), (1L, t(5), "e0"),
+                   (2L, t(10), "e3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, t(10), 100.0), (1L, t(15), 150.0), (2L, t(11), 300.0))
+      .toDF("k", "ts", "value")
+    val got = AsOfJoin.lastValue(left, right, "k", "ts", "value")
+      .select("name", "asof_value").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got("e0") === None)        // nothing at or before t=5
+    assert(got("e1") === Some(100.0)) // equal timestamp counts (<=)
+    assert(got("e2") === Some(150.0)) // carried forward
+    assert(got("e3") === None)        // right row for k=2 is after t=10
+  }
+
+  test("right-side timestamp ties resolve deterministically to the max value") {
+    val left = Seq((1L, t(20), "e")).toDF("k", "ts", "name")
+    val right = Seq((1L, t(10), 5.0), (1L, t(10), 9.0)).toDF("k", "ts", "value")
+    val v = AsOfJoin.lastValue(left, right, "k", "ts", "value")
+      .select("asof_value").as[Double].head()
+    assert(v === 9.0)
+  }
+}

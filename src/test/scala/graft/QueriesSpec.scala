@@ -40,6 +40,10 @@ class QueriesSpec extends SparkSpec {
     "dedup_simhash" -> 500L,
     "dedup_ngram_pairs" -> 20L,
     "dedup_embedding" -> 20L,
+    "c14_pivot" -> 15L,
+    "c4b_cube" -> 24L,
+    "asof_last_view" -> 201L,
+    "sim_centroid" -> 10L,
   )
 
   test("every query has an oracle and vice versa") {
