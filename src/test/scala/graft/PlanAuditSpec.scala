@@ -1,0 +1,74 @@
+package graft
+
+import graft.queries._
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audit: the properties that decide 100 TB viability are
+  * asserted here so a plan regression fails CI — filters reaching the
+  * parquet scan (PushedFilters), column pruning (ReadSchema), and join
+  * strategy (broadcast where a side is small).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    // keep only the AQE final plan; the toString repeats the initial plan below
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("r4: linenumber filter is pushed to the lineitem scan") {
+    val plan = finalPlan(RefQueries.r4(spark, sf()))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_linenumber), EqualTo(l_linenumber,1)]"), plan)
+  }
+
+  test("r4: scan reads only the five needed lineitem columns") {
+    val plan = finalPlan(RefQueries.r4(spark, sf()))
+    // ReadSchema is truncated in toString; the FileScan column list is not
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    val cols = scanCols.split(",").map(_.split("#")(0).trim).toSet
+    assert(cols === Set("l_orderkey", "l_suppkey", "l_linenumber",
+                        "l_extendedprice", "l_returnflag"), scanCols)
+  }
+
+  test("c1: segment filter pushed; small filtered customer side broadcasts") {
+    val plan = finalPlan(CoreQueries.c1(spark, sf()))
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // lineitem scan must not read more than the 3 needed columns
+    val lineitemRead = "ReadSchema: struct<l_orderkey[^>]*>".r.findFirstIn(plan).getOrElse("")
+    assert(lineitemRead.contains("l_extendedprice") && !lineitemRead.contains("l_shipdate"), plan)
+  }
+
+  test("c3: both dimension joins execute as broadcast hash joins") {
+    val plan = finalPlan(CoreQueries.c3(spark, sf()))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 2, plan)
+  }
+
+  test("r3: cohort semi-join runs as a broadcast left-semi") {
+    val plan = finalPlan(RefQueries.r3(spark, sf()))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("c5: window + final sort use at most two exchanges") {
+    val plan = finalPlan(CoreQueries.c5(spark, sf()))
+    val n = "Exchange".r.findAllIn(plan).size
+    // 1 hash exchange for the window partition, 1 range exchange for ORDER BY;
+    // ReusedExchange / AQE reads don't add new shuffles
+    assert(n <= 3, s"$n exchanges:\n$plan")
+  }
+
+  test("c10: both window passes of sessionization share one exchange") {
+    val plan = finalPlan(EventQueries.c10(spark, sf()))
+    val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(n === 1, s"sessionize should shuffle on user_id exactly once:\n$plan")
+  }
+
+  test("entry flagship: whole-stage codegen covers the aggregate") {
+    val df = SparkEntry.entry(spark)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(plan).isDefined, plan)
+  }
+}
