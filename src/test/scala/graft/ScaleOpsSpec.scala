@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+
+/** Scale machinery: salted aggregation/join equivalence, and bucketed
+  * tables giving an exchange-free co-located join.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted two-phase aggregate equals the direct groupBy") {
+    val ev = Tables.events(spark, sf())
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .withColumn("total", round($"total", 2))
+      .orderBy("event_type").collect().toSeq
+    val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value", salts = 16)
+      .withColumn("total", round($"total", 2))
+      .orderBy("event_type").collect().toSeq
+    assert(salted === direct)
+  }
+
+  test("salted join equals the plain equi-join") {
+    val ev = Tables.events(spark, sf()).select(col("user_id"), col("value"))
+    val dim = Tables.events(spark, sf())
+      .select(col("user_id")).distinct()
+      .withColumn("grp", pmod(col("user_id"), lit(3)))
+    val plain = ev.join(dim, "user_id").groupBy("grp")
+      .agg(count(lit(1)).as("n")).orderBy("grp").collect().toSeq
+    val salted = Skew.saltedJoin(ev, dim, "user_id", salts = 4).groupBy("grp")
+      .agg(count(lit(1)).as("n")).orderBy("grp").collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("bucketed tables join without any exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf()).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+      Tables.lineitem(spark, sf()).select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      // co-located bucketed join: SortMergeJoin with NO shuffle before it
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!"Exchange hashpartitioning\\((o_orderkey|l_orderkey)".r
+        .findFirstIn(plan).isDefined, plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
