@@ -44,6 +44,9 @@ class QueriesSpec extends SparkSpec {
     "c4b_cube" -> 24L,
     "asof_last_view" -> 201L,
     "sim_centroid" -> 10L,
+    "c5b_rank_family" -> 15L,
+    "c5c_stats" -> 5L,
+    "c7c_datetime" -> 6L,
   )
 
   test("every query has an oracle and vice versa") {
