@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Expand, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: prune `Expand` branches that a filter above is guaranteed
+  * to reject.
+  *
+  * Motivation: `unpivot` lowers to `Expand` with one projection per measure,
+  * where the measure-name column is a per-branch string literal. Catalyst
+  * does not push predicates into `Expand`, so the reference's melt+isin
+  * pattern (`unpivot(...).filter($"measure".isin(...))`, SURVEY.md §2a
+  * O4+O5) materializes every branch and then throws half away — at 100 TB
+  * that is reading and expanding columns that can never survive the filter.
+  *
+  * For each branch we substitute the branch's literal outputs into each
+  * conjunct of the filter; a conjunct that folds to false or null (filter
+  * semantics drop both) proves every row of that branch is rejected, so the
+  * branch is removed. Rows of surviving branches are untouched and the
+  * filter stays in place — output is provably identical. The child
+  * projection is then narrowed so column pruning reaches the scan
+  * (PhysicalOperation collapses the stacked projects during planning).
+  */
+object PruneExpandBranches extends Rule[LogicalPlan] {
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def branchRejects(cond: Expression, output: Seq[Attribute],
+                            projection: Seq[Expression]): Boolean = {
+    val lits: Map[Long, Literal] = output.zip(projection).collect {
+      case (attr, l: Literal) => attr.exprId.id -> l
+    }.toMap
+    splitConjuncts(cond).exists { conjunct =>
+      val substituted = conjunct.transform {
+        case a: AttributeReference if lits.contains(a.exprId.id) => lits(a.exprId.id)
+      }
+      substituted.deterministic && substituted.references.isEmpty && {
+        val v = substituted.eval(InternalRow.empty)
+        v == null || v == false
+      }
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, e @ Expand(projections, output, child)) =>
+      val kept = projections.filterNot(p => branchRejects(cond, output, p))
+      if (kept.size == projections.size || kept.isEmpty) f
+      else {
+        val needed = AttributeSet(kept.flatMap(_.flatMap(_.references)))
+        val newChild =
+          if (needed == AttributeSet(child.output)) child
+          else Project(child.output.filter(needed.contains), child)
+        Filter(cond, Expand(kept, output, newChild))
+      }
+  }
+}
+
+/** Installs graft's extra optimizer rules on a session (idempotent). Also
+  * usable at build time via `SparkSessionExtensions.injectOptimizerRule`.
+  */
+object GraftOptimizations {
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(PruneExpandBranches)) {
+      spark.experimental.extraOptimizations = cur :+ PruneExpandBranches
+    }
+  }
+}
+
+/** Builder-time registration: `SparkSession.builder().withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => PruneExpandBranches)
+}

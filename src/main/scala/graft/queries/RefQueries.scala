@@ -12,14 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object RefQueries {
 
-  /** R1 — unpivot + IN-list filter (ref melt :53 + isin :54). */
-  def r1(s: SparkSession, d: String): DataFrame =
+  /** R1 — unpivot + IN-list filter (ref melt :53 + isin :54). The
+    * PruneExpandBranches rule drops the two filtered-out measures from the
+    * Expand so only half the rows materialize and the scan prunes their
+    * columns.
+    */
+  def r1(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftOptimizations.install(s)
     melt(Tables.lineitem(s, d),
          Seq("l_orderkey", "l_linenumber"),
          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
          "measure", "value")
       .filter(col("measure").isin("l_quantity", "l_discount"))
       .orderBy("l_orderkey", "l_linenumber", "measure", "value")
+  }
 
   /** R2 — literal columns + rename + projection + IN filter (ref :54-64). */
   def r2(s: SparkSession, d: String): DataFrame =

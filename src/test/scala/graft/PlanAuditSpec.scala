@@ -65,6 +65,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(n === 1, s"sessionize should shuffle on user_id exactly once:\n$plan")
   }
 
+  test("r1: PruneExpandBranches drops filtered-out unpivot measures") {
+    val df = RefQueries.r1(spark, sf())
+    val expandLine = df.queryExecution.optimizedPlan.treeString
+      .linesIterator.find(_.contains("Expand")).getOrElse("")
+    // only the two surviving measures remain in the Expand projections
+    assert(!expandLine.contains("l_extendedprice") && !expandLine.contains("l_tax"), expandLine)
+    // and the parquet scan reads only the 4 needed columns
+    val plan = finalPlan(df)
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(scanCols.split(",").map(_.split("#")(0).trim).toSet ===
+      Set("l_orderkey", "l_linenumber", "l_quantity", "l_discount"), scanCols)
+  }
+
+  test("PruneExpandBranches never fires on non-literal or surviving branches") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftOptimizations.install(spark)
+    import spark.implicits._
+    val df = Seq((1, 10.0, 20.0)).toDF("id", "a", "b")
+      .unpivot(Array(col("id")), Array(col("a"), col("b")), "m", "v")
+      .filter(col("v") > 5) // predicate on the value column: no branch is constant-false
+    assert(df.count() === 2)
+    assert(df.queryExecution.optimizedPlan.treeString.contains("Expand"))
+  }
+
   test("entry flagship: whole-stage codegen covers the aggregate") {
     val df = SparkEntry.entry(spark)
     df.collect()
