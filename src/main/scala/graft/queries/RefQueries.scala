@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.ReferenceOps._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** R-series: the reference pipeline's operator chains (SURVEY.md §2a/§2c)
@@ -60,14 +61,24 @@ object RefQueries {
   /** R5 — the full 5-stage reference DAG as one lazy plan:
     * unpivot → cohort filter (keep orderkeys whose measures do NOT all share
     * one value) → ranking per orderkey (ref :196 chain).
+    *
+    * The cohort predicate is computed with a windowed `collect_set` size
+    * over the same partition the ranking window uses, instead of the
+    * aggregate + semi-join form (which is kept as the declared O9–O11
+    * operator in r3): one shuffle on l_orderkey serves the filter AND the
+    * ranking, and the unpivot subtree is evaluated once instead of twice.
+    * Output is identical (hash-verified).
     */
   def r5(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftOptimizations.install(s)
     val unpiv = melt(Tables.lineitem(s, d),
                      Seq("l_orderkey", "l_linenumber"),
                      Seq("l_quantity", "l_discount"), "measure", "value")
-    val filtered = cohortFilter(unpiv, groupCols = Seq("l_orderkey"),
-                                distinctExpr = col("value"), threshold = 2,
-                                keyCol = "l_orderkey", keepBelow = false)
+    val byKey = Window.partitionBy("l_orderkey")
+    val filtered = unpiv
+      .withColumn("__nv", size(collect_set("value").over(byKey)))
+      .filter(col("__nv") >= 2)
+      .drop("__nv")
     rankWithin(filtered, Seq("l_orderkey"),
                Seq(desc("value"), asc("measure"), asc("l_linenumber")))
       .select("l_orderkey", "l_linenumber", "measure", "value", "ranking")

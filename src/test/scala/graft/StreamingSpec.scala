@@ -103,6 +103,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream (readStream.parquet) matches batch tumbling counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val src = Tables.events(spark, sf()).limit(300)
+    src.write.parquet(s"$dir/in")
+    val batch = Streams.tumblingCounts(spark.read.parquet(s"$dir/in"))
+      .orderBy("win_start", "event_type").collect().toSeq
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val q = Streams.tumblingCounts(spark.readStream.schema(schema).parquet(s"$dir/in"))
+      .writeStream.format("memory").queryName("file_tumb").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_tumb").orderBy("win_start", "event_type").collect().toSeq
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("sliding windows assign each event to width/slide windows") {
     val batch = Streams.slidingCounts(evs.toDF(), "1 hour", "30 minutes")
     // every event lands in exactly 2 sliding windows
