@@ -20,6 +20,32 @@ object EventQueries {
       .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** C8b — structured JSON parsing: from_json to a typed struct, filter on
+    * the extracted field (vs C8's get_json_object string path).
+    */
+  def c8b(s: SparkSession, d: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    Tables.events(s, d)
+      .select(col("event_type"), from_json(col("props"), schema).getField("k").as("k"))
+      .filter(col("k") > 50)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  /** C9b — sliding-window batch analog: 2-hour windows sliding by 1 hour
+    * (each event lands in two windows).
+    */
+  def c9b(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+              col("event_type"), col("n"), col("v"))
+      .orderBy("win_start", "event_type")
+
   /** C9 — tumbling-window batch analog: hourly counts/sums per event type. */
   def c9(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -43,7 +69,9 @@ object EventQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c8_json" -> (c8 _),
+    "c8b_from_json" -> (c8b _),
     "c9_tumbling_hour" -> (c9 _),
+    "c9b_sliding" -> (c9b _),
     "c10_sessionize" -> (c10 _),
     "c11_exact_distinct" -> (c11 _),
   )
@@ -54,6 +82,23 @@ object EventQueries {
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c8b_from_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) t
+        |WHERE k > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c9b_sliding" ->
+      """WITH w AS (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+        |         event_type, value
+        |  FROM events)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS v
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "c9_tumbling_hour" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS v

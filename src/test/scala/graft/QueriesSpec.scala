@@ -47,6 +47,8 @@ class QueriesSpec extends SparkSpec {
     "c5b_rank_family" -> 15L,
     "c5c_stats" -> 5L,
     "c7c_datetime" -> 6L,
+    "c8b_from_json" -> 5L,
+    "c9b_sliding" -> 1504L,
   )
 
   test("every query has an oracle and vice versa") {
