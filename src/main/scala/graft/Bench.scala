@@ -24,18 +24,25 @@ object Bench {
 
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings").foreach { t =>
-      Tables.table(spark, sfDir, t).count()
+      try Tables.table(spark, sfDir, t).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $t failed: ${e.getMessage}") }
     }
-    Tables.events(spark, sfDir).count()
+    try Tables.events(spark, sfDir).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup events failed: ${e.getMessage}") }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      // failed queries report -1 so they can't masquerade as fast runs
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -37,7 +37,9 @@ object Tables {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+        // integer division — col/1000 would promote to double, whose 256ns
+        // ulp at epoch-ns magnitude can round boundary values up before floor
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => df
       case _ => df.withColumn("ts", col("ts").cast(TimestampType))
     }

@@ -111,5 +111,5 @@ object Multimodal {
       lit(kind).as("kind"),
       encode(col(textCol), "UTF-8").as("payload"),
       struct(lit(source).as("source"),
-             length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
+             octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 }

@@ -79,10 +79,14 @@ object Dedup {
     * [[jaccardVerify]].
     */
   def jaccardVerifyBitset(cand: DataFrame, tokenRows: DataFrame, idCol: String): DataFrame = {
+    // distributed dense-id assignment: zipWithIndex computes per-partition
+    // offsets with one count pass, no single-partition window; the jaccard
+    // result is invariant to WHICH bijection tokens get
+    val spark = tokenRows.sparkSession
+    import spark.implicits._
     val vocab = tokenRows.select("token").distinct()
-      .withColumn("tid",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("token"))
-          .cast("long") - 1)
+      .as[String].rdd.zipWithIndex()
+      .toDF("token", "tid")
     val masks = tokenRows.join(broadcast(vocab), "token")
       .select(col(idCol),
               (col("tid") / 64).cast("long").as("w"),

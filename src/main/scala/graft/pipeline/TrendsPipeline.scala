@@ -31,9 +31,12 @@ object TrendsPipeline {
 
   val DefaultTerms: Seq[String] = Seq("vpn", "hack", "cyber", "security", "wifi")
 
-  /** Previous full Mon–Sun week relative to `today` (ref O18, :19-28). */
+  /** Previous full Mon–Sun week relative to `today` (ref O18, :19-28).
+    * `previousOrSame` so a Monday `today` yields the immediately preceding
+    * week (ref: `today - timedelta(days=weekday + 7)`), not two weeks back.
+    */
   def previousWeek(today: LocalDate): (String, String) = {
-    val monday = today.`with`(TemporalAdjusters.previous(DayOfWeek.MONDAY)).minusWeeks(1)
+    val monday = today.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY)).minusWeeks(1)
     (monday.toString, monday.plusDays(6).toString)
   }
 
@@ -41,8 +44,11 @@ object TrendsPipeline {
   def run(wide: DataFrame, weekStart: String, weekEnd: String,
           terms: Seq[String] = DefaultTerms,
           priorityTerm: String = "vpn"): DataFrame = {
-    // O4 melt + O5 isin + O6 literals + O7/O8 rename/project (ref :53-64)
-    val long = melt(wide, Seq("country"), terms, "search_term", "interest")
+    // O4 melt + O5 isin + O6 literals + O7/O8 rename/project (ref :53-64).
+    // Melt every non-id column (the reference melts the whole frame), so the
+    // isin keeps only the known terms when the source carries extras.
+    val valueCols = wide.columns.filterNot(_ == "country").toSeq
+    val long = melt(wide, Seq("country"), valueCols, "search_term", "interest")
       .filter(col("search_term").isin(terms: _*))
       .withColumn("week_start", lit(weekStart))
       .withColumn("week_end", lit(weekEnd))

@@ -40,9 +40,13 @@ object PruneExpandBranches extends Rule[LogicalPlan] {
       val substituted = conjunct.transform {
         case a: AttributeReference if lits.contains(a.exprId.id) => lits(a.exprId.id)
       }
-      substituted.deterministic && substituted.references.isEmpty && {
-        val v = substituted.eval(InternalRow.empty)
-        v == null || v == false
+      // foldable excludes unevaluable reference-free expressions (scalar
+      // subqueries survive into the optimized plan and would throw on eval)
+      substituted.foldable && {
+        try {
+          val v = substituted.eval(InternalRow.empty)
+          v == null || v == false
+        } catch { case _: Exception => false }
       }
     }
   }

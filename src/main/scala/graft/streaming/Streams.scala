@@ -43,8 +43,12 @@ object Streams {
       .select(col("session_window.start").as("sess_start"),
               col("user_id"), col("n_events"))
 
-  /** Streaming exact dedup with bounded state (twin of C11's distinct). */
+  /** Streaming exact dedup with bounded state (twin of C11's distinct).
+    * `dropDuplicatesWithinWatermark` so state for a triple is evicted once
+    * the watermark passes it — plain `dropDuplicates` without the event-time
+    * column in the key would keep state forever.
+    */
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates("user_id", "event_type", "value")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
 }

@@ -90,6 +90,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.queryExecution.optimizedPlan.treeString.contains("Expand"))
   }
 
+  test("PruneExpandBranches tolerates unevaluable conjuncts (scalar subquery)") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftOptimizations.install(spark)
+    import spark.implicits._
+    Seq((1, 10.0, 20.0)).toDF("id", "a", "b")
+      .unpivot(Array(col("id")), Array(col("a"), col("b")), "m", "v")
+      .createOrReplaceTempView("pe_unpiv")
+    Seq(5.0, 15.0).toDF("x").createOrReplaceTempView("pe_t")
+    // the uncorrelated scalar subquery is reference-free but unevaluable;
+    // the rule must skip it, not crash the query
+    val got = spark.sql(
+      "SELECT m FROM pe_unpiv WHERE v > (SELECT avg(x) FROM pe_t) AND m IN ('a','b')")
+      .collect()
+    // avg = 10.0 -> only (m='b', v=20.0) survives; the point is no crash
+    assert(got.map(_.getString(0)).toSeq === Seq("b"))
+  }
+
   test("entry flagship: whole-stage codegen covers the aggregate") {
     val df = SparkEntry.entry(spark)
     df.collect()

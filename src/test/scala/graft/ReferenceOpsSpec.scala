@@ -72,5 +72,12 @@ class ReferenceOpsSpec extends SparkSpec {
     // 2024-01-10 is a Wednesday -> previous full week is Jan 1-7
     assert(TrendsPipeline.previousWeek(java.time.LocalDate.parse("2024-01-10")) ===
       ("2024-01-01", "2024-01-07"))
+    // a Monday must give the immediately preceding week, not two weeks back
+    // (ref `today - timedelta(days=weekday + 7)` with weekday = 0)
+    assert(TrendsPipeline.previousWeek(java.time.LocalDate.parse("2024-01-08")) ===
+      ("2024-01-01", "2024-01-07"))
+    // Sunday (weekday 6) -> week ending the day before
+    assert(TrendsPipeline.previousWeek(java.time.LocalDate.parse("2024-01-14")) ===
+      ("2024-01-01", "2024-01-07"))
   }
 }
