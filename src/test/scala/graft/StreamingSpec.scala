@@ -119,6 +119,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming parquet sink with checkpoint lands exactly the input rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-stream").toString
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(evs.take(4)); q.processAllAvailable()
+      mem.addData(evs.drop(4)); q.processAllAvailable()
+      val landed = spark.read.parquet(s"$dir/out")
+      assert(landed.count() === evs.size)
+      assert(landed.select("event_id").as[Long].collect().sorted.toSeq ===
+        evs.map(_.event_id).sorted)
+    } finally q.stop()
+  }
+
   test("sliding windows assign each event to width/slide windows") {
     val batch = Streams.slidingCounts(evs.toDF(), "1 hour", "30 minutes")
     // every event lands in exactly 2 sliding windows
