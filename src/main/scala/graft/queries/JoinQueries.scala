@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join/predicate/array surface completing SURVEY §2b's inventory rows:
+  * outer joins, theta (non-equi) join, the predicate kit, array functions.
+  */
+object JoinQueries {
+
+  /** Left outer: order counts per customer including zero-order customers;
+    * full outer: supplier vs customer key space with side tags.
+    */
+  def outer(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey")
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  def fullOuter(s: SparkSession, d: String): DataFrame = {
+    val sk = Tables.supplier(s, d).select(col("s_suppkey").as("sk"))
+    val ck = Tables.customer(s, d).select(col("c_custkey").as("ck"))
+      .filter(col("ck") <= 20)
+    sk.join(ck, col("sk") === col("ck"), "full_outer")
+      .select(
+        coalesce(col("sk"), col("ck")).as("k"),
+        when(col("sk").isNotNull && col("ck").isNotNull, "both")
+          .when(col("sk").isNotNull, "supplier_only")
+          .otherwise("customer_only").as("side"))
+      .orderBy("k", "side")
+  }
+
+  /** Theta join: equi on nation + non-equi on balances; per-nation counts. */
+  def theta(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).select(col("s_nationkey"), col("s_acctbal"))
+      .join(Tables.customer(s, d).select(col("c_nationkey"), col("c_acctbal")),
+            col("s_nationkey") === col("c_nationkey") &&
+              col("s_acctbal") < col("c_acctbal"))
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("nationkey")
+
+  /** Predicate kit: LIKE / NOT LIKE / BETWEEN / IS NULL / null-safe compare. */
+  def predicates(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      col("p_name").like("%a%").as("has_a"),
+      (!col("p_type").like("%STEEL%")).as("not_steel"),
+      col("p_size").between(10, 20).as("mid_size"),
+      col("p_brand").isNull.as("brand_null"),
+      (col("p_brand") <=> col("p_type")).as("brand_eq_type"))
+      .orderBy("p_partkey")
+
+  /** Array function kit over document tokens: sort/slice/contains/size. */
+  def arrays(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              array_distinct(graft.operators.TextAnalysis.tokens(col("text"))).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_distinct"),
+        concat_ws(",", slice(sort_array(col("toks")), 1, 3)).as("first3"),
+        array_contains(col("toks"), "the").as("has_the"))
+      .orderBy("doc_id")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c2b_left_outer" -> (outer _),
+    "c2c_full_outer" -> (fullOuter _),
+    "c2d_theta_join" -> (theta _),
+    "c7d_predicates" -> (predicates _),
+    "c12b_arrays" -> (arrays _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "c2b_left_outer" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "c2c_full_outer" ->
+      """SELECT coalesce(sk, ck) AS k,
+        |  CASE WHEN sk IS NOT NULL AND ck IS NOT NULL THEN 'both'
+        |       WHEN sk IS NOT NULL THEN 'supplier_only'
+        |       ELSE 'customer_only' END AS side
+        |FROM (SELECT s_suppkey AS sk FROM supplier) s
+        |FULL OUTER JOIN (SELECT c_custkey AS ck FROM customer WHERE c_custkey <= 20) c
+        |  ON sk = ck
+        |ORDER BY k, side""".stripMargin,
+    "c2d_theta_join" ->
+      """SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+        |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin,
+    "c7d_predicates" ->
+      """SELECT p_partkey,
+        |  p_name LIKE '%a%' AS has_a,
+        |  NOT (p_type LIKE '%STEEL%') AS not_steel,
+        |  p_size BETWEEN 10 AND 20 AS mid_size,
+        |  p_brand IS NULL AS brand_null,
+        |  p_brand IS NOT DISTINCT FROM p_type AS brand_eq_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "c12b_arrays" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        |FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_distinct,
+        |  array_to_string(list_sort(toks)[1:3], ',') AS first3,
+        |  list_contains(toks, 'the') AS has_the
+        |FROM t ORDER BY doc_id""".stripMargin,
+  )
+}

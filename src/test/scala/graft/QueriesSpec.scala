@@ -50,6 +50,11 @@ class QueriesSpec extends SparkSpec {
     "c7c_datetime" -> 6L,
     "c8b_from_json" -> 5L,
     "c9b_sliding" -> 1504L,
+    "c2b_left_outer" -> 150L,
+    "c2c_full_outer" -> 21L,
+    "c2d_theta_join" -> 10L,
+    "c7d_predicates" -> 200L,
+    "c12b_arrays" -> 500L,
   )
 
   test("every query has an oracle and vice versa") {
