@@ -130,6 +130,63 @@ object Dedup {
   def distinctTokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), array_distinct(TextAnalysis.tokens(col(textCol))).as("set"))
 
+  /** Connected components over near-dup pairs: every node gets the minimum
+    * node id of its component (`comp`), which is the canonical document to
+    * KEEP — turning a pair list into an actual dedup decision.
+    *
+    * Iterative min-label propagation: each round joins the symmetrized edge
+    * list against current labels and takes the elementwise min; the minimum
+    * id spreads one hop per round, so rounds ≈ component diameter (near-dup
+    * clusters are dense, typically 2-4). Each round is one shuffle on the
+    * node id — no driver-side graph state, scales with the edge count. The
+    * loop is driver-controlled with an early-exit convergence check.
+    *
+    * @param pairs (a, b) undirected near-dup edges
+    * @param nodes single-column frame of all node ids (isolated nodes keep
+    *              their own id as comp)
+    */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    // materialize the pair list once — the computation upstream (LSH +
+    // jaccard) is expensive and is referenced twice by the symmetrizing
+    // union and once per propagation iteration
+    val p = pairs.select(col("a"), col("b")).persist()
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min("comp").as("nbr_comp"))
+      // checkpoint before the self-join: propagated embeds the full edge
+      // pass and is referenced twice below — without this it runs twice
+      val propagated = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left_outer")
+        .select(col("id"),
+                least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      // pointer jumping: comp(x) := comp(comp(x)). Labels are node ids, so
+      // the lookup is a self-join; this turns diameter-bound convergence
+      // into ~log(diameter) rounds (long near-dup chains otherwise need one
+      // round per hop).
+      // localCheckpoint truncates lineage: the self-join doubles the plan
+      // tree every round, which explodes planning time/memory by iteration
+      // ~8 without it (the labels frame itself is tiny)
+      val next = propagated.alias("x")
+        .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")).alias("y"),
+              col("x.comp") === col("y.cid"), "left_outer")
+        .select(col("x.id").as("id"),
+                coalesce(col("ccomp"), col("x.comp")).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as(idCol), col("comp"))
+  }
+
   /** Token n-gram shingles (adjacent n tokens joined by one space), distinct.
     *
     * IMPORTANT: pass a *materialized column* (e.g. `.withColumn("toks", ...)`

@@ -38,16 +38,35 @@ object DedupQueries {
   /** MinHash/LSH near-dup pairs: band-collision candidates verified with
     * exact Jaccard >= 0.7 over distinct-token sets.
     */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** Unordered (a, b, jaccard) near-dup pairs — shared by the pair query
+    * (which adds rounding + total order) and cluster formation (which
+    * doesn't need either).
+    */
+  private def minhashPairsRaw(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val toks = Dedup.distinctTokenRows(docs, "doc_id", "text")
     val bands = Dedup.minhashBands(Dedup.minhashSignatures(toks, "doc_id", K), "doc_id", K, R)
     val cand = Dedup.lshCandidatePairs(bands, "doc_id", K / R)
     Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
       .filter(col("jaccard") >= 0.7)
+  }
+
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsRaw(s, d)
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
               round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+
+  /** Dedup cluster formation: connected components over the MinHash
+    * near-dup pairs; `comp` is the canonical (minimum) doc id of each
+    * cluster, `keeper` marks the document a pipeline would retain.
+    */
+  def clusters(s: SparkSession, d: String): DataFrame = {
+    val edges = minhashPairsRaw(s, d).select("a", "b")
+    val nodes = Tables.documents(s, d).select("doc_id")
+    Dedup.connectedComponents(edges, nodes, "doc_id")
+      .withColumn("keeper", col("doc_id") === col("comp"))
+      .orderBy("doc_id")
   }
 
   /** 60-bit SimHash per document. */
@@ -110,6 +129,7 @@ object DedupQueries {
     "dedup_exact_keep" -> (exactKeep _),
     "dedup_minhash_sigs" -> (minhashSigs _),
     "dedup_minhash_pairs" -> (minhashPairs _),
+    "dedup_clusters" -> (clusters _),
     "dedup_simhash" -> (simhash _),
     "dedup_ngram_pairs" -> (ngramPairs _),
     "dedup_embedding" -> (embeddingPairs _),
@@ -181,6 +201,39 @@ object DedupQueries {
          |JOIN sz sb ON i.b = sb.doc_id
          |WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $sigBandsCtes,
+         |bl AS (
+         |  SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM bands
+         |  UNION ALL SELECT doc_id, 1, band1 FROM bands
+         |  UNION ALL SELECT doc_id, 2, band2 FROM bands
+         |  UNION ALL SELECT doc_id, 3, band3 FROM bands),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bl x JOIN bl y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |   AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM cand c
+         |  JOIN tok ta ON c.a = ta.doc_id
+         |  JOIN tok tb ON c.b = tb.doc_id AND ta.token = tb.token
+         |  GROUP BY c.a, c.b),
+         |pairs AS (
+         |  SELECT i.a AS doc_a, i.b AS doc_b
+         |  FROM inter i JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id
+         |  WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.7),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |cc AS (
+         |  SELECT doc_id AS id, doc_id AS root FROM documents
+         |  UNION
+         |  SELECT e.dst, cc.root FROM cc JOIN edges e ON cc.id = e.src)
+         |SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS comp,
+         |       (id = min(root)) AS keeper
+         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       """WITH tf AS (
         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf

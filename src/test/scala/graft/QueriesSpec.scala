@@ -40,6 +40,7 @@ class QueriesSpec extends SparkSpec {
     "dedup_simhash" -> 500L,
     "dedup_ngram_pairs" -> 20L,
     "dedup_minhash_pairs" -> 47265L,
+    "dedup_clusters" -> 500L,
     "dedup_embedding" -> 20L,
     "c14_pivot" -> 15L,
     "c4b_cube" -> 24L,

@@ -61,6 +61,16 @@ class ReferenceOpsSpec extends SparkSpec {
       "search_term" -> "string", "interest" -> "bigint", "ranking" -> "int"))
   }
 
+  test("connectedComponents labels chains, cliques, and isolated nodes") {
+    import graft.operators.Dedup
+    // graph: chain 1-2-3, pair 10-11, isolated 20
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val got = Dedup.connectedComponents(pairs, nodes, "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("semi-join cohort output is a subset of its input") {
     val df = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 3L)).toDF("id", "g", "v")
     val out = cohortFilter(df, Seq("g"), col("v"), 2L, "g")
