@@ -51,14 +51,31 @@ object Dedup {
     * over the band-duplicated pair stream entirely, which at sf0.1 is the
     * single largest cost of the whole MinHash path (pairs collide in ~4
     * bands each on near-identical docs).
+    *
+    * `maxBucket` (optional) drops band values shared by more than that many
+    * docs before pairing — the skew guard for 100 TB corpora, where a mass
+    * exact-duplicate (boilerplate page, empty doc) otherwise turns one band
+    * bucket into O(bucket²) pairs. A pair whose earliest shared band is
+    * capped out is dropped entirely (by the first-match rule) — that is the
+    * point: hot-bucket members are handled by exact dedup, not pairing.
+    * The oracle queries use the uncapped default for bit-parity.
     */
-  def lshCandidatePairs(bands: DataFrame, idCol: String, nBands: Int): DataFrame = {
+  def lshCandidatePairs(bands: DataFrame, idCol: String, nBands: Int,
+                        maxBucket: Option[Int] = None): DataFrame = {
     val bandCols = (0 until nBands).map(j => col(s"band$j"))
     val entries = array((0 until nBands).map(j =>
       struct(lit(j).as("bi"), col(s"band$j").as("bv"))): _*)
-    val long = bands
+    val longAll = bands
       .select(col(idCol) +: bandCols :+ explode(entries).as("e"): _*)
       .select(col(idCol) +: bandCols :+ col("e.bi").as("band_idx") :+ col("e.bv").as("band_val"): _*)
+    val long = maxBucket match {
+      case None => longAll
+      case Some(cap) =>
+        val small = longAll.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= cap)
+          .select("band_idx", "band_val")
+        longAll.join(small, Seq("band_idx", "band_val"), "left_semi")
+    }
     def pfx(p: String) = long.toDF(long.columns.map(c => s"$p$c").toIndexedSeq: _*)
     val firstMatchOnly = (0 until nBands).map { i =>
       (col("a_band_idx") <= lit(i)) || (col(s"a_band$i") =!= col(s"b_band$i"))

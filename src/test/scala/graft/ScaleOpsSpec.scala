@@ -34,6 +34,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("lshCandidatePairs maxBucket drops hot-bucket pairs, keeps the rest") {
+    import graft.operators.Dedup
+    // 5 identical docs (hot bucket) + 2 identical docs (small bucket)
+    val docs = ((0 to 4).map(i => (i.toLong, "the same boilerplate text body here")) ++
+                Seq((10L, "a rare unusual document pair"), (11L, "a rare unusual document pair")))
+      .toDF("doc_id", "text")
+    val toks = Dedup.distinctTokenRows(docs, "doc_id", "text")
+    val bands = Dedup.minhashBands(Dedup.minhashSignatures(toks, "doc_id", 16), "doc_id", 16, 4)
+    val uncapped = Dedup.lshCandidatePairs(bands, "doc_id", 4).count()
+    val capped = Dedup.lshCandidatePairs(bands, "doc_id", 4, maxBucket = Some(3))
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped === 10L + 1L) // C(5,2) hot pairs + 1 small pair
+    assert(capped === Set(10L -> 11L)) // hot bucket suppressed, small kept
+  }
+
   test("bucketed tables join without any exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
