@@ -201,6 +201,8 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // labels are localCheckpointed (lineage-free), so the pair cache can go
+    p.unpersist(false)
     labels.select(col("id").as(idCol), col("comp"))
   }
 
