@@ -37,9 +37,11 @@ object Tables {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
-        // integer division — col/1000 would promote to double, whose 256ns
-        // ulp at epoch-ns magnitude can round boundary values up before floor
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // exact integer FLOOR division: col/1000 would promote to double
+        // (256ns ulp at epoch-ns magnitude), and `div` alone truncates
+        // toward zero, shifting pre-epoch timestamps up a microsecond
+        df.withColumn("ts", timestamp_micros(
+          expr("(ts div 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
       case TimestampType => df
       case _ => df.withColumn("ts", col("ts").cast(TimestampType))
     }

@@ -52,33 +52,44 @@ object Dedup {
     * single largest cost of the whole MinHash path (pairs collide in ~4
     * bands each on near-identical docs).
     *
-    * `maxBucket` (optional) drops band values shared by more than that many
-    * docs before pairing — the skew guard for 100 TB corpora, where a mass
-    * exact-duplicate (boilerplate page, empty doc) otherwise turns one band
-    * bucket into O(bucket²) pairs. A pair whose earliest shared band is
-    * capped out is dropped entirely (by the first-match rule) — that is the
-    * point: hot-bucket members are handled by exact dedup, not pairing.
+    * `maxBucket` (optional) neutralizes band values shared by more than that
+    * many docs before pairing — the skew guard for 100 TB corpora, where a
+    * mass exact-duplicate (boilerplate page, empty doc) otherwise turns one
+    * band bucket into O(bucket²) pairs. Hot band values are set to NULL
+    * (never equal) rather than their rows dropped, so a pair that ALSO
+    * shares a small band is still emitted there — only pairs whose every
+    * shared band is hot are suppressed (those are exact-dedup's job).
     * The oracle queries use the uncapped default for bit-parity.
     */
   def lshCandidatePairs(bands: DataFrame, idCol: String, nBands: Int,
                         maxBucket: Option[Int] = None): DataFrame = {
+    val capped = maxBucket match {
+      case None => bands
+      case Some(cap) =>
+        (0 until nBands).foldLeft(bands) { (df, j) =>
+          val hot = df.groupBy(col(s"band$j").as("__hv"))
+            .agg(count(lit(1)).as("__bn")).filter(col("__bn") > cap)
+            .select("__hv")
+          df.join(broadcast(hot), col(s"band$j") === col("__hv"), "left_outer")
+            .withColumn(s"band$j",
+              when(col("__hv").isNotNull, lit(null)).otherwise(col(s"band$j")))
+            .drop("__hv")
+        }
+    }
     val bandCols = (0 until nBands).map(j => col(s"band$j"))
     val entries = array((0 until nBands).map(j =>
       struct(lit(j).as("bi"), col(s"band$j").as("bv"))): _*)
-    val longAll = bands
+    val long = capped
       .select(col(idCol) +: bandCols :+ explode(entries).as("e"): _*)
       .select(col(idCol) +: bandCols :+ col("e.bi").as("band_idx") :+ col("e.bv").as("band_val"): _*)
-    val long = maxBucket match {
-      case None => longAll
-      case Some(cap) =>
-        val small = longAll.groupBy("band_idx", "band_val")
-          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= cap)
-          .select("band_idx", "band_val")
-        longAll.join(small, Seq("band_idx", "band_val"), "left_semi")
-    }
+      .filter(col("band_val").isNotNull) // nulled hot bands never pair
     def pfx(p: String) = long.toDF(long.columns.map(c => s"$p$c").toIndexedSeq: _*)
+    // earlier band i blocks this match only if BOTH values survived capping
+    // and are equal; a nulled (hot) band never counts as a match
     val firstMatchOnly = (0 until nBands).map { i =>
-      (col("a_band_idx") <= lit(i)) || (col(s"a_band$i") =!= col(s"b_band$i"))
+      (col("a_band_idx") <= lit(i)) ||
+        col(s"a_band$i").isNull || col(s"b_band$i").isNull ||
+        (col(s"a_band$i") =!= col(s"b_band$i"))
     }.reduce(_ && _)
     pfx("a_").join(pfx("b_"),
         col("a_band_idx") === col("b_band_idx") &&
@@ -96,12 +107,14 @@ object Dedup {
     * [[jaccardVerify]].
     */
   def jaccardVerifyBitset(cand: DataFrame, tokenRows: DataFrame, idCol: String): DataFrame = {
-    // distributed dense-id assignment: zipWithIndex computes per-partition
-    // offsets with one count pass, no single-partition window; the jaccard
-    // result is invariant to WHICH bijection tokens get
+    // distributed dense-id assignment: sort the distinct vocab (stable,
+    // deterministic order regardless of stage retries or exchange reuse —
+    // the masks subtree is referenced twice and MUST see one bijection),
+    // then zipWithIndex for per-partition offset ids without a
+    // single-partition window
     val spark = tokenRows.sparkSession
     import spark.implicits._
-    val vocab = tokenRows.select("token").distinct()
+    val vocab = tokenRows.select("token").distinct().orderBy("token")
       .as[String].rdd.zipWithIndex()
       .toDF("token", "tid")
     val masks = tokenRows.join(broadcast(vocab), "token")

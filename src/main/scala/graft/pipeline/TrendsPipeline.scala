@@ -45,10 +45,12 @@ object TrendsPipeline {
           terms: Seq[String] = DefaultTerms,
           priorityTerm: String = "vpn"): DataFrame = {
     // O4 melt + O5 isin + O6 literals + O7/O8 rename/project (ref :53-64).
-    // Melt every non-id column (the reference melts the whole frame), so the
-    // isin keeps only the known terms when the source carries extras.
-    val valueCols = wide.columns.filterNot(_ == "country").toSeq
-    val long = melt(wide, Seq("country"), valueCols, "search_term", "interest")
+    // Melt only the declared term columns: the reference melts the whole
+    // frame, but under Spark's ANSI unpivot a stray non-numeric extra column
+    // would either fail type coercion or silently stringify `interest`, so
+    // extras are excluded up front and the isin stays as the reference's O5
+    // guard for parity.
+    val long = melt(wide, Seq("country"), terms, "search_term", "interest")
       .filter(col("search_term").isin(terms: _*))
       .withColumn("week_start", lit(weekStart))
       .withColumn("week_end", lit(weekEnd))

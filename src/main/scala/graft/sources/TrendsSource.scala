@@ -40,6 +40,12 @@ object TrendsSource {
     }
     val rows = result.getOrElse(throw new RuntimeException(
       s"trends fetch failed after $retries retries", lastErr))
+    rows.find(_.interests.length != terms.length).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"fetcher returned ${bad.interests.length} interests for " +
+          s"'${bad.country}' but ${terms.length} terms were requested — " +
+          "ragged results would misalign term columns")
+    }
     val schema = wideSchema(terms)
     val data = rows.map(r => Row.fromSeq(r.country +: r.interests))
     spark.createDataFrame(

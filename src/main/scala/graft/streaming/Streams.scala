@@ -43,10 +43,12 @@ object Streams {
       .select(col("session_window.start").as("sess_start"),
               col("user_id"), col("n_events"))
 
-  /** Streaming exact dedup with bounded state (twin of C11's distinct).
-    * `dropDuplicatesWithinWatermark` so state for a triple is evicted once
-    * the watermark passes it — plain `dropDuplicates` without the event-time
-    * column in the key would keep state forever.
+  /** Streaming dedup with bounded state: duplicates arriving within the
+    * watermark delay of each other collapse to one row
+    * (`dropDuplicatesWithinWatermark`); a duplicate arriving after state
+    * eviction is re-emitted. This is deliberately NOT global exact distinct
+    * (that would require unbounded state on an infinite stream) — C11's
+    * batch query remains the exact-distinct analog.
     */
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -49,6 +49,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(capped === Set(10L -> 11L)) // hot bucket suppressed, small kept
   }
 
+  test("maxBucket keeps pairs that share a hot band AND a small band") {
+    import graft.operators.Dedup
+    // hand-built bands: docs 1,2 share hot band0 (with 8 others) and also a
+    // 2-doc band1 — the pair must survive via band1 after band0 is nulled
+    val rows = (1L to 10L).map { i =>
+      (i, "HOT", if (i <= 2) "RARE" else s"uniq$i")
+    }
+    val bands = rows.toDF("doc_id", "band0", "band1")
+    val capped = Dedup.lshCandidatePairs(bands, "doc_id", 2, maxBucket = Some(5))
+      .as[(Long, Long)].collect().toSet
+    assert(capped === Set(1L -> 2L))
+  }
+
   test("bucketed tables join without any exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
