@@ -31,9 +31,16 @@ object Tables {
     * on. Read it as raw long nanos and normalize to TimestampType µs
     * (floor division — matches DuckDB's ns value at every granularity the
     * oracle compares at).
+    *
+    * The flag must be set at session BUILD time (see [[Sessions.withGraftConf]],
+    * used by Verify/Bench/the test harness): the scan consults it at
+    * execution, so flipping it inside a loader would be a racy global side
+    * effect on every other parquet read sharing the session.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet carries timestamp[ns]: build the session with " +
+        "Sessions.withGraftConf (sets spark.sql.legacy.parquet.nanosAsLong)")
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>

@@ -17,7 +17,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * results are bit-identical to the composed form (and to the DuckDB
   * oracle's `list_sum(list_transform(...))`) — swapping this in cannot
   * change any query's hash. Length-mismatched inputs yield NULL, matching
-  * the fold (zip_with null-pads, nulling the whole aggregate).
+  * the fold (zip_with null-pads, nulling the whole aggregate), and so does
+  * any NULL array element (the fold's `acc + null` poisons the aggregate to
+  * NULL — this expression must not silently read such elements as 0.0).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -48,6 +50,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var sb = 0.0
     var i = 0
     while (i < n) {
+      // fold parity: a null element nulls the whole fold, not "reads as 0"
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; sa += x * x; sb += y * y; i += 1
     }
@@ -61,17 +65,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val sb = ctx.freshName("sb")
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0; double $sa = 0.0; double $sb = 0.0;
+         |  boolean $anyNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |    double x = $a.getDouble($i); double y = $b.getDouble($i);
          |    $dot += x * y; $sa += x * x; $sb += y * y;
          |  }
-         |  ${ev.value} = $dot / (Math.sqrt($sa) * Math.sqrt($sb));
+         |  if ($anyNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (Math.sqrt($sa) * Math.sqrt($sb));
+         |  }
          |}
        """.stripMargin
     })

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale corpus cleaning: exact
@@ -100,24 +101,45 @@ object Dedup {
   }
 
   /** Exact Jaccard for candidate pairs via packed 64-bit token bitmasks:
-    * tokens get dense ids from a (broadcast) vocabulary, each doc's set
-    * becomes a map word->bitmask, and |A∩B| is a popcount loop — constant
-    * small work per pair instead of per-token joins or string-array
-    * intersections. Exact, not approximate; identical results to
-    * [[jaccardVerify]].
+    * tokens get dense ids from a distributed vocabulary numbering, each
+    * doc's set becomes a map word->bitmask, and |A∩B| is a popcount loop —
+    * constant small work per pair instead of per-token joins or
+    * string-array intersections. Exact, not approximate; identical results
+    * to [[jaccardVerify]] (the id→token bijection only relabels bits, so
+    * intersection popcounts are invariant).
+    *
+    * Scale posture: nothing here is vocabulary-sized on a single node — id
+    * assignment is a bucketed window + a B-row offset join, and the
+    * token→id join is a plain shuffled equi-join (AQE may broadcast it when
+    * small, but it is never forced).
     */
   def jaccardVerifyBitset(cand: DataFrame, tokenRows: DataFrame, idCol: String): DataFrame = {
-    // distributed dense-id assignment: sort the distinct vocab (stable,
-    // deterministic order regardless of stage retries or exchange reuse —
-    // the masks subtree is referenced twice and MUST see one bijection),
-    // then zipWithIndex for per-partition offset ids without a
-    // single-partition window
-    val spark = tokenRows.sparkSession
-    import spark.implicits._
-    val vocab = tokenRows.select("token").distinct().orderBy("token")
-      .as[String].rdd.zipWithIndex()
-      .toDF("token", "tid")
-    val masks = tokenRows.join(broadcast(vocab), "token")
+    // Distributed dense-id assignment, entirely inside Catalyst (no RDD
+    // round-trip, no extra zipWithIndex job): hash each distinct token into
+    // one of B buckets, number tokens within a bucket (a distributed window
+    // partitioned on the bucket), then add per-bucket offsets. The offsets
+    // frame is exactly B rows — ITS broadcast is bounded by construction,
+    // unlike the vocabulary itself. The bijection is a pure function of the
+    // token set (no range-partitioner sampling, no partition-order
+    // dependence), so the masks subtree sees the same ids every time it is
+    // recomputed or a stage retries.
+    val buckets = 1 << 10
+    val vocabBase = tokenRows.select("token").distinct()
+      .withColumn("__bk", pmod(xxhash64(col("token")), lit(buckets.toLong)))
+    val local = vocabBase.withColumn("__rn",
+      row_number().over(Window.partitionBy("__bk").orderBy("token")).cast("long") - 1)
+    val offsets = vocabBase.groupBy("__bk").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(Window.orderBy("__bk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bk", "__off")
+    val vocab = local.join(broadcast(offsets), "__bk")
+      .select(col("token"), (col("__off") + col("__rn")).as("tid"))
+    // vocab-sized join: deliberately NO broadcast hint — a web-scale corpus
+    // has a vocabulary far beyond driver/executor broadcast limits, so this
+    // must stay a plain equi-join on `token`; AQE still picks broadcast on
+    // its own when the vocab actually fits.
+    val masks = tokenRows.join(vocab, "token")
       .select(col(idCol),
               (col("tid") / 64).cast("long").as("w"),
               expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))").as("m"))
@@ -164,12 +186,18 @@ object Dedup {
     * node id of its component (`comp`), which is the canonical document to
     * KEEP — turning a pair list into an actual dedup decision.
     *
-    * Iterative min-label propagation: each round joins the symmetrized edge
-    * list against current labels and takes the elementwise min; the minimum
-    * id spreads one hop per round, so rounds ≈ component diameter (near-dup
-    * clusters are dense, typically 2-4). Each round is one shuffle on the
-    * node id — no driver-side graph state, scales with the edge count. The
-    * loop is driver-controlled with an early-exit convergence check.
+    * Iterative min-label propagation with pointer jumping, ONE blocking
+    * materialization per round: propagate (min over neighbours' labels) and
+    * jump (comp(x) := comp(comp(x))) are fused into a single plan whose
+    * jump side reads the PREVIOUS round's checkpointed labels — every label
+    * is always the id of a node in the same component and labels only
+    * decrease, so the fixpoint is still the component minimum; the
+    * half-step-stale jump still compresses paths geometrically. Convergence
+    * is derived from a `changed` flag column carried by the same frame (a
+    * trivial scan over the just-checkpointed blocks, not a separate
+    * join+count job). No driver-side graph state; each round is one shuffle
+    * on the node id, so the loop scales with the edge count × ~log(diameter)
+    * rounds.
     *
     * @param pairs (a, b) undirected near-dup edges
     * @param nodes single-column frame of all node ids (isolated nodes keep
@@ -183,35 +211,37 @@ object Dedup {
     val p = pairs.select(col("a"), col("b")).persist()
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+    // checkpoint the seed labels: every round references `labels` three
+    // times (neighbour join, own row, jump target) — a checkpointed frame
+    // makes each reference a scan of cached blocks, not a recompute, and
+    // truncates lineage so the per-round self-reference can't double the
+    // plan tree (which otherwise explodes planning time by iteration ~8)
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min("comp").as("nbr_comp"))
-      // checkpoint before the self-join: propagated embeds the full edge
-      // pass and is referenced twice below — without this it runs twice
-      val propagated = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left_outer")
+      // fused propagate + jump, one checkpoint per round. The jump reads
+      // the previous round's labels (already materialized) rather than the
+      // fresh propagated frame, so nothing in this plan is referenced
+      // twice-uncached; __chg rides along for the convergence check.
+      val jumpTgt = labels.select(col("id").as("__cid"), col("comp").as("__ccomp"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left_outer")
+        .select(col("id"), col("comp").as("__old"),
+                least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("__prop"))
+        .join(jumpTgt, col("__prop") === col("__cid"), "left_outer")
         .select(col("id"),
-                least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+                least(col("__prop"), coalesce(col("__ccomp"), col("__prop"))).as("comp"),
+                col("__old"))
+        .withColumn("__chg", col("comp") =!= col("__old"))
         .localCheckpoint(true)
-      // pointer jumping: comp(x) := comp(comp(x)). Labels are node ids, so
-      // the lookup is a self-join; this turns diameter-bound convergence
-      // into ~log(diameter) rounds (long near-dup chains otherwise need one
-      // round per hop).
-      // localCheckpoint truncates lineage: the self-join doubles the plan
-      // tree every round, which explodes planning time/memory by iteration
-      // ~8 without it (the labels frame itself is tiny)
-      val next = propagated.alias("x")
-        .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")).alias("y"),
-              col("x.comp") === col("y.cid"), "left_outer")
-        .select(col("x.id").as("id"),
-                coalesce(col("ccomp"), col("x.comp")).as("comp"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+      val anyChanged = next
+        .agg(coalesce(max(col("__chg")), lit(false)).as("c"))
+        .head().getBoolean(0)
+      labels = next.select("id", "comp")
+      converged = !anyChanged
       i += 1
     }
     // labels are localCheckpointed (lineage-free), so the pair cache can go

@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   * doubles; outputs are rounded to 4 decimals *before* ranking so orderings
   * never depend on sub-ulp differences.
   *
-  * Scale path: [[bucketize]] implements sign-random-projection LSH using
+  * Scale path: [[withBuckets]] implements sign-random-projection LSH using
   * in-data anchor vectors — an equi-join on the bucket id replaces the
   * quadratic cross join, which is the difference between feasible and not at
-  * 100 TB. The anchors are broadcast (tiny), the bucket join shuffles on a
-  * high-cardinality key.
+  * 100 TB. The anchors (a handful of rows) are inlined as literal arrays so
+  * bucketing is a shuffle-free projection; only the downstream bucket join
+  * shuffles, on a high-cardinality key.
   */
 object Similarity {
 
@@ -51,16 +52,37 @@ object Similarity {
     sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** Sign-random-projection LSH bucket id: bit i = sign(dot(v, anchor_i)).
+  /** Sign-random-projection LSH bucket column: bit i = sign(dot(v, anchor_i)).
     * Anchors come from the data itself (deterministic, oracle-reproducible).
-    * Returns (vec_id, bucket).
+    *
+    * The anchors are a handful of rows by construction, so they are
+    * collected once to the driver and inlined as literal arrays — the
+    * bucket becomes a single narrow projection over the vector column:
+    * zero shuffle (no crossJoin fan-out, no groupBy, no join back on
+    * vec_id). The per-anchor dot product keeps the exact
+    * `aggregate(zip_with(...))` fold the oracle uses, and the bit sum is an
+    * integer sum in anchor-id order — bit-identical to the former
+    * crossJoin+groupBy form.
+    */
+  def withBuckets(vecs: DataFrame, anchors: DataFrame): DataFrame = {
+    val collected = anchors.select(col("aid").cast("long"), col("av"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(collected.forall(_._1 < 63), "anchor ids must fit a long bitmask")
+    val bucket = collected
+      .map { case (aid, av) =>
+        val litAnchor = array(av.map(lit): _*)
+        when(dot(col("v"), litAnchor) > 0, lit(1L << aid.toInt)).otherwise(lit(0L))
+      }
+      .reduceOption(_ + _)
+      .getOrElse(lit(0L))
+    vecs.withColumn("bucket", bucket.cast("long"))
+  }
+
+  /** (vec_id, bucket) projection of [[withBuckets]] — kept for callers that
+    * want the bucket relation alone.
     */
   def bucketize(vecs: DataFrame, anchors: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(anchors))
-      .withColumn("bitw",
-        when(dot(col("v"), col("av")) > 0,
-             expr("shiftleft(CAST(1 AS BIGINT), CAST(aid AS INT))"))
-          .otherwise(lit(0L)))
-      .groupBy("vec_id")
-      .agg(sum("bitw").as("bucket"))
+    withBuckets(vecs, anchors).select("vec_id", "bucket")
 }

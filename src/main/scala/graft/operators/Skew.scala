@@ -9,20 +9,35 @@ import org.apache.spark.sql.functions._
   * explicit tool for aggregations where one key dominates (e.g. counting
   * events for one viral user across a 1000-executor cluster). The salted
   * two-phase aggregate spreads a hot key over `salts` partial groups, then
-  * combines — identical results to a direct groupBy for any decomposable
-  * aggregate, at the cost of one extra (tiny) shuffle over the partials.
+  * combines — identical results to a direct groupBy for exact aggregates
+  * (counts, integer/decimal sums); floating-point sums may differ in the
+  * last ulp because the two-phase plan reassociates the additions. The cost
+  * is one extra (tiny) shuffle over the partials.
+  *
+  * Salts are computed from row CONTENT (`pmod(hash(cols...), salts)`), never
+  * from `monotonically_increasing_id()`/`rand()` — a nondeterministic salt
+  * recomputed differently on task retry would rely on Spark's
+  * indeterminate-stage rollback instead of being correct by construction.
+  * The default salts over every column, which spreads a hot key as long as
+  * its rows differ somewhere; if the hot key's rows are fully identical,
+  * pass `saltOn` naming a stable unique id (and note that fully-identical
+  * rows are exact-dedup's job anyway).
   */
 object Skew {
 
+  private def contentSalt(df: DataFrame, saltOn: Seq[Column], salts: Int): Column = {
+    val cols = if (saltOn.nonEmpty) saltOn else df.columns.toSeq.map(col)
+    pmod(hash(cols: _*), lit(salts))
+  }
+
   /** Two-phase salted sum/count aggregate over possibly-skewed keys.
     * Output: (keyCols..., n, total) — equal to the direct
-    * `groupBy(key).agg(count, sum(valueCol))`.
+    * `groupBy(key).agg(count, sum(valueCol))` (see the float caveat above).
     */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
-                     salts: Int = 32): DataFrame = {
-    val salt = pmod(hash(col(valueCol), monotonically_increasing_id()), lit(salts))
+                     salts: Int = 32, saltOn: Seq[Column] = Nil): DataFrame = {
     val partial = df
-      .withColumn("__salt", salt)
+      .withColumn("__salt", contentSalt(df, saltOn, salts))
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__n"), sum(valueCol).as("__s"))
     partial
@@ -35,9 +50,8 @@ object Skew {
     * key spreads across `salts` reducers. Equi-join results are identical.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-                 salts: Int = 8): DataFrame = {
-    val saltedFact = fact.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+                 salts: Int = 8, saltOn: Seq[Column] = Nil): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", contentSalt(fact, saltOn, salts))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")

@@ -112,7 +112,7 @@ object DedupQueries {
     val vecs = Similarity.prepared(Tables.embeddings(s, d))
     val anchors = vecs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("aid"), col("v").as("av"))
-    val eb = vecs.join(Similarity.bucketize(vecs, anchors), "vec_id")
+    val eb = Similarity.withBuckets(vecs, anchors)
     val x = eb.select(col("vec_id").as("va"), col("v").as("xa"),
                       col("label").as("la"), col("bucket").as("ba"))
     val y = eb.select(col("vec_id").as("vb"), col("v").as("xb"),

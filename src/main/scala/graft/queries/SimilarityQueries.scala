@@ -50,7 +50,7 @@ object SimilarityQueries {
     val vecs = prepared(Tables.embeddings(s, d))
     val anchors = vecs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("aid"), col("v").as("av"))
-    val eb = vecs.join(bucketize(vecs, anchors), "vec_id")
+    val eb = withBuckets(vecs, anchors)
     val q = eb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val sims = eb.join(q, "bucket")

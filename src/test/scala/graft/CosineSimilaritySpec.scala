@@ -30,6 +30,19 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(row.isNullAt(0) && row.isNullAt(1))
   }
 
+  test("native cosine nulls on a null array element, like the fold") {
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (Seq[Option[Double]](Some(1.0), None, Some(3.0)),
+       Seq[Option[Double]](Some(4.0), Some(5.0), Some(6.0))),
+      (Seq[Option[Double]](Some(1.0), Some(2.0), Some(3.0)),
+       Seq[Option[Double]](Some(4.0), None, Some(6.0))))
+      .toDF("a", "b")
+    val rows = df.select(Similarity.cosineNative($"a", $"b").as("n"),
+                         Similarity.cosine($"a", $"b").as("f")).collect()
+    rows.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), r))
+  }
+
   test("type mismatch fails analysis with a named error") {
     VectorFunctions.register(spark)
     val df = Seq((1, 2)).toDF("a", "b")

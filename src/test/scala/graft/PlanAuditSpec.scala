@@ -107,6 +107,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(got.map(_.getString(0)).toSeq === Seq("b"))
   }
 
+  test("withBuckets is a pure projection: zero exchanges over the embeddings scan") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val vecs = Similarity.prepared(Tables.embeddings(spark, sf()))
+    val anchors = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("aid"), col("v").as("av"))
+    val df = Similarity.withBuckets(vecs, anchors)
+    val plan = finalPlan(df)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("entry flagship: whole-stage codegen covers the aggregate") {
     val df = SparkEntry.entry(spark)
     df.collect()

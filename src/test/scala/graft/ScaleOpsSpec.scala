@@ -62,6 +62,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(capped === Set(1L -> 2L))
   }
 
+  test("bitset jaccard survives with broadcast joins disabled (no forced vocab broadcast)") {
+    import graft.operators.Dedup
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, sf())
+      val toks = Dedup.distinctTokenRows(docs, "doc_id", "text")
+      val bands = Dedup.minhashBands(Dedup.minhashSignatures(toks, "doc_id", 16), "doc_id", 16, 4)
+      val cand = Dedup.lshCandidatePairs(bands, "doc_id", 4)
+      val sets = Dedup.distinctTokenSets(docs, "doc_id", "text")
+      val bitset = Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
+        .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+      val plain = Dedup.jaccardVerify(cand, sets, "doc_id")
+        .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+      assert(bitset.nonEmpty)
+      assert(bitset === plain) // exact: both are int/int divisions
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("bucketed tables join without any exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
