@@ -17,7 +17,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.defs ++ CoreQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++ DedupQueries.defs ++
-      MiscQueries.defs ++ AnalyticsQueries.defs ++ JoinQueries.defs
+      MiscQueries.defs ++ AnalyticsQueries.defs ++ JoinQueries.defs ++
+      MultimodalQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables.
@@ -25,5 +26,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RefQueries.oracle ++ CoreQueries.oracle ++ EventQueries.oracle ++
       TextQueries.oracle ++ SimilarityQueries.oracle ++ DedupQueries.oracle ++
-      MiscQueries.oracle ++ AnalyticsQueries.oracle ++ JoinQueries.oracle
+      MiscQueries.oracle ++ AnalyticsQueries.oracle ++ JoinQueries.oracle ++
+      MultimodalQueries.oracle
 }

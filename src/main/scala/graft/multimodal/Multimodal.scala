@@ -62,6 +62,36 @@ object Multimodal {
     }
   }
 
+  /** Deterministic codec whose arithmetic is expressible in ANSI-ish SQL,
+    * so decode output can be oracle-checked end-to-end (the one thing
+    * [[StubCodec]]'s JVM-specific `Arrays.hashCode` can't do): dimensions
+    * derive from the payload's md5, the 8-dim feature is the mean of bytes
+    * at each position mod 8. Still a stand-in for a real media library —
+    * but it makes the mapPartitions decode path a first-class citizen of
+    * the correctness gate instead of engine-tests-only.
+    */
+  object PortableCodec extends Codec {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Array[Double]) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(payload).map(b => f"${b & 0xff}%02x").mkString
+      val width = 64 + (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 960).toInt
+      val height = 64 + (java.lang.Long.parseLong(hex.substring(8, 16), 16) % 960).toInt
+      val n = payload.length
+      val feature = Array.tabulate(8) { i =>
+        if (n == 0) 0.0
+        else {
+          // integer partial sums are exact in a double, so this matches the
+          // oracle's list_sum regardless of either side's summation order
+          var s = 0.0
+          var j = i
+          while (j < n) { s += (payload(j) & 0xff).toDouble; j += 8 }
+          s / n
+        }
+      }
+      (width, height, feature)
+    }
+  }
+
   /** Decode stage: per-partition batch iteration over the binary column
     * (the Scala analog of a `mapInPandas` batch UDF — one batch of decoded
     * rows in flight per partition, payload never leaves the executor).
@@ -106,9 +136,14 @@ object Multimodal {
     */
   def mediaFromText(df: DataFrame, idCol: String, textCol: String,
                     kind: String, source: String): DataFrame =
+    mediaFromText(df, idCol, textCol, lit(kind), source)
+
+  /** Column-kind variant: per-row media kind (image/audio/video). */
+  def mediaFromText(df: DataFrame, idCol: String, textCol: String,
+                    kind: org.apache.spark.sql.Column, source: String): DataFrame =
     df.select(
       col(idCol).cast("long").as("media_id"),
-      lit(kind).as("kind"),
+      kind.as("kind"),
       encode(col(textCol), "UTF-8").as("payload"),
       struct(lit(source).as("source"),
              octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes")).as("meta"))

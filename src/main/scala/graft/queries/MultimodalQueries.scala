@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked multimodal plumbing: build a deterministic binary media
+  * table from `documents` (utf-8 payloads — the fixture bytes), run the real
+  * `mapPartitions` decode stage with [[Multimodal.PortableCodec]], and the
+  * resize-metadata stage on top. The DuckDB oracle recomputes the same
+  * md5-derived dimensions and byte-moment feature directly from the text
+  * (the fixture is pure ASCII, so `ascii(substring(text, j, 1))` IS byte
+  * j-1 of the payload).
+  *
+  * This makes the binary-column path — schema, per-partition batch decode,
+  * narrow metadata transforms — subject to the same rows/schema/hash gate
+  * as every other operator family, not just engine tests.
+  */
+object MultimodalQueries {
+
+  /** mm_decode_meta — decode + resize metadata for every document-derived
+    * media blob: (media_id, kind, n_bytes, width, height, f0, out_width,
+    * out_height).
+    */
+  def decodeMeta(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3).cast("int") + 1)
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text", kind, "documents")
+    val decoded = Multimodal.decode(media, Multimodal.PortableCodec)
+    val resized = Multimodal.resizeMeta(decoded, 256)
+    resized
+      .join(media.select(col("media_id"), col("meta.n_bytes").as("n_bytes")), "media_id")
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+              col("width"), col("height"),
+              round(element_at(col("feature"), 1), 4).as("f0"),
+              col("out_width"), col("out_height"))
+      .orderBy("media_id")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_meta" -> (decodeMeta _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_decode_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |         text, length(text) AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
+        |    CAST(64 + CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 960 AS INTEGER) AS width,
+        |    CAST(64 + CAST('0x' || substring(md5(text), 9, 8) AS BIGINT) % 960 AS INTEGER) AS height,
+        |    round(list_sum(list_transform(range(1, n + 1),
+        |      j -> CASE WHEN (j - 1) % 8 = 0
+        |                THEN ascii(substring(text, CAST(j AS INTEGER), 1))
+        |                ELSE 0 END)) / n, 4) AS f0
+        |  FROM m)
+        |SELECT media_id, kind, n_bytes, width, height, f0,
+        |  CAST(ceil(width * least(1.0, 256.0 / greatest(width, height))) AS INTEGER) AS out_width,
+        |  CAST(ceil(height * least(1.0, 256.0 / greatest(width, height))) AS INTEGER) AS out_height
+        |FROM f ORDER BY media_id""".stripMargin,
+  )
+}

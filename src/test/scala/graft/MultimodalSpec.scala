@@ -40,6 +40,21 @@ class MultimodalSpec extends SparkSpec {
     assert(exchanges(resized) === exchanges(decoded))
   }
 
+  test("PortableCodec matches its documented md5/byte-moment arithmetic") {
+    val payload = "hello graft".getBytes("UTF-8")
+    val (w, h, f) = Multimodal.PortableCodec.decode("image", payload)
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(payload).map(b => f"${b & 0xff}%02x").mkString
+    assert(w === 64 + (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 960).toInt)
+    assert(h === 64 + (java.lang.Long.parseLong(hex.substring(8, 16), 16) % 960).toInt)
+    assert(f.length === 8)
+    val expected0 = payload.indices.filter(_ % 8 == 0).map(j => (payload(j) & 0xff).toDouble).sum / payload.length
+    assert(f(0) === expected0)
+    // mm_decode_meta rides this codec through the real mapPartitions stage
+    val out = graft.queries.MultimodalQueries.decodeMeta(spark, sf())
+    assert(out.count() === 500)
+  }
+
   test("sampleFrames fans out stride-spaced frame indices for videos") {
     val vids = Multimodal.mediaFromText(
       Tables.documents(spark, sf()).limit(3), "doc_id", "text", "video", "docs")
