@@ -7,12 +7,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Tables are touched once before timing so the first query doesn't absorb
   * JVM/codegen/file-index warmup; queries run in name order for run-to-run
-  * comparability.
+  * comparability. Machine variance on this box is ±15%, so each query runs
+  * SPARK_GRAFT_BENCH_REPS times (default 3) and the headline numbers are
+  * per-query MEDIANS — `value` is the sum of medians; `spread` records
+  * per-query max−min across reps so a regression is distinguishable from
+  * noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = Sessions.withGraftConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,18 +36,34 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup events failed: ${e.getMessage}") }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      // failed queries report -1 so they can't masquerade as fast runs
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // rep-major order (full pass 1, full pass 2, ...) so one rep's JVM/GC
+    // state doesn't bias all reps of the same query
+    val samples: Seq[Seq[(String, Double)]] = (1 to reps).map { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        // failed queries report -1 so they can't masquerade as fast runs
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2)
+    }
+    val perQuery = names.map { case (name, _) =>
+      val xs = samples.map(_.find(_._1 == name).get._2)
+      if (xs.exists(_ < 0)) (name, -1.0, -1.0)
+      else (name, median(xs), xs.max - xs.min)
+    }
+    def jmap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(perQuery.map(t => (t._1, t._2)))
+    val spread = jmap(perQuery.map(t => (t._1, t._3)))
+    val total = perQuery.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

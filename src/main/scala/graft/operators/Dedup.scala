@@ -61,9 +61,19 @@ object Dedup {
     * shares a small band is still emitted there — only pairs whose every
     * shared band is hot are suppressed (those are exact-dedup's job).
     * The oracle queries use the uncapped default for bit-parity.
+    *
+    * Exchange-width gate (`maxWideBands`): the first-matching-band rule
+    * needs every band value on both sides of the join, which widens the
+    * exploded frame by nBands columns per row — a fine trade at the 4 bands
+    * the oracle uses, an 8× shuffle-width tax at the 32+ bands a production
+    * K would run. Above the gate the narrow (id, band_idx, band_val) frame
+    * joins instead and band-duplicated pairs collapse through one
+    * `distinct()` exchange over two-long rows — same pair set, opposite
+    * width/exchange trade, each chosen where it wins.
     */
   def lshCandidatePairs(bands: DataFrame, idCol: String, nBands: Int,
-                        maxBucket: Option[Int] = None): DataFrame = {
+                        maxBucket: Option[Int] = None,
+                        maxWideBands: Int = 8): DataFrame = {
     val capped = maxBucket match {
       case None => bands
       case Some(cap) =>
@@ -80,6 +90,17 @@ object Dedup {
     val bandCols = (0 until nBands).map(j => col(s"band$j"))
     val entries = array((0 until nBands).map(j =>
       struct(lit(j).as("bi"), col(s"band$j").as("bv"))): _*)
+    if (nBands > maxWideBands) {
+      val narrow = capped
+        .select(col(idCol), explode(entries).as("e"))
+        .select(col(idCol), col("e.bi").as("band_idx"), col("e.bv").as("band_val"))
+        .filter(col("band_val").isNotNull)
+      return narrow.toDF("a", "band_idx", "band_val")
+        .join(narrow.toDF("b", "band_idx", "band_val"), Seq("band_idx", "band_val"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+    }
     val long = capped
       .select(col(idCol) +: bandCols :+ explode(entries).as("e"): _*)
       .select(col(idCol) +: bandCols :+ col("e.bi").as("band_idx") :+ col("e.bv").as("band_val"): _*)
