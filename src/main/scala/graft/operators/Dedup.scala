@@ -207,18 +207,21 @@ object Dedup {
     * node id of its component (`comp`), which is the canonical document to
     * KEEP — turning a pair list into an actual dedup decision.
     *
-    * Iterative min-label propagation with pointer jumping, ONE blocking
-    * materialization per round: propagate (min over neighbours' labels) and
-    * jump (comp(x) := comp(comp(x))) are fused into a single plan whose
-    * jump side reads the PREVIOUS round's checkpointed labels — every label
-    * is always the id of a node in the same component and labels only
-    * decrease, so the fixpoint is still the component minimum; the
-    * half-step-stale jump still compresses paths geometrically. Convergence
-    * is derived from a `changed` flag column carried by the same frame (a
-    * trivial scan over the just-checkpointed blocks, not a separate
-    * join+count job). No driver-side graph state; each round is one shuffle
-    * on the node id, so the loop scales with the edge count × ~log(diameter)
-    * rounds.
+    * Star contraction with pointer-jumped maps: each round computes the
+    * contraction map m(x) = min(x, min neighbour) — a forest of parent
+    * pointers — then squares the MAP against itself (m := m∘m, a
+    * node-count-sized self-join, never an edge pass) until stable, so every
+    * node points at its forest root: a 200-hop chain collapses in one
+    * round, not 200. Edges are then remapped through the compressed map and
+    * self-loops dropped. The edge set shrinks geometrically — dense
+    * near-dup clusters collapse immediately, and only the FIRST round
+    * touches the full edge list (unlike label propagation, which pays a
+    * full-edge join every round). The map is current-node-count-sized, so
+    * the edge remap joins broadcast when it is small; per-round edge-sized
+    * work is one groupBy and one distinct over the shrinking edge set. No
+    * driver-side graph state; convergence = the contracted graph running
+    * out of edges. Labels always map to the component minimum (the min
+    * never maps away from itself).
     *
     * @param pairs (a, b) undirected near-dup edges
     * @param nodes single-column frame of all node ids (isolated nodes keep
@@ -226,47 +229,54 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
                           maxIter: Int = 20): DataFrame = {
-    // materialize the pair list once — the computation upstream (LSH +
-    // jaccard) is expensive and is referenced twice by the symmetrizing
-    // union and once per propagation iteration
+    // materialize the (expensive, LSH+jaccard-derived) pair list once;
+    // after the symmetrized edge set is checkpointed the cache can go
     val p = pairs.select(col("a"), col("b")).persist()
-    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+    var g = p.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
-    // checkpoint the seed labels: every round references `labels` three
-    // times (neighbour join, own row, jump target) — a checkpointed frame
-    // makes each reference a scan of cached blocks, not a recompute, and
-    // truncates lineage so the per-round self-reference can't double the
-    // plan tree (which otherwise explodes planning time by iteration ~8)
+      .localCheckpoint(true)
+    p.unpersist(false)
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
       .localCheckpoint(true)
-    var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
-      val nbrMin = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst")).agg(min("comp").as("nbr_comp"))
-      // fused propagate + jump, one checkpoint per round. The jump reads
-      // the previous round's labels (already materialized) rather than the
-      // fresh propagated frame, so nothing in this plan is referenced
-      // twice-uncached; __chg rides along for the convergence check.
-      val jumpTgt = labels.select(col("id").as("__cid"), col("comp").as("__ccomp"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left_outer")
-        .select(col("id"), col("comp").as("__old"),
-                least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("__prop"))
-        .join(jumpTgt, col("__prop") === col("__cid"), "left_outer")
-        .select(col("id"),
-                least(col("__prop"), coalesce(col("__ccomp"), col("__prop"))).as("comp"),
-                col("__old"))
-        .withColumn("__chg", col("comp") =!= col("__old"))
+    var done = g.isEmpty
+    while (!done && i < maxIter) {
+      // m(x) = min(x, min neighbour) over the current contracted graph —
+      // a forest of parent pointers, compressed to its roots below
+      var m = g.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+        .select(col("src").as("__mid"), least(col("src"), col("__mn")).as("__mv"))
         .localCheckpoint(true)
-      val anyChanged = next
-        .agg(coalesce(max(col("__chg")), lit(false)).as("c"))
-        .head().getBoolean(0)
-      labels = next.select("id", "comp")
-      converged = !anyChanged
+      // pointer jumping on the map alone: squaring halves the forest depth
+      // per pass, each pass a self-join of the node-sized (never
+      // edge-sized) frame; dense graphs stabilize after one pass
+      var mStable = false
+      var j = 0
+      while (!mStable && j < 40) {
+        val mj = m.alias("x")
+          .join(m.select(col("__mid").as("__jid"), col("__mv").as("__jv")).alias("y"),
+                col("x.__mv") === col("y.__jid"), "left_outer")
+          .select(col("x.__mid").as("__mid"),
+                  coalesce(col("__jv"), col("x.__mv")).as("__mv"),
+                  (coalesce(col("__jv"), col("x.__mv")) =!= col("x.__mv")).as("__chg"))
+          .localCheckpoint(true)
+        mStable = !mj.agg(coalesce(max(col("__chg")), lit(false))).head().getBoolean(0)
+        m = mj.select("__mid", "__mv")
+        j += 1
+      }
+      labels = labels.join(m, labels("comp") === m("__mid"), "left_outer")
+        .select(col("id"), coalesce(col("__mv"), col("comp")).as("comp"))
+        .localCheckpoint(true)
+      g = g.join(m.select(col("__mid").as("__sid"), col("__mv").as("__sv")),
+                 col("src") === col("__sid"))
+        .join(m.select(col("__mid").as("__did"), col("__mv").as("__dv")),
+              col("dst") === col("__did"))
+        .select(col("__sv").as("src"), col("__dv").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      done = g.isEmpty
       i += 1
     }
-    // labels are localCheckpointed (lineage-free), so the pair cache can go
-    p.unpersist(false)
     labels.select(col("id").as(idCol), col("comp"))
   }
 

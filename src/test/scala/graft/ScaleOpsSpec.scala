@@ -62,6 +62,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(capped === Set(1L -> 2L))
   }
 
+  test("connectedComponents: chains, separate components, isolated nodes") {
+    import graft.operators.Dedup
+    // a 200-node path stresses the round budget: star contraction with map
+    // jumping must halve the chain per round (~8 rounds), not walk it hop
+    // by hop (199 rounds)
+    val n = 200L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val chainNodes = (0L until n).toDF("doc_id")
+    val cc = Dedup.connectedComponents(chain, chainNodes, "doc_id")
+    assert(cc.select("comp").distinct().as[Long].collect().toSeq === Seq(0L))
+    assert(cc.count() === n)
+
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val got = Dedup.connectedComponents(pairs, nodes, "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+
+    // no edges at all: every node is its own component
+    val lone = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), Seq(5L, 6L).toDF("doc_id"), "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(lone === Seq(5L -> 5L, 6L -> 6L))
+  }
+
   test("narrow LSH path (many bands) yields exactly the wide first-match pair set") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf())
