@@ -36,6 +36,37 @@ object MiscQueries {
         |ORDER BY status, prio, gid, n, total""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * includes the (c_mktsegment)-only set that ROLLUP can't express.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("gs_customer")
+    Tables.nation(s, d).createOrReplaceTempView("gs_nation")
+    s.sql(
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |       coalesce(c_mktsegment, 'ALL') AS segment,
+        |       count(1) AS n,
+        |       CAST(grouping_id() AS BIGINT) AS gid
+        |FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment), ())
+        |ORDER BY nation, segment, gid""".stripMargin)
+  }
+
+  /** Map functions: construct, extract (present + absent key — ANSI-safe
+    * via try_element_at), cardinality, sorted key list.
+    */
+  def mapFns(s: SparkSession, d: String): DataFrame = {
+    val m = map(lit("name"), col("n_name"),
+                lit("region"), col("n_regionkey").cast("string"))
+    Tables.nation(s, d).select(
+      col("n_nationkey"),
+      try_element_at(m, lit("name")).as("name_v"),
+      try_element_at(m, lit("nope")).as("missing_v"),
+      size(m).cast("long").as("m_size"),
+      array_join(array_sort(map_keys(m)), ",").as("keys_csv"))
+      .orderBy("n_nationkey")
+  }
+
   /** As-of join: for each 'error' event, the value of the user's most
     * recent 'view' event at or before it (null if none).
     */
@@ -67,6 +98,8 @@ object MiscQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c14_pivot" -> (pivot _),
     "c4b_cube" -> (cube _),
+    "c4c_grouping_sets" -> (groupingSets _),
+    "c7e_map_fns" -> (mapFns _),
     "asof_last_view" -> (asofLastView _),
     "sim_centroid" -> (centroid _),
   )
@@ -88,6 +121,21 @@ object MiscQueries {
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, prio, gid, n, total""".stripMargin,
+    "c4c_grouping_sets" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |       coalesce(c_mktsegment, 'ALL') AS segment,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment), ())
+        |ORDER BY nation, segment, gid""".stripMargin,
+    "c7e_map_fns" ->
+      """SELECT n_nationkey,
+        |  (MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)})['name'][1] AS name_v,
+        |  (MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)})['nope'][1] AS missing_v,
+        |  CAST(cardinality(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}) AS BIGINT) AS m_size,
+        |  array_to_string(list_sort(map_keys(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)})), ',') AS keys_csv
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "asof_last_view" ->
       """WITH u AS (
         |  SELECT event_id, user_id, ts, 1 AS tag, CAST(NULL AS DOUBLE) AS val
