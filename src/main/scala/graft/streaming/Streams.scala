@@ -43,6 +43,30 @@ object Streams {
       .select(col("session_window.start").as("sess_start"),
               col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * views within the preceding `within` interval. Both sides carry
+    * watermarks and the join condition bounds event time in BOTH
+    * directions — exactly what Spark needs to evict old rows from both
+    * join-state stores instead of buffering the streams forever (the
+    * required shape for stream-stream joins at 100 TB/day).
+    */
+  def clicksWithRecentViews(clicks: DataFrame, views: DataFrame,
+                            watermark: String = "2 hours",
+                            within: String = "30 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+              col("value").as("view_value"))
+      .withWatermark("v_ts", watermark)
+    c.join(v, expr(
+        s"c_user = v_user AND v_ts >= c_ts - INTERVAL $within AND v_ts <= c_ts"))
+      .select(col("click_id"), col("c_user").as("user_id"),
+              col("view_value"), col("v_ts"))
+  }
+
   /** Streaming dedup with bounded state: duplicates arriving within the
     * watermark delay of each other collapse to one row
     * (`dropDuplicatesWithinWatermark`); a duplicate arriving after state

@@ -139,6 +139,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches its batch analog") {
+    val clicks = Seq(
+      Ev(10, t(50), 1, "click", 0.0),   // joins user 1's view at t(40) only
+      Ev(11, t(200), 2, "click", 0.0))  // user 2's view at t(10) is too old
+    val views = Seq(
+      Ev(20, t(0), 1, "view", 1.0), Ev(21, t(40), 1, "view", 2.0),
+      Ev(22, t(10), 2, "view", 3.0))
+    val batch = Streams.clicksWithRecentViews(clicks.toDF(), views.toDF())
+      .orderBy("click_id", "v_ts").collect().toSeq
+    assert(batch.map(r => (r.getAs[Long]("click_id"), r.getAs[Double]("view_value")))
+      === Seq((10L, 2.0)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val memC = MemoryStream[Ev]
+    val memV = MemoryStream[Ev]
+    val q = Streams.clicksWithRecentViews(memC.toDF(), memV.toDF())
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      memV.addData(views)
+      q.processAllAvailable()
+      memC.addData(clicks)
+      q.processAllAvailable()
+      val got = spark.table("ssj").orderBy("click_id", "v_ts").collect().toSeq
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("sliding windows assign each event to width/slide windows") {
     val batch = Streams.slidingCounts(evs.toDF(), "1 hour", "30 minutes")
     // every event lands in exactly 2 sliding windows
