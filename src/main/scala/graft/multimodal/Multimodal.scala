@@ -95,16 +95,28 @@ object Multimodal {
   /** Decode stage: per-partition batch iteration over the binary column
     * (the Scala analog of a `mapInPandas` batch UDF — one batch of decoded
     * rows in flight per partition, payload never leaves the executor).
+    *
+    * `passthrough` columns (e.g. `meta.n_bytes`) ride through the decode
+    * untouched and come out after the decoded fields — re-joining the media
+    * table afterwards just to recover metadata would be a media-sized
+    * shuffle at 100 TB, so columns already in hand stay in hand.
     */
-  def decode(media: DataFrame, codec: Codec = StubCodec): DataFrame = {
-    val spark = media.sparkSession
-    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
-    val projected = media.select("media_id", "kind", "payload")
+  def decode(media: DataFrame, codec: Codec = StubCodec,
+             passthrough: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val projected = media.select(
+      (Seq(col("media_id"), col("kind"), col("payload")) ++ passthrough): _*)
+    val passFields = projected.schema.fields.drop(3)
+    require(passFields.forall(f => !decodedSchema.fieldNames.contains(f.name)),
+      s"passthrough columns collide with decoded fields: ${passFields.map(_.name).mkString(",")}")
+    val outSchema = StructType(decodedSchema.fields ++ passFields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val nPass = passFields.length
     val out: Dataset[Row] = projected.mapPartitions { rows =>
       rows.map { r =>
         val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
         val (w, h, f) = codec.decode(r.getAs[String]("kind"), payload)
-        Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), w, h, f.toSeq)
+        Row.fromSeq(Seq(r.getAs[Long]("media_id"), r.getAs[String]("kind"), w, h, f.toSeq) ++
+          (0 until nPass).map(i => r.get(3 + i)))
       }
     }(enc)
     out

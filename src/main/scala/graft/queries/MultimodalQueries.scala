@@ -28,10 +28,12 @@ object MultimodalQueries {
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (col("doc_id") % 3).cast("int") + 1)
     val media = Multimodal.mediaFromText(docs, "doc_id", "text", kind, "documents")
-    val decoded = Multimodal.decode(media, Multimodal.PortableCodec)
+    // n_bytes rides through the decode as a passthrough column — no
+    // media-sized re-join to recover metadata the frame already had
+    val decoded = Multimodal.decode(media, Multimodal.PortableCodec,
+      passthrough = Seq(col("meta.n_bytes").as("n_bytes")))
     val resized = Multimodal.resizeMeta(decoded, 256)
     resized
-      .join(media.select(col("media_id"), col("meta.n_bytes").as("n_bytes")), "media_id")
       .select(col("media_id"), col("kind"), col("n_bytes"),
               col("width"), col("height"),
               round(element_at(col("feature"), 1), 4).as("f0"),
