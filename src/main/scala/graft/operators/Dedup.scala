@@ -297,21 +297,25 @@ object Dedup {
     * 60 bits votes +tf / -tf; simhash bit b is 1 iff the vote sum is > 0.
     * 60 bits (15 hex chars) keeps everything in signed-long range in every
     * engine.
+    *
+    * The 60 per-bit vote sums are 60 aggregate COLUMNS over the token-freq
+    * rows, not a 60× exploded row stream: no row inflation, one shuffle on
+    * the doc id, and every vote benefits from map-side partial aggregation
+    * — the plan shape that survives a 100 TB corpus (the explode form
+    * shuffles 60× the token volume).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = TextAnalysis.tokenRows(df, idCol, textCol)
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val hashed = tf.withColumn("h",
       conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
-    hashed
-      .select(col(idCol), col("tf"), col("h"),
-              explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("bit", expr("CAST(shiftright(h, CAST(b AS INT)) & 1 AS BIGINT)"))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("s"))
-      .withColumn("vote", when(col("s") > 0, 1L).otherwise(0L))
-      .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-      .groupBy(col(idCol))
-      .agg(sum(col("vote") * col("w")).as("simhash"))
+    val votes = (0 until 60).map { b =>
+      sum(col("tf") * (expr(s"CAST(shiftright(h, $b) & 1 AS BIGINT)") * 2 - 1)).as(s"__s$b")
+    }
+    val packed = (0 until 60).map { b =>
+      when(col(s"__s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
   }
 }

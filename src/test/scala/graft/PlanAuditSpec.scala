@@ -107,6 +107,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(got.map(_.getString(0)).toSeq === Seq("b"))
   }
 
+  test("simhash has no explode: votes are aggregate columns, not 60x rows") {
+    val df = DedupQueries.simhash(spark, sf())
+    val optimized = df.queryExecution.optimizedPlan.treeString
+    // exactly ONE Generate — the tokenizer explode (inherent, 1 row/token);
+    // the 60-bit vote fan-out must NOT appear as an explode(sequence(...))
+    assert(!optimized.contains("explode(sequence"), optimized)
+    assert("Generate".r.findAllIn(optimized).size === 1, optimized)
+    val plan = finalPlan(df)
+    // one hash exchange for the doc-id aggregate, one range for the sort
+    val n = "Exchange".r.findAllIn(plan).size
+    assert(n <= 3, s"$n exchanges:\n$plan")
+  }
+
   test("withBuckets is a pure projection: zero exchanges over the embeddings scan") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
