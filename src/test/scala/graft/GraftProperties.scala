@@ -89,3 +89,78 @@ object GraftProperties extends Properties("graft") {
       spark.read.parquet(s"$dir/t").count() == 2L * n
     }
 }
+
+/** Heavier iterative/sketch properties at a reduced case count: each case
+  * spins several Spark jobs, so 100 cases would dominate the suite.
+  */
+object GraftAlgoProperties extends Properties("graft.algo") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-algo-props")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def graphGen: Gen[(Int, Seq[(Long, Long)])] = for {
+    n <- Gen.chooseNum(2, 25)
+    m <- Gen.chooseNum(0, 35)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(0, n - 1)
+      k <- Gen.chooseNum(1, n - 1)
+    } yield (a.toLong, ((a + k) % n).toLong))
+  } yield (n, edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) })
+
+  /** Plain-Scala union-find reference implementation. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical minimum per component
+    val members = (0 until n).groupBy(find)
+    members.flatMap { case (_, ms) =>
+      val mn = ms.min.toLong
+      ms.map(_.toLong -> mn)
+    }
+  }
+
+  property("connectedComponents equals a reference union-find on random graphs") =
+    Prop.forAll(graphGen) { case (n, edges) =>
+      import spark.implicits._
+      val pairs = edges.toDF("a", "b")
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val got = graft.operators.Dedup.connectedComponents(pairs, nodes, "doc_id")
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(n, edges)
+    }
+
+  property("hll union over any grouping equals the one-shot sketch, register-exact") =
+    Prop.forAll(for {
+      n <- Gen.chooseNum(1, 400)
+      groups <- Gen.chooseNum(1, 7)
+    } yield (n, groups)) { case (n, groups) =>
+      import spark.implicits._
+      graft.functions.Hll.register(spark)
+      val df = (0 until n).map(i => (i.toLong % 97, i % groups)).toDF("x", "g")
+      val unioned = df.groupBy("g")
+        .agg(graft.functions.Hll.sketch(col("x"), 8).as("sk"))
+        .agg(graft.functions.Hll.union(col("sk"), 8).as("sk"))
+        .select("sk").as[Array[Byte]].head()
+      val oneShot = df.agg(graft.functions.Hll.sketch(col("x"), 8).as("sk"))
+        .select("sk").as[Array[Byte]].head()
+      java.util.Arrays.equals(unioned, oneShot)
+    }
+}
