@@ -62,10 +62,42 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** IVF-style ANN: a coarse quantizer assigns every vector to the Voronoi
+    * cell of its nearest seed (the first 10 in-data vectors — deterministic,
+    * oracle-reproducible), then each query probes ONLY its own cell. The
+    * sibling scale path to [[lshAnn]]: cells partition the corpus (good
+    * recall for clustered data), hyperplane buckets hash it (no training).
+    * At 100 TB the cell assignment is one broadcast crossJoin against the
+    * tiny seed set + one shuffle on vec_id; search shuffles on the cell id.
+    */
+  def ivfAnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val vecs = prepared(Tables.embeddings(s, d))
+    val seeds = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("sid"), col("v").as("sv"))
+    val scored = vecs.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("v"), col("sid"),
+              round(cosineNative(col("v"), col("sv")), 4).as("cs"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("sid"))
+    val assigned = scored.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("sid").as("cell"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+    val sims = assigned.join(q, "cell")
+      .select(col("qid"), col("vec_id"), col("cell"),
+              round(cosineNative(col("v"), col("qv")), 4).as("sim"))
+    val wTop = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    sims.withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 3)
+      .select("qid", "vec_id", "cell", "sim", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c13_cosine_topk" -> (c13 _),
     "sim_knn" -> (knn _),
     "sim_lsh_ann" -> (lshAnn _),
+    "sim_ivf_ann" -> (ivfAnn _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -81,6 +113,23 @@ object SimilarityQueries {
          |SELECT qid, vec_id, sim,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
          |FROM p QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "sim_ivf_ann" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, s.sid, round(${duckCos("e.v", "s.sv")}, 4) AS cs
+         |  FROM e, s),
+         |asg AS (
+         |  SELECT vec_id, v, sid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid ASC) AS rn
+         |    FROM scored) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv, cell FROM asg WHERE vec_id < 10),
+         |p AS (
+         |  SELECT q.qid, a.vec_id, a.cell, round(${duckCos("a.v", "q.qv")}, 4) AS sim
+         |  FROM asg a JOIN q USING (cell))
+         |SELECT qid, vec_id, cell, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+         |FROM p QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "sim_lsh_ann" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |a AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < 8),
