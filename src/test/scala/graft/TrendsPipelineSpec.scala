@@ -33,6 +33,19 @@ class TrendsPipelineSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("appendTable probes, creates if absent, appends, and enforces schema") {
+    val out = TrendsPipeline.run(wide, ws, we)
+    spark.sql("DROP TABLE IF EXISTS trends_at")
+    TableSink.appendTable(out, "trends_at")        // create-if-absent
+    TableSink.appendTable(out, "trends_at")        // ref bit-parity: duplicates
+    assert(spark.table("trends_at").count() === 10)
+    // schema-enforced append: a frame missing sink columns must be rejected
+    val bad = out.drop("ranking")
+    intercept[Exception] { TableSink.appendTable(bad, "trends_at") }
+    assert(spark.table("trends_at").count() === 10) // failed write landed nothing
+    spark.sql("DROP TABLE trends_at")
+  }
+
   test("append sink duplicates on re-run; overwriteWindow is idempotent") {
     val out = TrendsPipeline.run(wide, ws, we)
     val dir = Files.createTempDirectory("graft-sink").toString
