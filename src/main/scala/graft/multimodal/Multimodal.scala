@@ -71,11 +71,25 @@ object Multimodal {
     * the correctness gate instead of engine-tests-only.
     */
   object PortableCodec extends Codec {
+    // one digest instance per executor thread — decode runs per row inside
+    // mapPartitions, and a fresh MessageDigest + hex string round-trip per
+    // row is pure garbage on the hot path
+    private val digest = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
     def decode(kind: String, payload: Array[Byte]): (Int, Int, Array[Double]) = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(payload).map(b => f"${b & 0xff}%02x").mkString
-      val width = 64 + (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 960).toInt
-      val height = 64 + (java.lang.Long.parseLong(hex.substring(8, 16), 16) % 960).toInt
+      val md = digest.get()
+      md.reset()
+      val d = md.digest(payload)
+      // first/second 4 digest bytes big-endian unsigned == the values of
+      // parsing md5-hex chars 1-8 / 9-16 (what the SQL oracle computes)
+      def u32(off: Int): Long =
+        ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+          ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+      val width = 64 + (u32(0) % 960).toInt
+      val height = 64 + (u32(4) % 960).toInt
       val n = payload.length
       val feature = Array.tabulate(8) { i =>
         if (n == 0) 0.0

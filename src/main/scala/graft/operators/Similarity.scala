@@ -69,14 +69,18 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
+    // an empty/degenerate anchor set would silently put EVERY vector in
+    // bucket 0 — turning the bucket equi-join into the quadratic self-join
+    // LSH exists to avoid. Fail loudly instead of degrading silently.
+    require(collected.nonEmpty, "anchor set is empty — no LSH buckets to assign")
+    require(collected.forall(_._2 != null), "anchor vectors must be non-null")
     require(collected.forall(_._1 < 63), "anchor ids must fit a long bitmask")
     val bucket = collected
       .map { case (aid, av) =>
         val litAnchor = array(av.map(lit): _*)
         when(dot(col("v"), litAnchor) > 0, lit(1L << aid.toInt)).otherwise(lit(0L))
       }
-      .reduceOption(_ + _)
-      .getOrElse(lit(0L))
+      .reduce(_ + _)
     vecs.withColumn("bucket", bucket.cast("long"))
   }
 

@@ -26,7 +26,15 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   private def contentSalt(df: DataFrame, saltOn: Seq[Column], salts: Int): Column = {
-    val cols = if (saltOn.nonEmpty) saltOn else df.columns.toSeq.map(col)
+    // default: every hashable column — hash() rejects MapType, so map
+    // columns are excluded rather than failing the whole frame's analysis
+    val cols =
+      if (saltOn.nonEmpty) saltOn
+      else df.schema.fields.collect {
+        case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => col(f.name)
+      }.toSeq
+    require(cols.nonEmpty,
+      "no hashable columns to salt on — pass saltOn explicitly")
     pmod(hash(cols: _*), lit(salts))
   }
 

@@ -74,7 +74,9 @@ object TrendsJob {
     */
   def execute(spark: SparkSession, cfg: Config,
               fetcher: Option[TrendsSource.Fetcher] = None,
-              today: LocalDate = LocalDate.now()): (String, String) = {
+              // UTC, like every timestamp in the engine — the JVM default
+              // zone would shift the resolved week near midnight boundaries
+              today: LocalDate = LocalDate.now(java.time.ZoneOffset.UTC)): (String, String) = {
     val (ws, we) = resolveWeek(cfg, today)
     val wide = fetcher match {
       case Some(f) => TrendsSource.fromFetcher(spark, f, cfg.terms, ws, we)

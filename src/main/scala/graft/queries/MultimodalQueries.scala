@@ -56,10 +56,11 @@ object MultimodalQueries {
         |  SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
         |    CAST(64 + CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 960 AS INTEGER) AS width,
         |    CAST(64 + CAST('0x' || substring(md5(text), 9, 8) AS BIGINT) % 960 AS INTEGER) AS height,
-        |    round(list_sum(list_transform(range(1, n + 1),
-        |      j -> CASE WHEN (j - 1) % 8 = 0
-        |                THEN ascii(substring(text, CAST(j AS INTEGER), 1))
-        |                ELSE 0 END)) / n, 4) AS f0
+        |    CASE WHEN n = 0 THEN 0.0 ELSE
+        |      round(list_sum(list_transform(range(1, n + 1),
+        |        j -> CASE WHEN (j - 1) % 8 = 0
+        |                  THEN ascii(substring(text, CAST(j AS INTEGER), 1))
+        |                  ELSE 0 END)) / n, 4) END AS f0
         |  FROM m)
         |SELECT media_id, kind, n_bytes, width, height, f0,
         |  CAST(ceil(width * least(1.0, 256.0 / greatest(width, height))) AS INTEGER) AS out_width,

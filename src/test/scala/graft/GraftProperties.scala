@@ -14,16 +14,16 @@ import org.scalacheck.{Gen, Prop, Properties}
   */
 object GraftProperties extends Properties("graft") {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
+  // IDENTICAL conf to SparkSpec (via Sessions.withGraftConf + the same
+  // shuffle-partition count): all suites share one per-JVM session, so a
+  // divergent builder here would rewrite session conf order-dependently
+  private lazy val spark: SparkSession = Sessions.withGraftConf(SparkSession.builder()
+    .master("local[4]")
     .appName("graft-props")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    // same temp-warehouse guard as SparkSpec: whichever suite builds the
-    // shared session first must not point saveAsTable at the repo dir
+    .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-    .config("spark.ui.enabled", "false")
+    .config("spark.ui.enabled", "false"))
     .getOrCreate()
 
   private def widths = Gen.chooseNum(1, 6)
@@ -98,14 +98,14 @@ object GraftAlgoProperties extends Properties("graft.algo") {
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(12)
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
+  // same-session-conf rule as GraftProperties above
+  private lazy val spark: SparkSession = Sessions.withGraftConf(SparkSession.builder()
+    .master("local[4]")
     .appName("graft-algo-props")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-    .config("spark.ui.enabled", "false")
+    .config("spark.ui.enabled", "false"))
     .getOrCreate()
 
   private def graphGen: Gen[(Int, Seq[(Long, Long)])] = for {
