@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.MapData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType, MapType}
+
+/** Popcount of the intersection of two word-packed bitsets, each a
+  * `map<bigint,bigint>` from word index to 64-bit mask whose keys are in
+  * ascending order (graft masks are built with
+  * `map_from_entries(sort_array(...))`, which guarantees this).
+  *
+  * Replaces the interpreted `aggregate(map_keys(a), 0, (acc, k) ->
+  * acc + bit_count(a[k] & coalesce(b[k], 0)))` fold in the near-dup verify
+  * step — that lambda is evaluated per CANDIDATE PAIR (millions of rows at
+  * sf0.1, unbounded at corpus scale) outside whole-stage codegen, and each
+  * `element_at` probe on MapData is a scan. This expression is a single
+  * codegen'd merge over the two sorted key arrays: O(w_a + w_b) per pair,
+  * no per-element lambda dispatch, identical integer result.
+  *
+  * Unsorted keys would silently undercount — the sortedness contract is the
+  * producer's (asserted by the parity test against the fold).
+  */
+case class BitsetIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case MapType(LongType, LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitset_intersect expects (map<bigint,bigint>, map<bigint,bigint>), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitset_intersect"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[MapData]
+    val b = r.asInstanceOf[MapData]
+    val ka = a.keyArray(); val va = a.valueArray()
+    val kb = b.keyArray(); val vb = b.valueArray()
+    val na = ka.numElements(); val nb = kb.numElements()
+    var i = 0; var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = ka.getLong(i); val y = kb.getLong(j)
+      if (x == y) {
+        c += java.lang.Long.bitCount(va.getLong(i) & vb.getLong(j))
+        i += 1; j += 1
+      } else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ka = ctx.freshName("ka"); val va = ctx.freshName("va")
+      val kb = ctx.freshName("kb"); val vb = ctx.freshName("vb")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val c = ctx.freshName("c")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $ka = $a.keyArray();
+         |org.apache.spark.sql.catalyst.util.ArrayData $va = $a.valueArray();
+         |org.apache.spark.sql.catalyst.util.ArrayData $kb = $b.keyArray();
+         |org.apache.spark.sql.catalyst.util.ArrayData $vb = $b.valueArray();
+         |int $na = $ka.numElements(); int $nb = $kb.numElements();
+         |int $i = 0; int $j = 0;
+         |long $c = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $ka.getLong($i); long $y = $kb.getLong($j);
+         |  if ($x == $y) {
+         |    $c += java.lang.Long.bitCount($va.getLong($i) & $vb.getLong($j));
+         |    $i++; $j++;
+         |  } else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BitsetFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bitset_intersect", exprs => BitsetIntersectCount(exprs(0), exprs(1)), "scala_udf")
+
+  /** Native merge-intersect popcount; requires [[register]] first. */
+  def bitsetIntersect(a: Column, b: Column): Column =
+    call_function("bitset_intersect", a, b)
+}

@@ -170,10 +170,12 @@ object Dedup {
            sum(expr("bit_count(mask)")).as("sz"))
     val ma = masks.select(col(idCol).as("a"), col("mm").as("__ma"), col("sz").as("__za"))
     val mb = masks.select(col(idCol).as("b"), col("mm").as("__mb"), col("sz").as("__zb"))
-    val inter = expr(
-      """aggregate(map_keys(__ma), CAST(0 AS BIGINT), (acc, k) ->
-        |  acc + bit_count(element_at(__ma, k) & coalesce(element_at(__mb, k), CAST(0 AS BIGINT))))"""
-        .stripMargin)
+    // |A∩B| runs once per CANDIDATE PAIR — the hottest expression in the
+    // dedup path. The native merge-intersect expression stays inside
+    // whole-stage codegen (the equivalent aggregate(map_keys(...)) HOF is
+    // an interpreted per-pair lambda with per-element map probes).
+    graft.functions.BitsetFunctions.register(tokenRows.sparkSession)
+    val inter = graft.functions.BitsetFunctions.bitsetIntersect(col("__ma"), col("__mb"))
     cand.join(ma, "a").join(mb, "b") // AQE broadcasts when the mask table is small
       .withColumn("__i", inter)
       .select(col("a"), col("b"),
