@@ -67,6 +67,25 @@ object MiscQueries {
       .orderBy("n_nationkey")
   }
 
+  /** TPC-H Q1 shape: single-scan multi-aggregate pricing summary — the
+    * canonical "wide agg over one big fact scan" plan (partial+final hash
+    * aggregate, no joins, whole-stage codegen end to end).
+    */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_linenumber") <= 6)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2)
+          .as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** As-of join: for each 'error' event, the value of the user's most
     * recent 'view' event at or before it (null if none).
     */
@@ -100,6 +119,7 @@ object MiscQueries {
     "c4b_cube" -> (cube _),
     "c4c_grouping_sets" -> (groupingSets _),
     "c7e_map_fns" -> (mapFns _),
+    "c16_pricing_summary" -> (pricingSummary _),
     "asof_last_view" -> (asofLastView _),
     "sim_centroid" -> (centroid _),
   )
@@ -121,6 +141,17 @@ object MiscQueries {
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, prio, gid, n, total""".stripMargin,
+    "c16_pricing_summary" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem WHERE l_linenumber <= 6
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "c4c_grouping_sets" ->
       """SELECT coalesce(n_name, 'ALL') AS nation,
         |       coalesce(c_mktsegment, 'ALL') AS segment,
