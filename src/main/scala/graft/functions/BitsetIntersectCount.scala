@@ -23,6 +23,10 @@ import org.apache.spark.sql.types.{DataType, LongType, MapType}
   *
   * Unsorted keys would silently undercount — the sortedness contract is the
   * producer's (asserted by the parity test against the fold).
+  *
+  * Null parity with the fold: NULL when either map is NULL, when any LEFT
+  * value slot is NULL (the fold reads every left value), or when a RIGHT
+  * value slot at a shared key is NULL.
   */
 case class BitsetIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,17 +45,31 @@ case class BitsetIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "bitset_intersect"
 
+  // NULL on null inputs AND on null value slots (fold parity) — so nullable
+  // even when both children are non-nullable maps
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[MapData]
     val b = r.asInstanceOf[MapData]
     val ka = a.keyArray(); val va = a.valueArray()
     val kb = b.keyArray(); val vb = b.valueArray()
     val na = ka.numElements(); val nb = kb.numElements()
-    var i = 0; var j = 0
+    // null parity with the fold this replaces: the fold reads EVERY value
+    // of the left map (a NULL element poisons its sum to NULL) and the
+    // right map's values only at shared keys
+    var i = 0
+    while (i < na) {
+      if (va.isNullAt(i)) return null
+      i += 1
+    }
+    i = 0
+    var j = 0
     var c = 0L
     while (i < na && j < nb) {
       val x = ka.getLong(i); val y = kb.getLong(j)
       if (x == y) {
+        if (vb.isNullAt(j)) return null
         c += java.lang.Long.bitCount(va.getLong(i) & vb.getLong(j))
         i += 1; j += 1
       } else if (x < y) i += 1
@@ -67,23 +85,34 @@ case class BitsetIntersectCount(left: Expression, right: Expression)
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      val c = ctx.freshName("c")
+      val c = ctx.freshName("c"); val anyNull = ctx.freshName("anyNull")
       s"""
          |org.apache.spark.sql.catalyst.util.ArrayData $ka = $a.keyArray();
          |org.apache.spark.sql.catalyst.util.ArrayData $va = $a.valueArray();
          |org.apache.spark.sql.catalyst.util.ArrayData $kb = $b.keyArray();
          |org.apache.spark.sql.catalyst.util.ArrayData $vb = $b.valueArray();
          |int $na = $ka.numElements(); int $nb = $kb.numElements();
-         |int $i = 0; int $j = 0;
-         |long $c = 0L;
-         |while ($i < $na && $j < $nb) {
-         |  long $x = $ka.getLong($i); long $y = $kb.getLong($j);
-         |  if ($x == $y) {
-         |    $c += java.lang.Long.bitCount($va.getLong($i) & $vb.getLong($j));
-         |    $i++; $j++;
-         |  } else if ($x < $y) { $i++; } else { $j++; }
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $na; $i++) {
+         |  if ($va.isNullAt($i)) { $anyNull = true; break; }
          |}
-         |${ev.value} = $c;
+         |long $c = 0L;
+         |if (!$anyNull) {
+         |  int $i = 0; int $j = 0;
+         |  while ($i < $na && $j < $nb) {
+         |    long $x = $ka.getLong($i); long $y = $kb.getLong($j);
+         |    if ($x == $y) {
+         |      if ($vb.isNullAt($j)) { $anyNull = true; break; }
+         |      $c += java.lang.Long.bitCount($va.getLong($i) & $vb.getLong($j));
+         |      $i++; $j++;
+         |    } else if ($x < $y) { $i++; } else { $j++; }
+         |  }
+         |}
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $c;
+         |}
        """.stripMargin
     })
 

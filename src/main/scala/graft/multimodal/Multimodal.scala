@@ -120,7 +120,11 @@ object Multimodal {
     val projected = media.select(
       (Seq(col("media_id"), col("kind"), col("payload")) ++ passthrough): _*)
     val passFields = projected.schema.fields.drop(3)
-    require(passFields.forall(f => !decodedSchema.fieldNames.contains(f.name)),
+    // case-insensitive like Spark's default column resolution — a "Width"
+    // passthrough would otherwise pass this check and then blow up as an
+    // ambiguous reference downstream
+    val reserved = decodedSchema.fieldNames.map(_.toLowerCase).toSet
+    require(passFields.forall(f => !reserved.contains(f.name.toLowerCase)),
       s"passthrough columns collide with decoded fields: ${passFields.map(_.name).mkString(",")}")
     val outSchema = StructType(decodedSchema.fields ++ passFields)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)

@@ -25,13 +25,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  // hash() rejects MapType at ANY nesting depth, so the default-salt
+  // exclusion must look inside arrays/structs, not just top-level types
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType      => true
+      case ArrayType(e, _) => containsMap(e)
+      case StructType(fs)  => fs.exists(f => containsMap(f.dataType))
+      case _               => false
+    }
+  }
+
   private def contentSalt(df: DataFrame, saltOn: Seq[Column], salts: Int): Column = {
-    // default: every hashable column — hash() rejects MapType, so map
-    // columns are excluded rather than failing the whole frame's analysis
     val cols =
       if (saltOn.nonEmpty) saltOn
       else df.schema.fields.collect {
-        case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => col(f.name)
+        case f if !containsMap(f.dataType) => col(f.name)
       }.toSeq
     require(cols.nonEmpty,
       "no hashable columns to salt on — pass saltOn explicitly")

@@ -5,7 +5,7 @@ import graft.queries.SimilarityQueries
 import org.apache.spark.sql.functions._
 
 /** The ANN scale paths exist to trade recall for pruning; this suite pins
-  * BOTH sides of that trade at sf0.001 so a regression in either direction
+  * BOTH sides of that trade at sf0.01 so a regression in either direction
   * fails: recall@3 against the brute-force baseline stays above a floor,
   * and the candidate set each query examines stays well below the corpus.
   */

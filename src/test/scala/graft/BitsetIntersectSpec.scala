@@ -37,6 +37,22 @@ class BitsetIntersectSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("null value slots null the result exactly where the fold would") {
+    BitsetFunctions.register(spark)
+    val df = Seq(
+      // null in LEFT map: fold reads every left value -> NULL
+      (Map(0L -> Option.empty[Long], 1L -> Some(3L)), Map(1L -> Some(3L)), true),
+      // null in RIGHT at a SHARED key -> NULL
+      (Map(1L -> Some(3L)), Map(1L -> Option.empty[Long]), true),
+      // null in RIGHT at a NON-shared key: never read by the fold -> 1 bit
+      (Map(1L -> Some(1L)), Map(0L -> Option.empty[Long], 1L -> Some(1L)), false))
+      .toDF("a", "b", "wantNull")
+    val rows = df.select(
+      BitsetFunctions.bitsetIntersect(col("a"), col("b")).isNull.as("gotNull"),
+      col("wantNull")).collect()
+    rows.foreach(r => assert(r.getBoolean(0) === r.getBoolean(1), r))
+  }
+
   test("edge cases: disjoint, identical, empty maps, and codegen execution") {
     BitsetFunctions.register(spark)
     val df = Seq(

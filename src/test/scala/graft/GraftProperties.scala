@@ -14,17 +14,7 @@ import org.scalacheck.{Gen, Prop, Properties}
   */
 object GraftProperties extends Properties("graft") {
 
-  // IDENTICAL conf to SparkSpec (via Sessions.withGraftConf + the same
-  // shuffle-partition count): all suites share one per-JVM session, so a
-  // divergent builder here would rewrite session conf order-dependently
-  private lazy val spark: SparkSession = Sessions.withGraftConf(SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-props")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-    .config("spark.ui.enabled", "false"))
-    .getOrCreate()
+  private lazy val spark: SparkSession = SparkSpec.session("graft-props")
 
   private def widths = Gen.chooseNum(1, 6)
   private def heights = Gen.chooseNum(1, 20)
@@ -98,15 +88,7 @@ object GraftAlgoProperties extends Properties("graft.algo") {
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(12)
 
-  // same-session-conf rule as GraftProperties above
-  private lazy val spark: SparkSession = Sessions.withGraftConf(SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-algo-props")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-    .config("spark.ui.enabled", "false"))
-    .getOrCreate()
+  private lazy val spark: SparkSession = SparkSpec.session("graft-algo-props")
 
   private def graphGen: Gen[(Int, Seq[(Long, Long)])] = for {
     n <- Gen.chooseNum(2, 25)
