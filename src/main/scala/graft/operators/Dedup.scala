@@ -231,13 +231,14 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
                           maxIter: Int = 20): DataFrame = {
-    // materialize the (expensive, LSH+jaccard-derived) pair list once;
-    // after the symmetrized edge set is checkpointed the cache can go
-    val p = pairs.select(col("a"), col("b")).persist()
-    var g = p.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+    // materialize the (expensive, LSH+jaccard-derived) pair list once, as
+    // an UNDIRECTED edge list — symmetrizing it would double what every
+    // checkpoint stores and every remap join carries; instead each round's
+    // neighbour-min unions the two directed projections lazily (same
+    // shuffle volume into the groupBy, half the materialized bytes)
+    var g = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .filter(col("src") =!= col("dst"))
       .localCheckpoint(true)
-    p.unpersist(false)
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
       .localCheckpoint(true)
     var i = 0
@@ -245,8 +246,10 @@ object Dedup {
     while (!done && i < maxIter) {
       // m(x) = min(x, min neighbour) over the current contracted graph —
       // a forest of parent pointers, compressed to its roots below
-      var m = g.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
-        .select(col("src").as("__mid"), least(col("src"), col("__mn")).as("__mv"))
+      var m = g.select(col("src").as("__n"), col("dst").as("__nb"))
+        .unionByName(g.select(col("dst").as("__n"), col("src").as("__nb")))
+        .groupBy(col("__n")).agg(min(col("__nb")).as("__mn"))
+        .select(col("__n").as("__mid"), least(col("__n"), col("__mn")).as("__mv"))
         .localCheckpoint(true)
       // pointer jumping on the map alone: squaring halves the forest depth
       // per pass, each pass a self-join of the node-sized (never
@@ -268,11 +271,14 @@ object Dedup {
       labels = labels.join(m, labels("comp") === m("__mid"), "left_outer")
         .select(col("id"), coalesce(col("__mv"), col("comp")).as("comp"))
         .localCheckpoint(true)
+      // remap the undirected list; canonicalize (least, greatest) so the
+      // distinct() collapses both orientations of a contracted edge
       g = g.join(m.select(col("__mid").as("__sid"), col("__mv").as("__sv")),
                  col("src") === col("__sid"))
         .join(m.select(col("__mid").as("__did"), col("__mv").as("__dv")),
               col("dst") === col("__did"))
-        .select(col("__sv").as("src"), col("__dv").as("dst"))
+        .select(least(col("__sv"), col("__dv")).as("src"),
+                greatest(col("__sv"), col("__dv")).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
         .localCheckpoint(true)
