@@ -56,6 +56,11 @@ class QueriesSpec extends SparkSpec {
     "c2d_theta_join" -> 10L,
     "c7d_predicates" -> 200L,
     "c12b_arrays" -> 500L,
+    "mm_decode_meta" -> 500L,
+    "c4c_grouping_sets" -> 124L,
+    "c7e_map_fns" -> 25L,
+    "sim_ivf_ann" -> 30L,
+    "c16_pricing_summary" -> 3L,
   )
 
   test("every query has an oracle and vice versa") {
