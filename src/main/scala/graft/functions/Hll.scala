@@ -228,25 +228,30 @@ object Hll {
     e.eval().asInstanceOf[Number].intValue()
   }
 
+  // builders shared by per-session registration and build-time extensions
+  private[graft] val sketchBuilder: Seq[Expression] => Expression = {
+    case Seq(c)    => HllSketchAgg(c, DefaultPrecision)
+    case Seq(c, p) => HllSketchAgg(c, litInt(p, "hll_sketch"))
+    case other => throw new IllegalArgumentException(
+      s"hll_sketch takes (col[, precision]), got ${other.size} args")
+  }
+  private[graft] val unionBuilder: Seq[Expression] => Expression = {
+    case Seq(c)    => HllUnionAgg(c, DefaultPrecision)
+    case Seq(c, p) => HllUnionAgg(c, litInt(p, "hll_union"))
+    case other => throw new IllegalArgumentException(
+      s"hll_union takes (col[, precision]), got ${other.size} args")
+  }
+  private[graft] val estimateBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => HllEstimate(c)
+    case other => throw new IllegalArgumentException(
+      s"hll_estimate takes (sketch), got ${other.size} args")
+  }
+
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction("hll_sketch", {
-      case Seq(c)    => HllSketchAgg(c, DefaultPrecision)
-      case Seq(c, p) => HllSketchAgg(c, litInt(p, "hll_sketch"))
-      case other => throw new IllegalArgumentException(
-        s"hll_sketch takes (col[, precision]), got ${other.size} args")
-    }, "scala_udf")
-    r.createOrReplaceTempFunction("hll_union", {
-      case Seq(c)    => HllUnionAgg(c, DefaultPrecision)
-      case Seq(c, p) => HllUnionAgg(c, litInt(p, "hll_union"))
-      case other => throw new IllegalArgumentException(
-        s"hll_union takes (col[, precision]), got ${other.size} args")
-    }, "scala_udf")
-    r.createOrReplaceTempFunction("hll_estimate", {
-      case Seq(c) => HllEstimate(c)
-      case other => throw new IllegalArgumentException(
-        s"hll_estimate takes (sketch), got ${other.size} args")
-    }, "scala_udf")
+    r.createOrReplaceTempFunction("hll_sketch", sketchBuilder, "scala_udf")
+    r.createOrReplaceTempFunction("hll_union", unionBuilder, "scala_udf")
+    r.createOrReplaceTempFunction("hll_estimate", estimateBuilder, "scala_udf")
   }
 
   def sketch(c: Column, p: Int = DefaultPrecision): Column =

@@ -77,8 +77,37 @@ object GraftOptimizations {
   }
 }
 
-/** Builder-time registration: `SparkSession.builder().withExtensions(new GraftExtensions)`. */
+/** Build-time installation of the WHOLE graft surface — optimizer rule plus
+  * every custom function — so a deployment needs only
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`) and no
+  * per-session `register` calls.
+  */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getName, name)
+
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PruneExpandBranches)
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", classOf[graft.functions.CosineSimilarity]),
+      (exprs: Seq[Expression]) =>
+        graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("bitset_intersect"),
+      info("bitset_intersect", classOf[graft.functions.BitsetIntersectCount]),
+      (exprs: Seq[Expression]) =>
+        graft.functions.BitsetIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("hll_sketch"),
+      info("hll_sketch", classOf[graft.functions.HllSketchAgg]),
+      graft.functions.Hll.sketchBuilder))
+    e.injectFunction((FunctionIdentifier("hll_union"),
+      info("hll_union", classOf[graft.functions.HllUnionAgg]),
+      graft.functions.Hll.unionBuilder))
+    e.injectFunction((FunctionIdentifier("hll_estimate"),
+      info("hll_estimate", classOf[graft.functions.HllEstimate]),
+      graft.functions.Hll.estimateBuilder))
+  }
 }
