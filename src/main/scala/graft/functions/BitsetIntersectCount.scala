@@ -122,9 +122,16 @@ case class BitsetIntersectCount(left: Expression, right: Expression)
 }
 
 object BitsetFunctions {
+  // shared by register() and build-time GraftExtensions injection
+  private[graft] val intersectBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => BitsetIntersectCount(a, b)
+    case other => throw new IllegalArgumentException(
+      s"bitset_intersect takes (map<bigint,bigint>, map<bigint,bigint>), got ${other.size} args")
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bitset_intersect", exprs => BitsetIntersectCount(exprs(0), exprs(1)), "scala_udf")
+      "bitset_intersect", intersectBuilder, "scala_udf")
 
   /** Native merge-intersect popcount; requires [[register]] first. */
   def bitsetIntersect(a: Column, b: Column): Column =

@@ -94,9 +94,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** Session registration + Column-level access for the native functions. */
 object VectorFunctions {
+  // shared by register() and build-time GraftExtensions injection
+  private[graft] val cosineBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSimilarity(a, b)
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim takes (array<double>, array<double>), got ${other.size} args")
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+      "cosine_sim", cosineBuilder, "scala_udf")
 
   /** Native codegen'd cosine; requires [[register]] on the session first. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

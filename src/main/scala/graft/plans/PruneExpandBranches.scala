@@ -85,7 +85,7 @@ object GraftOptimizations {
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
   private def info(name: String, clazz: Class[_]) =
     new ExpressionInfo(clazz.getName, name)
@@ -94,12 +94,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectOptimizerRule(_ => PruneExpandBranches)
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", classOf[graft.functions.CosineSimilarity]),
-      (exprs: Seq[Expression]) =>
-        graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+      graft.functions.VectorFunctions.cosineBuilder))
     e.injectFunction((FunctionIdentifier("bitset_intersect"),
       info("bitset_intersect", classOf[graft.functions.BitsetIntersectCount]),
-      (exprs: Seq[Expression]) =>
-        graft.functions.BitsetIntersectCount(exprs(0), exprs(1))))
+      graft.functions.BitsetFunctions.intersectBuilder))
     e.injectFunction((FunctionIdentifier("hll_sketch"),
       info("hll_sketch", classOf[graft.functions.HllSketchAgg]),
       graft.functions.Hll.sketchBuilder))

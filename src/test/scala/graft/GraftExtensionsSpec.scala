@@ -12,16 +12,17 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("withExtensions installs optimizer rule and all custom functions") {
     val base = spark // force the shared session (and its SparkContext) up
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s2 = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
     try {
+      // inside the try so a failed build still restores the shared session
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-ext-test")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
       assert(s2 ne base) // a genuinely new session, same SparkContext
       // every custom function resolves in plain SQL, no register() calls
       val row = s2.sql(
@@ -41,8 +42,11 @@ class GraftExtensionsSpec extends SparkSpec {
         .filter(col("m") === "a")
       assert(df.count() === 1)
       val expandLine = df.queryExecution.optimizedPlan.treeString
-        .linesIterator.find(_.contains("Expand")).getOrElse("")
-      assert(!expandLine.contains("b#") || expandLine.isEmpty, expandLine)
+        .linesIterator.find(_.contains("Expand"))
+      // the Expand node must exist (else this pin checks nothing) and the
+      // pruned branch's column must be gone from its projections
+      assert(expandLine.isDefined, df.queryExecution.optimizedPlan.treeString)
+      assert(!expandLine.get.contains("b#"), expandLine.get)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

@@ -67,6 +67,12 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
   }
 
+  test("every query has a pinned count — no silent fallback to rows>0") {
+    // a renamed query with a stale pin would otherwise degrade to the weak
+    // n > 0 smoke without anything failing
+    assert(expectedCounts.keySet === SparkEntry.queries.keySet)
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001 with pinned count") {
       val n = fn(spark, sf()).count()
