@@ -19,14 +19,17 @@ class SourcesSpec extends SparkSpec {
       .limit(200)
     src.write.json(s"$dir/j")
     src.write.option("header", "true").csv(s"$dir/c")
+    src.write.orc(s"$dir/o")
 
     val schema = src.schema
     val fromJson = spark.read.schema(schema).json(s"$dir/j")
     val fromCsv = spark.read.schema(schema).option("header", "true").csv(s"$dir/c")
+    val fromOrc = spark.read.schema(schema).orc(s"$dir/o")
 
     val expect = src.orderBy("o_orderkey").collect().toSeq
     assert(fromJson.orderBy("o_orderkey").collect().toSeq === expect)
     assert(fromCsv.orderBy("o_orderkey").collect().toSeq === expect)
+    assert(fromOrc.orderBy("o_orderkey").collect().toSeq === expect)
     assert(fromJson.schema === schema && fromCsv.schema === schema)
   }
 
