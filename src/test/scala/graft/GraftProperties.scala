@@ -129,6 +129,24 @@ object GraftAlgoProperties extends Properties("graft.algo") {
       got == unionFind(n, edges)
     }
 
+  property("wide (first-match) and narrow LSH paths emit identical pair sets") =
+    Prop.forAll(for {
+      n <- Gen.chooseNum(2, 18)
+      vals <- Gen.chooseNum(1, 3) // tiny value alphabet -> heavy collisions
+      rows <- Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(0, vals - 1)))
+      cap <- Gen.oneOf(Option.empty[Int], Some(2), Some(4))
+    } yield (rows, cap)) { case (rows, cap) =>
+      import spark.implicits._
+      val bands = rows.zipWithIndex
+        .map { case (bs, i) => (i.toLong, s"v${bs(0)}", s"v${bs(1)}", s"v${bs(2)}", s"v${bs(3)}") }
+        .toDF("doc_id", "band0", "band1", "band2", "band3")
+      val wide = graft.operators.Dedup.lshCandidatePairs(bands, "doc_id", 4, cap)
+        .as[(Long, Long)].collect().toSet
+      val narrow = graft.operators.Dedup.lshCandidatePairs(bands, "doc_id", 4, cap, maxWideBands = 0)
+        .as[(Long, Long)].collect().toSet
+      wide == narrow
+    }
+
   property("hll union over any grouping equals the one-shot sketch, register-exact") =
     Prop.forAll(for {
       n <- Gen.chooseNum(1, 400)
