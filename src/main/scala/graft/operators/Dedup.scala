@@ -134,7 +134,13 @@ object Dedup {
     * token→id join is a plain shuffled equi-join (AQE may broadcast it when
     * small, but it is never forced).
     */
-  def jaccardVerifyBitset(cand: DataFrame, tokenRows: DataFrame, idCol: String): DataFrame = {
+  /** @param idBuckets bucket count for the dense-id numbering below: bounds
+    *   BOTH the offsets-broadcast size (exactly `idBuckets` rows) and the
+    *   parallelism of the vocabulary-numbering window — raise it for very
+    *   large vocabularies (target ~10^5–10^6 tokens per bucket).
+    */
+  def jaccardVerifyBitset(cand: DataFrame, tokenRows: DataFrame, idCol: String,
+                          idBuckets: Int = 1 << 10): DataFrame = {
     // Distributed dense-id assignment, entirely inside Catalyst (no RDD
     // round-trip, no extra zipWithIndex job): hash each distinct token into
     // one of B buckets, number tokens within a bucket (a distributed window
@@ -144,7 +150,7 @@ object Dedup {
     // token set (no range-partitioner sampling, no partition-order
     // dependence), so the masks subtree sees the same ids every time it is
     // recomputed or a stage retries.
-    val buckets = 1 << 10
+    val buckets = idBuckets
     val vocabBase = tokenRows.select("token").distinct()
       .withColumn("__bk", pmod(xxhash64(col("token")), lit(buckets.toLong)))
     val local = vocabBase.withColumn("__rn",

@@ -126,6 +126,33 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key dominating a sort-merge join; thresholds lowered so the
+    // skew is visible at test scale. AQE must mark the join skew=true.
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = spark.range(200000)
+        .select((col("id") % 1000).as("k"), col("id").as("payload"))
+        .withColumn("k", when(col("k") < 500, lit(0L)).otherwise(col("k"))) // hot key 0: half the rows
+      val dim = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = skewed.join(dim, "k").groupBy(lit(1).as("one")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("skew=true"), plan)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("bucketed tables join without any exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
