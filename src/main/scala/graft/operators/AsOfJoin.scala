@@ -31,7 +31,7 @@ object AsOfJoin {
     val r = right.select(col(keyCol), col(tsCol), col(valueCol))
       .withColumn("__tag", lit(0))
       .withColumnRenamed(valueCol, "__val")
-    val unioned = l.select((leftCols.map(col) :+ col("__tag") :+ col("__val")): _*)
+    val unioned = l.select((leftCols.map(col).toIndexedSeq :+ col("__tag") :+ col("__val")): _*)
       .unionByName(r, allowMissingColumns = true)
     // right rows (__tag 0) sort before left rows at equal ts => "<=" semantics;
     // __val as the final key makes right-right timestamp ties deterministic

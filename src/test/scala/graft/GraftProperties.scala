@@ -36,7 +36,7 @@ object GraftProperties extends Properties("graft") {
           element_at(col("vals"), i + 1).as(c) }: _*)
       val long = melt(df, Seq("id"), cols, "m", "v")
       long.count() == rows.size.toLong * w &&
-        long.agg(sum("v")).head.getLong(0) == rows.flatten.sum
+        long.agg(sum("v")).head().getLong(0) == rows.flatten.sum
   }
 
   private def partitioned: Gen[Seq[(String, Long)]] = for {
