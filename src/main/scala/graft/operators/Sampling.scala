@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Content-deterministic sampling for training-data pipelines.
+  *
+  * `rand()`-based sampling is nondeterministic across runs, task retries,
+  * and repartitions — a 100 TB data-mixing job needs the SAME sample every
+  * time it (or its backfill) runs. Here membership is a pure function of a
+  * key column: row kept iff the top 60 bits of md5(salt:key) fall below
+  * `fraction` of the hash space. Reproducible everywhere (md5 is
+  * engine-portable, so the DuckDB oracle recomputes membership exactly),
+  * stable under any partitioning, and different salts give independent
+  * samples (e.g. disjoint train/holdout from salts + complementary ranges).
+  *
+  * All comparisons stay in integer space (hash60 < floor(fraction·2^60)) —
+  * no float thresholds to drift between engines.
+  */
+object Sampling {
+
+  private val HashSpace = 1L << 60
+
+  /** Uniform 60-bit hash of (salt, key) — the sampling coordinate. */
+  def hash60(key: Column, salt: String): Column =
+    conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Integer threshold for a fraction of the 60-bit hash space. */
+  def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    math.min((fraction * HashSpace.toDouble).toLong, HashSpace)
+  }
+
+  /** Deterministic Bernoulli(fraction) sample keyed on `key`. */
+  def deterministic(df: DataFrame, key: Column, fraction: Double,
+                    salt: String = ""): DataFrame =
+    df.filter(hash60(key, salt) < lit(threshold(fraction)))
+
+  /** Stratified deterministic sample: per-stratum fractions; strata absent
+    * from the map are dropped (fraction 0).
+    */
+  def stratified(df: DataFrame, strata: Column, fractions: Map[String, Double],
+                 key: Column, salt: String = ""): DataFrame = {
+    val thresholds = map(fractions.toSeq.flatMap {
+      case (k, f) => Seq(lit(k), lit(threshold(f)))
+    }: _*)
+    df.filter(hash60(key, salt) <
+      coalesce(try_element_at(thresholds, strata), lit(0L)))
+  }
+}

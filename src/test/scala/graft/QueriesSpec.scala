@@ -61,6 +61,8 @@ class QueriesSpec extends SparkSpec {
     "c7e_map_fns" -> 25L,
     "sim_ivf_ann" -> 30L,
     "c16_pricing_summary" -> 3L,
+    "sample_det" -> 44L,
+    "sample_strata" -> 3L,
   )
 
   test("every query has an oracle and vice versa") {
