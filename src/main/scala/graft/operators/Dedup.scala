@@ -133,14 +133,15 @@ object Dedup {
     * assignment is a bucketed window + a B-row offset join, and the
     * token→id join is a plain shuffled equi-join (AQE may broadcast it when
     * small, but it is never forced).
-    */
-  /** @param idBuckets bucket count for the dense-id numbering below: bounds
-    *   BOTH the offsets-broadcast size (exactly `idBuckets` rows) and the
+    *
+    * @param idBuckets bucket count for the dense-id numbering: bounds BOTH
+    *   the offsets-broadcast size (exactly `idBuckets` rows) and the
     *   parallelism of the vocabulary-numbering window — raise it for very
     *   large vocabularies (target ~10^5–10^6 tokens per bucket).
     */
   def jaccardVerifyBitset(cand: DataFrame, tokenRows: DataFrame, idCol: String,
                           idBuckets: Int = 1 << 10): DataFrame = {
+    require(idBuckets > 0, s"idBuckets must be positive, got $idBuckets")
     // Distributed dense-id assignment, entirely inside Catalyst (no RDD
     // round-trip, no extra zipWithIndex job): hash each distinct token into
     // one of B buckets, number tokens within a bucket (a distributed window

@@ -21,7 +21,13 @@ object Sampling {
 
   private val HashSpace = 1L << 60
 
-  /** Uniform 60-bit hash of (salt, key) — the sampling coordinate. */
+  /** Uniform 60-bit hash of (salt, key) — the sampling coordinate.
+    * Callers must exclude NULL keys first: concat_ws silently skips NULLs,
+    * which would hash every null-key row to the one constant md5(salt) —
+    * all-or-nothing membership, not Bernoulli (and divergent from SQL
+    * engines whose '||' nulls out). [[deterministic]]/[[stratified]] drop
+    * null-key rows for exactly this reason.
+    */
   def hash60(key: Column, salt: String): Column =
     conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 15), 16, 10)
       .cast("long")
@@ -32,10 +38,12 @@ object Sampling {
     math.min((fraction * HashSpace.toDouble).toLong, HashSpace)
   }
 
-  /** Deterministic Bernoulli(fraction) sample keyed on `key`. */
+  /** Deterministic Bernoulli(fraction) sample keyed on `key`; null-key
+    * rows are dropped (see [[hash60]]).
+    */
   def deterministic(df: DataFrame, key: Column, fraction: Double,
                     salt: String = ""): DataFrame =
-    df.filter(hash60(key, salt) < lit(threshold(fraction)))
+    df.filter(key.isNotNull && hash60(key, salt) < lit(threshold(fraction)))
 
   /** Stratified deterministic sample: per-stratum fractions; strata absent
     * from the map are dropped (fraction 0).
@@ -45,7 +53,7 @@ object Sampling {
     val thresholds = map(fractions.toSeq.flatMap {
       case (k, f) => Seq(lit(k), lit(threshold(f)))
     }: _*)
-    df.filter(hash60(key, salt) <
+    df.filter(key.isNotNull && hash60(key, salt) <
       coalesce(try_element_at(thresholds, strata), lit(0L)))
   }
 }

@@ -30,7 +30,8 @@ class SourcesSpec extends SparkSpec {
     assert(fromJson.orderBy("o_orderkey").collect().toSeq === expect)
     assert(fromCsv.orderBy("o_orderkey").collect().toSeq === expect)
     assert(fromOrc.orderBy("o_orderkey").collect().toSeq === expect)
-    assert(fromJson.schema === schema && fromCsv.schema === schema)
+    assert(fromJson.schema === schema && fromCsv.schema === schema &&
+           fromOrc.schema === schema)
   }
 
   test("TrendsSource file-drop replay paths (parquet + csv) yield the wide schema") {
