@@ -147,6 +147,37 @@ object GraftAlgoProperties extends Properties("graft.algo") {
       wide == narrow
     }
 
+  property("simhash equals a plain-Scala reference on random documents") =
+    Prop.forAll(for {
+      n <- Gen.chooseNum(1, 8)
+      docs <- Gen.listOfN(n, Gen.listOfN(6,
+        Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "xx", "")))
+    } yield docs) { docs =>
+      import spark.implicits._
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      def reference(tokens: Seq[String]): Long = {
+        val tf = tokens.filter(_.nonEmpty).groupBy(identity).view.mapValues(_.size.toLong)
+        (0 until 60).map { b =>
+          val vote = tf.map { case (t, f) =>
+            val h = java.lang.Long.parseLong(md5hex(t).substring(0, 15), 16)
+            f * (2 * ((h >> b) & 1L) - 1)
+          }.sum
+          if (vote > 0) 1L << b else 0L
+        }.sum
+      }
+      val df = docs.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup.simhash(df, "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+      val want = docs.zipWithIndex.collect {
+        case (toks, i) if toks.exists(_.nonEmpty) => (i.toLong, reference(toks))
+      }.toMap
+      got == want
+    }
+
   property("hll union over any grouping equals the one-shot sketch, register-exact") =
     Prop.forAll(for {
       n <- Gen.chooseNum(1, 400)
