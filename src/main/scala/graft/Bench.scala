@@ -51,7 +51,10 @@ object Bench {
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      s(s.size / 2)
+      // true median: average the two middle elements for even sizes (an
+      // upper-middle pick would bias the headline upward at reps=2/4)
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val perQuery = names.map { case (name, _) =>
       val xs = samples.map(_.find(_._1 == name).get._2)
@@ -63,7 +66,20 @@ object Bench {
     val qs = jmap(perQuery.map(t => (t._1, t._2)))
     val spread = jmap(perQuery.map(t => (t._1, t._3)))
     val total = perQuery.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+    // persist the JSON so a truncated log tail can't lose the official
+    // numbers (round 2's BENCH json was cut mid-line by the log capture)
+    val outPath = args.sliding(2).collectFirst { case Array("--out", p) => p }
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // stop Spark BEFORE printing so its shutdown chatter can't trail (and a
+    // tail-capture truncate) the one machine-readable line; flush explicitly
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -30,9 +30,13 @@ object TableSink {
 
   /** Idempotent re-run mode: overwrite only the partitions present in `df`
     * (dynamic partition overwrite), keyed on the window column.
+    *
+    * The overwrite mode is scoped to THIS writer via `.option(...)` — never
+    * `spark.conf.set` — so a concurrent writer on the same session that
+    * expects static overwrite semantics is not silently switched to dynamic.
     */
-  def overwriteWindow(df: DataFrame, path: String, partitionCol: String): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
-  }
+  def overwriteWindow(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
 }

@@ -60,6 +60,8 @@ class QueriesSpec extends SparkSpec {
     "c4c_grouping_sets" -> 124L,
     "c7e_map_fns" -> 25L,
     "sim_ivf_ann" -> 30L,
+    "sim_lsh_multiprobe" -> 30L,
+    "sim_lsh_banded" -> 30L,
     "c16_pricing_summary" -> 3L,
     "sample_det" -> 44L,
     "sample_strata" -> 3L,
