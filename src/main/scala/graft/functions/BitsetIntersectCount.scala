@@ -24,9 +24,12 @@ import org.apache.spark.sql.types.{DataType, LongType, MapType}
   * Unsorted keys would silently undercount — the sortedness contract is the
   * producer's (asserted by the parity test against the fold).
   *
-  * Null parity with the fold: NULL when either map is NULL, when any LEFT
-  * value slot is NULL (the fold reads every left value), or when a RIGHT
-  * value slot at a shared key is NULL.
+  * Null parity with the fold is exact: NULL when either map is NULL or when
+  * any LEFT value slot is NULL (the fold reads every left value); a NULL
+  * RIGHT value slot contributes nothing (the fold computes
+  * `coalesce(element_at(b, k), 0)`, and `x & 0` adds no bits) — whether or
+  * not the key is shared. Unreachable from the real mask producer (`bit_or`
+  * slots are never null), but the contract matches the fold everywhere.
   */
 case class BitsetIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -69,8 +72,9 @@ case class BitsetIntersectCount(left: Expression, right: Expression)
     while (i < na && j < nb) {
       val x = ka.getLong(i); val y = kb.getLong(j)
       if (x == y) {
-        if (vb.isNullAt(j)) return null
-        c += java.lang.Long.bitCount(va.getLong(i) & vb.getLong(j))
+        // fold parity: coalesce(b[k], 0) — a null right slot adds no bits
+        if (!vb.isNullAt(j))
+          c += java.lang.Long.bitCount(va.getLong(i) & vb.getLong(j))
         i += 1; j += 1
       } else if (x < y) i += 1
       else j += 1
@@ -102,8 +106,9 @@ case class BitsetIntersectCount(left: Expression, right: Expression)
          |  while ($i < $na && $j < $nb) {
          |    long $x = $ka.getLong($i); long $y = $kb.getLong($j);
          |    if ($x == $y) {
-         |      if ($vb.isNullAt($j)) { $anyNull = true; break; }
-         |      $c += java.lang.Long.bitCount($va.getLong($i) & $vb.getLong($j));
+         |      if (!$vb.isNullAt($j)) {
+         |        $c += java.lang.Long.bitCount($va.getLong($i) & $vb.getLong($j));
+         |      }
          |      $i++; $j++;
          |    } else if ($x < $y) { $i++; } else { $j++; }
          |  }

@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
   * stages.
   *
-  * The Spark-side plumbing — schema, partition-friendly batch iteration,
-  * deterministic outputs — is real and tested. The codec itself is a STUB
-  * (`StubCodec`): the container has no image/audio libraries, so "decoding"
-  * derives deterministic pseudo-metadata and features from the bytes. A real
-  * deployment swaps [[Codec]] for one backed by an actual library (or
-  * `mapInPandas`+PIL on the Python side); nothing else changes.
+  * Three [[Codec]]s ship:
+  *   - [[ImageIoCodec]] — REAL image decode via the JDK's `javax.imageio`
+  *     (PNG/BMP/GIF/JPEG): true pixel dimensions and pixel-derived features.
+  *   - [[PortableCodec]] — deterministic byte-level stand-in whose arithmetic
+  *     is expressible in SQL, so the decode stage is oracle-checkable
+  *     end-to-end (`mm_decode_meta`).
+  *   - [[StubCodec]] — the original fake, kept for plumbing tests.
+  * Audio/video decode remains a stand-in (no codec libraries in this
+  * environment); a deployment swaps in a library-backed [[Codec]] and
+  * nothing else changes.
   *
   * Scale notes: media blobs ride executor-side only (no collect); the
   * per-partition iterator keeps one batch of decoded frames in memory at a
@@ -104,6 +108,74 @@ object Multimodal {
       }
       (width, height, feature)
     }
+  }
+
+  /** Real image decode on the JDK's `javax.imageio` (PNG, BMP, GIF, JPEG —
+    * no external dependency): true pixel width/height, and an 8-dim feature
+    * of per-strip mean intensities (image split into 8 horizontal strips,
+    * each value the mean of (r+g+b)/3 over the strip's pixels — integer
+    * channel sums are exact in a double, so the feature is bit-deterministic
+    * regardless of traversal order).
+    *
+    * Non-image kinds and undecodable payloads fall back to [[PortableCodec]]
+    * — decode never throws on a bad blob (at 100 TB some blobs WILL be
+    * corrupt; a poison row must not kill the stage).
+    */
+  object ImageIoCodec extends Codec {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Array[Double]) = {
+      if (kind != "image" || payload.isEmpty)
+        return PortableCodec.decode(kind, payload)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null) return PortableCodec.decode(kind, payload)
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Long](8)
+      val counts = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        val strip = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sums(strip) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          counts(strip) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val feature = Array.tabulate(8) { i =>
+        if (counts(i) == 0L) 0.0 else sums(i).toDouble / (3.0 * counts(i))
+      }
+      (w, h, feature)
+    }
+  }
+
+  /** Deterministic RGB PNG bytes: pixel (x, y) colored by a splitmix-style
+    * mix of (seed, y*width+x). PNG is lossless and TYPE_INT_RGB is exact, so
+    * an encode→decode round trip recovers the same pixels — the test fixture
+    * for [[ImageIoCodec]].
+    */
+  def pngBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, "png dimensions must be positive")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var z = seed + (y.toLong * width + x) * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        img.setRGB(x, y, ((z ^ (z >>> 31)) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Decode stage: per-partition batch iteration over the binary column

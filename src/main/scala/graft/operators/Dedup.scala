@@ -261,18 +261,24 @@ object Dedup {
       // pointer jumping on the map alone: squaring halves the forest depth
       // per pass, each pass a self-join of the node-sized (never
       // edge-sized) frame; dense graphs stabilize after one pass
-      var mStable = false
-      var j = 0
-      while (!mStable && j < 40) {
-        val mj = m.alias("x")
-          .join(m.select(col("__mid").as("__jid"), col("__mv").as("__jv")).alias("y"),
+      def squared(mm: DataFrame): DataFrame =
+        mm.alias("x")
+          .join(mm.select(col("__mid").as("__jid"), col("__mv").as("__jv")).alias("y"),
                 col("x.__mv") === col("y.__jid"), "left_outer")
           .select(col("x.__mid").as("__mid"),
                   coalesce(col("__jv"), col("x.__mv")).as("__mv"),
                   (coalesce(col("__jv"), col("x.__mv")) =!= col("x.__mv")).as("__chg"))
-          .localCheckpoint(true)
-        mStable = !mj.agg(coalesce(max(col("__chg")), lit(false))).head().getBoolean(0)
-        m = mj.select("__mid", "__mv")
+      var mStable = false
+      var j = 0
+      while (!mStable && j < 20) {
+        // TWO squarings per driver probe: the first stays a lazy plan, the
+        // second checkpoints and reports whether IT changed anything. A
+        // stable map squares to itself, so probing only the second pass is
+        // exact — and deep chains pay half the blocking round-trips (each
+        // probe now jumps depth by 4x, not 2x)
+        val m2 = squared(squared(m).select("__mid", "__mv")).localCheckpoint(true)
+        mStable = !m2.agg(coalesce(max(col("__chg")), lit(false))).head().getBoolean(0)
+        m = m2.select("__mid", "__mv")
         j += 1
       }
       labels = labels.join(m, labels("comp") === m("__mid"), "left_outer")

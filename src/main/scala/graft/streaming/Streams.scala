@@ -52,7 +52,26 @@ object Streams {
     */
   def clicksWithRecentViews(clicks: DataFrame, views: DataFrame,
                             watermark: String = "2 hours",
-                            within: String = "30 minutes"): DataFrame = {
+                            within: String = "30 minutes"): DataFrame =
+    intervalJoin(clicks, views, watermark, within, "inner")
+
+  /** LEFT OUTER stream-stream interval join: like [[clicksWithRecentViews]],
+    * but a click with NO qualifying view still emits — null-padded — and
+    * only once the watermark passes the last instant at which a matching
+    * view could still arrive. That emission timing is where state-store
+    * semantics actually bite: the unmatched click is NOT dropped and NOT
+    * emitted early; it waits in the join state until the global watermark
+    * proves absence, then leaves with nulls (and its state is evicted).
+    * StreamingSpec pins both the timing and the batch-analog equality.
+    */
+  def clicksWithRecentViewsOuter(clicks: DataFrame, views: DataFrame,
+                                 watermark: String = "2 hours",
+                                 within: String = "30 minutes"): DataFrame =
+    intervalJoin(clicks, views, watermark, within, "left_outer")
+
+  private def intervalJoin(clicks: DataFrame, views: DataFrame,
+                           watermark: String, within: String,
+                           joinType: String): DataFrame = {
     val c = clicks
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
               col("ts").as("c_ts"))
@@ -62,7 +81,8 @@ object Streams {
               col("value").as("view_value"))
       .withWatermark("v_ts", watermark)
     c.join(v, expr(
-        s"c_user = v_user AND v_ts >= c_ts - INTERVAL $within AND v_ts <= c_ts"))
+        s"c_user = v_user AND v_ts >= c_ts - INTERVAL $within AND v_ts <= c_ts"),
+        joinType)
       .select(col("click_id"), col("c_user").as("user_id"),
               col("view_value"), col("v_ts"))
   }

@@ -37,20 +37,25 @@ class BitsetIntersectSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
-  test("null value slots null the result exactly where the fold would") {
+  test("null value slots match the fold exactly") {
     BitsetFunctions.register(spark)
+    // fold semantics: every LEFT value is read (null poisons the sum to
+    // NULL); RIGHT values go through coalesce(b[k], 0), so a null right
+    // slot — shared key or not — contributes 0 bits, never NULL
     val df = Seq(
-      // null in LEFT map: fold reads every left value -> NULL
-      (Map(0L -> Option.empty[Long], 1L -> Some(3L)), Map(1L -> Some(3L)), true),
-      // null in RIGHT at a SHARED key -> NULL
-      (Map(1L -> Some(3L)), Map(1L -> Option.empty[Long]), true),
-      // null in RIGHT at a NON-shared key: never read by the fold -> 1 bit
-      (Map(1L -> Some(1L)), Map(0L -> Option.empty[Long], 1L -> Some(1L)), false))
-      .toDF("a", "b", "wantNull")
+      // null in LEFT map -> NULL
+      (Map(0L -> Option.empty[Long], 1L -> Some(3L)), Map(1L -> Some(3L)), Option.empty[Long]),
+      // null in RIGHT at a SHARED key -> coalesce to 0 -> count 0
+      (Map(1L -> Some(3L)), Map(1L -> Option.empty[Long]), Some(0L)),
+      // null in RIGHT at a NON-shared key: never read -> 1 bit
+      (Map(1L -> Some(1L)), Map(0L -> Option.empty[Long], 1L -> Some(1L)), Some(1L)))
+      .toDF("a", "b", "want")
     val rows = df.select(
-      BitsetFunctions.bitsetIntersect(col("a"), col("b")).isNull.as("gotNull"),
-      col("wantNull")).collect()
-    rows.foreach(r => assert(r.getBoolean(0) === r.getBoolean(1), r))
+      BitsetFunctions.bitsetIntersect(col("a"), col("b")).as("got"), col("want")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), r)
+      if (!r.isNullAt(1)) assert(r.getLong(0) === r.getLong(1), r)
+    }
   }
 
   test("edge cases: disjoint, identical, empty maps, and codegen execution") {

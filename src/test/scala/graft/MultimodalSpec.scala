@@ -64,4 +64,55 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("frame_idx").as[Int].collect().toSeq
     assert(idx === Seq(0, 5, 10, 15))
   }
+
+  test("ImageIoCodec decodes real PNG bytes: true dimensions + pixel features") {
+    // deterministic PNGs of known sizes, through the real mapPartitions stage
+    val fixtures = Seq((1L, 5, 3, 42L), (2L, 17, 9, 7L), (3L, 64, 1, 1L))
+    val rows = fixtures.map { case (id, w, h, seed) =>
+      (id, "image", Multimodal.pngBytes(w, h, seed))
+    }
+    val m = rows.toDF("media_id", "kind", "payload")
+    val out = Multimodal.decode(m, Multimodal.ImageIoCodec)
+      .orderBy("media_id").collect()
+    fixtures.zip(out).foreach { case ((id, w, h, seed), r) =>
+      assert(r.getAs[Long]("media_id") === id)
+      assert(r.getAs[Int]("width") === w, s"true width for media $id")
+      assert(r.getAs[Int]("height") === h, s"true height for media $id")
+      // feature must match a direct single-JVM decode of the same bytes
+      val (_, _, f) = Multimodal.ImageIoCodec.decode("image", Multimodal.pngBytes(w, h, seed))
+      assert(r.getAs[Seq[Double]]("feature") === f.toSeq)
+      // per-strip means are in [0, 255]; when h < 8 only strips floor(y*8/h)
+      // are populated and the rest report exactly 0
+      assert(f.forall(v => v >= 0.0 && v <= 255.0))
+      if (h < 8) {
+        val populated = (0 until h).map(y => y * 8 / h).toSet
+        (0 until 8).filterNot(populated).foreach(i =>
+          assert(f(i) === 0.0, s"empty strip $i of media $id reports 0"))
+      }
+    }
+  }
+
+  test("ImageIoCodec falls back to PortableCodec on non-image and corrupt payloads") {
+    val text = "not an image".getBytes("UTF-8")
+    def same(kind: String): Unit = {
+      val (w1, h1, f1) = Multimodal.ImageIoCodec.decode(kind, text)
+      val (w2, h2, f2) = Multimodal.PortableCodec.decode(kind, text)
+      assert(w1 === w2); assert(h1 === h2); assert(f1.toSeq === f2.toSeq)
+    }
+    same("audio")
+    // image-kinded garbage must degrade, never throw (poison rows at scale)
+    same("image")
+  }
+
+  test("png round trip is lossless: re-encoding decoded pixels is stable") {
+    val bytes = Multimodal.pngBytes(9, 4, 99L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val again = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    }
+    for (y <- 0 until 4; x <- 0 until 9)
+      assert(img.getRGB(x, y) === again.getRGB(x, y))
+  }
 }

@@ -178,4 +178,17 @@ class ScaleOpsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("sharePairs flag yields bit-identical dedup pairs and clusters") {
+    import graft.queries.DedupQueries
+    def run(q: String) = DedupQueries.defs(q)(spark, sf())
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val (pairsOff, clustersOff) = (run("dedup_minhash_pairs"), run("dedup_clusters"))
+    spark.conf.set("spark.graft.dedup.sharePairs", "true")
+    try {
+      val (pairsOn, clustersOn) = (run("dedup_minhash_pairs"), run("dedup_clusters"))
+      assert(pairsOn === pairsOff)
+      assert(clustersOn === clustersOff)
+    } finally spark.conf.unset("spark.graft.dedup.sharePairs")
+  }
 }

@@ -166,6 +166,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer interval join: null-padded rows emit only after the watermark passes") {
+    val clicks = Seq(
+      Ev(10, t(50), 1, "click", 0.0),   // matches user 1's view at t(40)
+      Ev(11, t(200), 2, "click", 0.0))  // user 2's view at t(10) is too old -> unmatched
+    val views = Seq(
+      Ev(20, t(0), 1, "view", 1.0), Ev(21, t(40), 1, "view", 2.0),
+      Ev(22, t(10), 2, "view", 3.0))
+    // batch analog: the unmatched click emits null-padded immediately
+    val batch = Streams.clicksWithRecentViewsOuter(clicks.toDF(), views.toDF())
+      .orderBy("click_id", "v_ts").collect().toSeq
+    assert(batch.map(r => (r.getAs[Long]("click_id"), Option(r.get(2)))) ===
+      Seq((10L, Some(2.0)), (11L, None)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val memC = MemoryStream[Ev]
+    val memV = MemoryStream[Ev]
+    val q = Streams.clicksWithRecentViewsOuter(memC.toDF(), memV.toDF())
+      .writeStream.format("memory").queryName("ssjo").outputMode("append").start()
+    try {
+      memV.addData(views)
+      memC.addData(clicks)
+      q.processAllAvailable()
+      // the unmatched click is neither dropped nor emitted early: with the
+      // watermark still behind t(200), a matching view could yet arrive, so
+      // only the matched row is out and click 11 sits in the join state
+      val early = spark.table("ssjo").collect().toSeq
+      assert(early.map(_.getAs[Long]("click_id")) === Seq(10L),
+        s"unmatched click must be held until the watermark proves absence, got $early")
+      // advance BOTH watermarks (the global watermark is their min) far past
+      // t(200) + within: absence is now proven -> null-padded emission
+      memV.addData(Seq(Ev(98, t(10000), 99, "view", 0.0)))
+      memC.addData(Seq(Ev(99, t(10000), 99, "click", 0.0)))
+      q.processAllAvailable()
+      memV.addData(Seq(Ev(96, t(20000), 99, "view", 0.0)))
+      memC.addData(Seq(Ev(97, t(20000), 99, "click", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("ssjo").filter($"user_id" =!= 99)
+        .orderBy("click_id", "v_ts").collect().toSeq
+      assert(got === batch)
+      val late = got.find(_.getAs[Long]("click_id") == 11L).get
+      assert(late.isNullAt(2) && late.isNullAt(3),
+        s"late emission must be null-padded on the view side, got $late")
+    } finally q.stop()
+  }
+
   test("sliding windows assign each event to width/slide windows") {
     val batch = Streams.slidingCounts(evs.toDF(), "1 hour", "30 minutes")
     // every event lands in exactly 2 sliding windows
