@@ -1,0 +1,86 @@
+package graft.tools
+
+import graft.{Sessions, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical 10x-bench-scale smoke for the dedup pipeline (sf1-equivalent
+  * corpus, ~50k docs when based on sf0.1): validates the 100 TB posture by
+  * RUNNING it instead of asserting it.
+  *
+  * The corpus is synthesized from the driver's sf0.1 documents — `copies`
+  * replicas, each with offset doc_ids and every token suffixed with the
+  * replica tag. Replicas therefore share NO vocabulary: cross-replica
+  * jaccard is 0, so all true near-dup structure is within-replica and pair
+  * density scales linearly with the corpus — the honest shape for a
+  * throughput scale-up (pure duplication would explode quadratic exact-dup
+  * cliques instead).
+  *
+  * Run: SPARK_GRAFT_SMOKE_COPIES=10 sbt "runMain graft.tools.ScaleSmoke"
+  * Asserts completion under SPARK_GRAFT_SMOKE_BUDGET_SEC (default 600) and
+  * within-replica-only pairs; prints one JSON line and writes
+  * scale_smoke.json.
+  */
+object ScaleSmoke {
+
+  /** doc_id offset between replicas — also the replica discriminator. */
+  val Offset = 10000000L
+
+  /** N disjoint-vocabulary replicas of a documents frame. */
+  def replicate(docs: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * Offset)).as("doc_id"),
+        // suffix every token with the replica tag: same token-set geometry
+        // per replica, zero vocabulary overlap across replicas
+        regexp_replace(col("text"), "(\\S+)", s"$$1r$i").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SMOKE_COPIES", "10").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SMOKE_BUDGET_SEC", "600").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sf1").toString
+    val spark = Sessions.withGraftConf(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nBase = Tables.documents(spark, base).count()
+    replicate(Tables.documents(spark, base), copies)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val nDocs = Tables.documents(spark, dir).count()
+    require(nDocs == nBase * copies, s"replication produced $nDocs of ${nBase * copies}")
+
+    def timed(q: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = graft.queries.DedupQueries.defs(q)(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (tPairs, nPairs) = timed("dedup_minhash_pairs")
+    val (tClusters, nClusters) = timed("dedup_clusters")
+
+    // every verified pair must be within one replica (vocabularies are
+    // disjoint, so a cross-replica pair means the pipeline is broken)
+    val cross = graft.queries.DedupQueries.defs("dedup_minhash_pairs")(spark, dir)
+      .filter(floor(col("doc_a") / Offset) =!= floor(col("doc_b") / Offset)).count()
+    require(cross == 0L, s"$cross cross-replica pairs — vocabulary leak")
+    require(nClusters == nDocs, s"clusters must label every doc: $nClusters != $nDocs")
+    val total = tPairs + tClusters
+    require(total <= budgetSec,
+      f"budget blown: pairs $tPairs%.1fs + clusters $tClusters%.1fs > ${budgetSec}s")
+
+    val json =
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"pairs":$nPairs,"clusters":$nClusters,"budget_sec":$budgetSec}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+    println(json)
+  }
+}

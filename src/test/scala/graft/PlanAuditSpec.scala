@@ -137,4 +137,18 @@ class PlanAuditSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(plan).isDefined, plan)
   }
+
+  test("sim_lsh_banded: the band pairing is an equi-join, never a cartesian") {
+    val plan = finalPlan(SimilarityQueries.lshBanded(spark, sf()))
+    // OR-across-bands must execute as the exploded band equi-join, not a
+    // cross join with an OR predicate — at 100 TB that is the whole design
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sim_lsh_multiprobe: probe expansion joins on the bucket key only") {
+    val plan = finalPlan(SimilarityQueries.lshMultiprobe(spark, sf()))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
