@@ -88,6 +88,30 @@ object DedupQueries {
     Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** SimHash near-dup pairs at Hamming distance <= 3, blocked by pigeonhole
+    * banding: the 60-bit simhash splits into 4 bands of 15 bits, and any
+    * pair within distance 3 must agree EXACTLY on at least one band (3 bit
+    * flips can touch at most 3 of the 4 bands) — so candidates come from
+    * the same first-matching-band equi-join the MinHash path uses, never an
+    * all-pairs comparison. Verification is one codegen'd
+    * `bit_count(xor)` per candidate. The sibling to jaccard-verified
+    * MinHash: one 64-bit fingerprint per doc instead of a K-hash signature,
+    * the cheapest near-dup pass a 100 TB pipeline runs first.
+    */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+    val banded = sh.select(col("doc_id") +: (0 until 4).map { j =>
+      shiftrightunsigned(col("simhash"), 15 * j).bitwiseAND(lit(0x7fffL)).as(s"band$j")
+    }: _*)
+    val cand = Dedup.lshCandidatePairs(banded, "doc_id", 4)
+    cand.join(sh.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+              bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Token-3-gram Jaccard near-dup pairs, blocked by (lang, n_chars±5).
     * The Spark plan uses banded buckets (floor(n_chars/10), probe ±1 band)
     * so the range predicate becomes an equi-join — the scalable form of a
@@ -145,6 +169,7 @@ object DedupQueries {
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_clusters" -> (clusters _),
     "dedup_simhash" -> (simhash _),
+    "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_ngram_pairs" -> (ngramPairs _),
     "dedup_embedding" -> (embeddingPairs _),
   )
@@ -164,6 +189,24 @@ object DedupQueries {
     val parts = (j * R until (j + 1) * R).map(i => s"m$i").mkString(" || ")
     s"md5($parts) AS band$j"
   }.mkString(",\n  ")
+
+  private val simhashCtes =
+    """tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      |  WHERE token <> '' GROUP BY doc_id, token),
+      |th AS (
+      |  SELECT doc_id, tf, CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) AS h FROM tf),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN sum(tf * (2 * ((h >> CAST(b AS INTEGER)) & 1) - 1)) > 0
+      |         THEN 1 ELSE 0 END AS vote
+      |  FROM th, (SELECT unnest(range(0, 60)) AS b) bs
+      |  GROUP BY doc_id, b),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(sum(vote * (CAST(1 AS BIGINT) << CAST(b AS INTEGER))) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
 
   private val sigBandsCtes =
     s"""$tokCte,
@@ -249,21 +292,23 @@ object DedupQueries {
          |       (id = min(root)) AS keeper
          |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
-      """WITH tf AS (
-        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
-        |  WHERE token <> '' GROUP BY doc_id, token),
-        |th AS (
-        |  SELECT doc_id, tf, CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) AS h FROM tf),
-        |bits AS (
-        |  SELECT doc_id, b,
-        |    CASE WHEN sum(tf * (2 * ((h >> CAST(b AS INTEGER)) & 1) - 1)) > 0
-        |         THEN 1 ELSE 0 END AS vote
-        |  FROM th, (SELECT unnest(range(0, 60)) AS b) bs
-        |  GROUP BY doc_id, b)
-        |SELECT doc_id,
-        |  CAST(sum(vote * (CAST(1 AS BIGINT) << CAST(b AS INTEGER))) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCtes,
+         |bl AS (
+         |  SELECT doc_id, (simhash >> CAST(15 * j AS INTEGER)) & 32767 AS bv, j
+         |  FROM sh, range(0, 4) AS r(j)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bl x JOIN bl y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT c.a AS doc_a, c.b AS doc_b,
+         |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+         |FROM cand c
+         |JOIN sh sa ON c.a = sa.doc_id
+         |JOIN sh sb ON c.b = sb.doc_id
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, lang, n_chars,
