@@ -194,4 +194,68 @@ object GraftAlgoProperties extends Properties("graft.algo") {
         .select("sk").as[Array[Byte]].head()
       java.util.Arrays.equals(unioned, oneShot)
     }
+
+  private def vecsGen: Gen[(Seq[Seq[Double]], Int)] = for {
+    dim <- Gen.chooseNum(2, 6)
+    n <- Gen.chooseNum(9, 24) // >= 8 anchors + 1
+    vecs <- Gen.listOfN(n, Gen.listOfN(dim,
+      Gen.chooseNum(-100, 100).map(_ / 10.0)))
+  } yield (vecs, dim)
+
+  /** Plain-Scala reference of withBandedCodes (centered bits, 4x2 bands). */
+  private def refBandedCodes(vecs: Seq[Seq[Double]]): Map[Long, Seq[Long]] = {
+    val anchors = vecs.take(8)
+    vecs.zipWithIndex.map { case (v, id) =>
+      val dots = anchors.map(a => v.zip(a).foldLeft(0.0) { case (s, (x, y)) => s + x * y })
+      val t = dots.reduceLeft(_ + _) / 8.0
+      val bits = dots.map(d => if (d > t) 1L else 0L)
+      val bands = (0 until 4).map(b => bits(b * 2) + 2L * bits(b * 2 + 1))
+      (id.toLong, bands)
+    }.toMap
+  }
+
+  property("withBandedCodes equals a plain-Scala reference on random vectors") =
+    Prop.forAll(vecsGen) { case (vecs, _) =>
+      import spark.implicits._
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+      val anchors = df.filter($"vec_id" < 8).select($"vec_id".as("aid"), $"v".as("av"))
+      val got = graft.operators.Similarity.withBandedCodes(df, anchors, bandBits = 2)
+        .select("vec_id", "bands").as[(Long, Seq[Long])].collect().toMap
+      got == refBandedCodes(vecs)
+    }
+
+  property("bandCandidates = brute-force any-band-agreement pair set, exactly once") =
+    Prop.forAll(vecsGen) { case (vecs, _) =>
+      import spark.implicits._
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+      val anchors = df.filter($"vec_id" < 8).select($"vec_id".as("aid"), $"v".as("av"))
+      val coded = graft.operators.Similarity.withBandedCodes(df, anchors, bandBits = 2)
+      val q = coded.select($"vec_id".as("qid"), $"v".as("qv"), $"bands".as("qbands"))
+      val got = graft.operators.Similarity.bandCandidates(coded, q, nBands = 4)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSeq
+      val codes = refBandedCodes(vecs)
+      val want = for {
+        (q1, bq) <- codes.toSeq; (c, bc) <- codes.toSeq
+        if (0 until 4).exists(b => bq(b) == bc(b))
+      } yield (q1, c)
+      // exactly once: the first-matching-band rule must emit no duplicates
+      got.size == got.distinct.size && got.toSet == want.toSet
+    }
+
+  property("withProbes: 2^flip distinct probes that include the base bucket") =
+    Prop.forAll(for { (v, d) <- vecsGen; flip <- Gen.chooseNum(1, 4) } yield (v, flip)) {
+      case (vecs, flip) =>
+        import spark.implicits._
+        val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+        val anchors = df.filter($"vec_id" < 8).select($"vec_id".as("aid"), $"v".as("av"))
+        val coded = graft.operators.Similarity.withBuckets(df, anchors)
+        val rows = graft.operators.Similarity.withProbes(coded, anchors, flip)
+          .select("bucket", "probes").as[(Long, Seq[Long])].collect()
+        rows.forall { case (bucket, probes) =>
+          probes.size == (1 << flip) &&
+            probes.distinct.size == probes.size &&
+            probes.contains(bucket) &&
+            probes.forall(p => p >= 0L && p < 256L)
+        }
+    }
 }

@@ -211,6 +211,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark actually evicts window state (bounded state at scale)") {
+    // 100 events in distinct hours: without eviction the state store would
+    // hold all 100 windows; with a 2h watermark trailing the max event time,
+    // finalized windows must leave the store. This is the mechanism that
+    // bounds state at 100 TB/day — asserted, not assumed.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(mem.toDF()).writeStream
+      .format("memory").queryName("evict").outputMode("append").start()
+    try {
+      for (batch <- 0 until 4) {
+        mem.addData((0 until 25).map { i =>
+          val h = batch * 25 + i
+          Ev(h.toLong, t(h * 60L), 1, "view", 1.0)
+        })
+        q.processAllAvailable()
+      }
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty, "windowed agg must report a state operator")
+      val rows = state.map(_.numRowsTotal).sum
+      // watermark = max(ts) - 2h: only the last ~3 unfinalized windows may
+      // remain; 100 retained rows would mean eviction never happened
+      assert(rows <= 10, s"state store holds $rows rows — watermark not evicting")
+      // and the finalized windows were emitted downstream, not dropped
+      assert(spark.table("evict").count() >= 90)
+    } finally q.stop()
+  }
+
   test("sliding windows assign each event to width/slide windows") {
     val batch = Streams.slidingCounts(evs.toDF(), "1 hour", "30 minutes")
     // every event lands in exactly 2 sliding windows
