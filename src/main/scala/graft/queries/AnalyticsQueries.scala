@@ -40,6 +40,20 @@ object AnalyticsQueries {
         round(max(col("o_totalprice")), 2).as("mx"))
       .orderBy("prio")
 
+  /** Bivariate aggregates per return flag: Pearson correlation and sample
+    * covariance of quantity vs extended price. Rounded AFTER aggregation:
+    * both engines accumulate in different orders, but corr/covar are
+    * normalized ratios whose ~1e-14 relative drift vanishes at 4 decimals.
+    */
+  def corrCovar(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qp_corr"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("qd_covar"),
+        count(lit(1)).as("n"))
+      .orderBy("flag")
+
   /** Datetime kit: extract/trunc/diff/add over order dates. */
   def datetime(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -57,6 +71,7 @@ object AnalyticsQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c5b_rank_family" -> (ranks _),
     "c5c_stats" -> (stats _),
+    "c5d_corr" -> (corrCovar _),
     "c7c_datetime" -> (datetime _),
   )
 
@@ -81,6 +96,12 @@ object AnalyticsQueries {
         |  round(min(o_totalprice), 2) AS mn,
         |  round(max(o_totalprice), 2) AS mx
         |FROM orders GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
+    "c5d_corr" ->
+      """SELECT l_returnflag AS flag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qp_corr,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS qd_covar,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin,
     "c7c_datetime" ->
       """SELECT o_orderkey,
         |  CAST(extract('year' FROM o_orderdate) AS BIGINT) AS yr,

@@ -49,6 +49,7 @@ class QueriesSpec extends SparkSpec {
     "sim_centroid" -> 10L,
     "c5b_rank_family" -> 15L,
     "c5c_stats" -> 5L,
+    "c5d_corr" -> 3L,
     "c7c_datetime" -> 6L,
     "c8b_from_json" -> 5L,
     "c9b_sliding" -> 1504L,
