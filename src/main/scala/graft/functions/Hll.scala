@@ -82,22 +82,25 @@ object HllRegisters {
     case _ => false
   }
 
-  /** 64-bit value hash per supported input type (internal representations). */
-  def hasher(dt: DataType): Any => Long = dt match {
+  /** 64-bit value hash per supported input type (internal representations).
+    * Seed-parameterized so other sketches (CMS) can derive independent hash
+    * rows from the same type dispatch.
+    */
+  def hasher(dt: DataType, seed: Long = Seed): Any => Long = dt match {
     case LongType | TimestampType | TimestampNTZType =>
-      v => XXH64.hashLong(v.asInstanceOf[Long], Seed)
-    case IntegerType | DateType => v => XXH64.hashLong(v.asInstanceOf[Int].toLong, Seed)
-    case ShortType              => v => XXH64.hashLong(v.asInstanceOf[Short].toLong, Seed)
-    case ByteType               => v => XXH64.hashLong(v.asInstanceOf[Byte].toLong, Seed)
-    case BooleanType            => v => XXH64.hashLong(if (v.asInstanceOf[Boolean]) 1L else 0L, Seed)
+      v => XXH64.hashLong(v.asInstanceOf[Long], seed)
+    case IntegerType | DateType => v => XXH64.hashLong(v.asInstanceOf[Int].toLong, seed)
+    case ShortType              => v => XXH64.hashLong(v.asInstanceOf[Short].toLong, seed)
+    case ByteType               => v => XXH64.hashLong(v.asInstanceOf[Byte].toLong, seed)
+    case BooleanType            => v => XXH64.hashLong(if (v.asInstanceOf[Boolean]) 1L else 0L, seed)
     case FloatType =>
-      v => XXH64.hashLong(java.lang.Double.doubleToLongBits(v.asInstanceOf[Float].toDouble), Seed)
+      v => XXH64.hashLong(java.lang.Double.doubleToLongBits(v.asInstanceOf[Float].toDouble), seed)
     case DoubleType =>
-      v => XXH64.hashLong(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), Seed)
-    case StringType => v => XXH64.hashUTF8String(v.asInstanceOf[UTF8String], Seed)
+      v => XXH64.hashLong(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), seed)
+    case StringType => v => XXH64.hashUTF8String(v.asInstanceOf[UTF8String], seed)
     case BinaryType => v => {
       val b = v.asInstanceOf[Array[Byte]]
-      XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, Seed)
+      XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
     }
     case other => throw new IllegalStateException(s"unsupported HLL input type $other")
   }

@@ -107,5 +107,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("hll_estimate"),
       info("hll_estimate", classOf[graft.functions.HllEstimate]),
       graft.functions.Hll.estimateBuilder))
+    e.injectFunction((FunctionIdentifier("cms_sketch"),
+      info("cms_sketch", classOf[graft.functions.CmsSketchAgg]),
+      graft.functions.Cms.sketchBuilder))
+    e.injectFunction((FunctionIdentifier("cms_merge"),
+      info("cms_merge", classOf[graft.functions.CmsMergeAgg]),
+      graft.functions.Cms.mergeBuilder))
+    e.injectFunction((FunctionIdentifier("cms_query"),
+      info("cms_query", classOf[graft.functions.CmsQuery]),
+      graft.functions.Cms.queryBuilder))
   }
 }

@@ -29,11 +29,19 @@ class GraftExtensionsSpec extends SparkSpec {
         """SELECT
           |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
           |  bitset_intersect(map(0L, 3L), map(0L, 1L)) AS bi,
-          |  hll_estimate(hll_sketch(x)) AS est
+          |  hll_estimate(hll_sketch(x)) AS est,
+          |  cms_query(cms_sketch(x, 5, 64), 2L) AS freq
           |FROM VALUES (1L), (2L), (2L) AS t(x)""".stripMargin).head()
       assert(row.getDouble(0) === 1.0)
       assert(row.getLong(1) === 1L)
       assert(row.getLong(2) === 2L)
+      assert(row.getLong(3) === 2L)
+      // cms_merge resolves too (separate query: aggregates can't nest)
+      val merged = s2.sql(
+        """SELECT cms_query(cms_merge(sk, 5, 64), 2L) AS freq FROM (
+          |  SELECT cms_sketch(x, 5, 64) AS sk
+          |  FROM VALUES (1L), (2L), (2L) AS t(x) GROUP BY x % 2)""".stripMargin).head()
+      assert(merged.getLong(0) === 2L)
       // the optimizer rule is active at build time: a constant-false unpivot
       // branch is pruned from Expand
       import s2.implicits._

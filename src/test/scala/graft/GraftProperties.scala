@@ -195,6 +195,28 @@ object GraftAlgoProperties extends Properties("graft.algo") {
       java.util.Arrays.equals(unioned, oneShot)
     }
 
+  property("cms: upper bound always, merge-of-partials byte-equals one-shot") =
+    Prop.forAll(for {
+      n <- Gen.chooseNum(1, 60)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0L, 12L)) // heavy collisions
+      parts <- Gen.chooseNum(2, 4)
+    } yield (xs, parts)) { case (xs, parts) =>
+      import spark.implicits._
+      import graft.functions.Cms
+      Cms.register(spark)
+      val df = xs.zipWithIndex.map { case (x, i) => (x, i % parts) }.toDF("x", "g")
+      val oneShot = df.agg(Cms.sketch($"x", 4, 32).as("sk"))
+        .select($"sk").as[Array[Byte]].head()
+      val merged = df.groupBy("g").agg(Cms.sketch($"x", 4, 32).as("sk"))
+        .agg(Cms.merge($"sk", 4, 32).as("sk")).select($"sk").as[Array[Byte]].head()
+      val truth = xs.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      val skDf = df.agg(Cms.sketch($"x", 4, 32).as("sk"))
+      val bounds = truth.forall { case (k, t) =>
+        skDf.select(graft.functions.Cms.query($"sk", lit(k))).as[Long].head() >= t
+      }
+      java.util.Arrays.equals(oneShot, merged) && bounds
+    }
+
   private def vecsGen: Gen[(Seq[Seq[Double]], Int)] = for {
     dim <- Gen.chooseNum(2, 6)
     n <- Gen.chooseNum(9, 24) // >= 8 anchors + 1
