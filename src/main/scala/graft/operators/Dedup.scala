@@ -121,13 +121,14 @@ object Dedup {
       .select(col(s"a_$idCol").as("a"), col(s"b_$idCol").as("b"))
   }
 
-  /** Exact Jaccard for candidate pairs via packed 64-bit token bitmasks:
-    * tokens get dense ids from a distributed vocabulary numbering, each
-    * doc's set becomes a map word->bitmask, and |A∩B| is a popcount loop —
-    * constant small work per pair instead of per-token joins or
-    * string-array intersections. Exact, not approximate; identical results
-    * to [[jaccardVerify]] (the id→token bijection only relabels bits, so
-    * intersection popcounts are invariant).
+  /** Exact set-overlap statistics `(a, b, n_inter, sz_a, sz_b)` for
+    * candidate pairs via packed 64-bit token bitmasks: tokens get dense ids
+    * from a distributed vocabulary numbering, each doc's set becomes a map
+    * word->bitmask, and |A∩B| is a popcount loop — constant small work per
+    * pair instead of per-token joins or string-array intersections. Exact,
+    * not approximate (the id→token bijection only relabels bits, so
+    * intersection popcounts are invariant). Jaccard, containment, overlap
+    * coefficient etc. are one projection away ([[jaccardVerifyBitset]]).
     *
     * Scale posture: nothing here is vocabulary-sized on a single node — id
     * assignment is a bucketed window + a B-row offset join, and the
@@ -139,8 +140,8 @@ object Dedup {
     *   parallelism of the vocabulary-numbering window — raise it for very
     *   large vocabularies (target ~10^5–10^6 tokens per bucket).
     */
-  def jaccardVerifyBitset(cand: DataFrame, tokenRows: DataFrame, idCol: String,
-                          idBuckets: Int = 1 << 10): DataFrame = {
+  def bitsetPairStats(cand: DataFrame, tokenRows: DataFrame, idCol: String,
+                      idBuckets: Int = 1 << 10): DataFrame = {
     require(idBuckets > 0, s"idBuckets must be positive, got $idBuckets")
     // Distributed dense-id assignment, entirely inside Catalyst (no RDD
     // round-trip, no extra zipWithIndex job): hash each distinct token into
@@ -185,10 +186,17 @@ object Dedup {
     val inter = graft.functions.BitsetFunctions.bitsetIntersect(col("__ma"), col("__mb"))
     cand.join(ma, "a").join(mb, "b") // AQE broadcasts when the mask table is small
       .withColumn("__i", inter)
-      .select(col("a"), col("b"),
-              (col("__i").cast("double") /
-               (col("__za") + col("__zb") - col("__i")).cast("double")).as("jaccard"))
+      .select(col("a"), col("b"), col("__i").as("n_inter"),
+              col("__za").as("sz_a"), col("__zb").as("sz_b"))
   }
+
+  /** Exact Jaccard for candidate pairs via [[bitsetPairStats]]'s popcounts. */
+  def jaccardVerifyBitset(cand: DataFrame, tokenRows: DataFrame, idCol: String,
+                          idBuckets: Int = 1 << 10): DataFrame =
+    bitsetPairStats(cand, tokenRows, idCol, idBuckets)
+      .select(col("a"), col("b"),
+              (col("n_inter").cast("double") /
+               (col("sz_a") + col("sz_b") - col("n_inter")).cast("double")).as("jaccard"))
 
   /** Exact Jaccard similarity for candidate pairs over distinct-element set
     * arrays. `docSets` is (idCol, set: array<string>) with distinct elements.

@@ -149,6 +149,45 @@ object DedupQueries {
       .limit(20)
   }
 
+  /** Train/eval contamination detection by shingle CONTAINMENT: for each
+    * "eval" document (doc_id % 10 = 0), find "train" documents containing
+    * >= 50% of the eval doc's 3-gram shingles — |eval ∩ train| / |eval|.
+    * Containment, not jaccard: a short eval doc buried inside a long train
+    * doc has low jaccard but high containment, which is exactly the
+    * benchmark-leakage signal a training pipeline must catch.
+    *
+    * Blocking is a RARE-shingle inverted index (document frequency <= 5):
+    * a contaminated pair shares many shingles, so it shares a rare one with
+    * near-certainty, while the rare-df cap bounds the index fan-out — each
+    * posting list joins at most df eval-side rows. Verification reuses the
+    * bitset popcount machinery via [[Dedup.bitsetPairStats]].
+    */
+  def containment(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+              Dedup.ngramShingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .localCheckpoint(true)
+    val shr = base.select(col("doc_id"), explode(col("sh")).as("token"))
+    val rare = shr.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 5).select("token")
+    val evalShr = shr.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("a"), col("token"))
+    val trainShr = shr.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("b"), col("token"))
+    val cand = evalShr.join(rare, "token").join(trainShr, "token")
+      .select("a", "b").distinct()
+    Dedup.bitsetPairStats(cand, shr, "doc_id")
+      .filter(col("sz_a") > 0)
+      // filter on the UNROUNDED ratio (the oracle's WHERE does too — a
+      // boundary value that rounds up to 0.5 must not diverge), round only
+      // for output
+      .withColumn("__c", col("n_inter").cast("double") / col("sz_a").cast("double"))
+      .filter(col("__c") >= 0.5)
+      .select(col("a").as("eval_id"), col("b").as("train_id"),
+              round(col("__c"), 4).as("containment"))
+      .orderBy("eval_id", "train_id")
+  }
+
   /** Embedding-cosine near-dup: candidate pairs share (label, LSH bucket);
     * top-20 by rounded cosine.
     */
@@ -178,6 +217,7 @@ object DedupQueries {
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_ngram_pairs" -> (ngramPairs _),
+    "dedup_containment" -> (containment _),
     "dedup_embedding" -> (embeddingPairs _),
   )
 
@@ -342,6 +382,29 @@ object DedupQueries {
         |JOIN sz sa ON i.a = sa.doc_id
         |JOIN sz sb ON i.b = sb.doc_id
         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "dedup_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM documents) t),
+        |shr AS (SELECT doc_id, unnest(sh) AS g FROM d),
+        |rare AS (SELECT g FROM shr GROUP BY g HAVING count(*) <= 5),
+        |ev AS (SELECT doc_id AS a, g FROM shr WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id AS b, g FROM shr WHERE doc_id % 10 <> 0),
+        |cand AS (SELECT DISTINCT ev.a, tr.b FROM ev JOIN rare USING (g) JOIN tr USING (g)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shr GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM cand c JOIN shr xa ON c.a = xa.doc_id
+        |  JOIN shr xb ON c.b = xb.doc_id AND xa.g = xb.g
+        |  GROUP BY c.a, c.b)
+        |SELECT i.a AS eval_id, i.b AS train_id,
+        |  round(CAST(i.n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE), 4) AS containment
+        |FROM inter i JOIN sz sa ON i.a = sa.doc_id
+        |WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.5
+        |ORDER BY eval_id, train_id""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
         |a8 AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < 8),

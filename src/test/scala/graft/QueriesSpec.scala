@@ -39,6 +39,7 @@ class QueriesSpec extends SparkSpec {
     "dedup_minhash_sigs" -> 500L,
     "dedup_simhash" -> 500L,
     "dedup_simhash_pairs" -> 25L,
+    "dedup_containment" -> 10L,
     "dedup_ngram_pairs" -> 20L,
     "dedup_minhash_pairs" -> 47265L,
     "dedup_clusters" -> 500L,
