@@ -87,6 +87,15 @@ object Streams {
               col("view_value"), col("v_ts"))
   }
 
+  /** Stream-static enrichment: each streaming event joined to a STATIC
+    * dimension frame. No watermark and no state store involved — the static
+    * side is re-planned per micro-batch, and broadcasting it keeps the
+    * stream side shuffle-free: the standard shape for attaching
+    * slowly-changing metadata to a 100 TB/day event stream.
+    */
+  def enriched(events: DataFrame, dims: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(broadcast(dims), Seq(key), "left")
+
   /** Streaming dedup with bounded state: duplicates arriving within the
     * watermark delay of each other collapse to one row
     * (`dropDuplicatesWithinWatermark`); a duplicate arriving after state

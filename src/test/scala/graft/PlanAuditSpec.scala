@@ -151,4 +151,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("dedup_simhash_pairs and dedup_containment pair via equi-joins only") {
+    for (q <- Seq(DedupQueries.simhashPairs(spark, sf()),
+                  DedupQueries.containment(spark, sf()))) {
+      val plan = finalPlan(q)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
 }

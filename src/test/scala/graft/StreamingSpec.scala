@@ -211,6 +211,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment matches the batch join, stateless") {
+    val dims = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val batch = Streams.enriched(evs.toDF(), dims)
+      .select($"event_id", $"tier").orderBy("event_id").collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.enriched(mem.toDF(), dims).writeStream
+      .format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      mem.addData(evs)
+      q.processAllAvailable()
+      val got = spark.table("enrich")
+        .select($"event_id", $"tier").orderBy("event_id").collect().toSeq
+      assert(got === batch)
+      // user 3 has no dim row -> left join keeps it null-padded
+      assert(got.filter(_.getLong(0) == 6L).head.isNullAt(1))
+      // stream-static involves NO state store (nothing to watermark/evict)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("watermark actually evicts window state (bounded state at scale)") {
     // 100 events in distinct hours: without eviction the state store would
     // hold all 100 windows; with a 2h watermark trailing the max event time,
