@@ -161,6 +161,12 @@ object DedupQueries {
     * near-certainty, while the rare-df cap bounds the index fan-out — each
     * posting list joins at most df eval-side rows. Verification reuses the
     * bitset popcount machinery via [[Dedup.bitsetPairStats]].
+    *
+    * Scale note: masks are built for the whole corpus here (at this fixture
+    * that is cheaper than extra shuffles); when candidates ≪ corpus — the
+    * expected 100 TB regime — semi-join `shr` down to candidate
+    * participants first so mask/vocabulary cost tracks the candidate set,
+    * not the corpus.
     */
   def containment(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)

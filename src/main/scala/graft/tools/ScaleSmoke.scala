@@ -65,6 +65,8 @@ object ScaleSmoke {
     }
     val (tPairs, nPairs) = timed("dedup_minhash_pairs")
     val (tClusters, nClusters) = timed("dedup_clusters")
+    val (tNgram, nNgram) = timed("dedup_ngram_pairs")
+    val (tContain, nContain) = timed("dedup_containment")
 
     // every verified pair must be within one replica (vocabularies are
     // disjoint, so a cross-replica pair means the pipeline is broken)
@@ -72,12 +74,13 @@ object ScaleSmoke {
       .filter(floor(col("doc_a") / Offset) =!= floor(col("doc_b") / Offset)).count()
     require(cross == 0L, s"$cross cross-replica pairs — vocabulary leak")
     require(nClusters == nDocs, s"clusters must label every doc: $nClusters != $nDocs")
-    val total = tPairs + tClusters
+    require(nNgram > 0 && nContain > 0, s"ngram=$nNgram containment=$nContain must find pairs")
+    val total = tPairs + tClusters + tNgram + tContain
     require(total <= budgetSec,
-      f"budget blown: pairs $tPairs%.1fs + clusters $tClusters%.1fs > ${budgetSec}s")
+      f"budget blown: pairs $tPairs%.1f + clusters $tClusters%.1f + ngram $tNgram%.1f + containment $tContain%.1f > ${budgetSec}s")
 
     val json =
-      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"pairs":$nPairs,"clusters":$nClusters,"budget_sec":$budgetSec}"""
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"budget_sec":$budgetSec}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
