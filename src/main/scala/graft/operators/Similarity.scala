@@ -121,7 +121,7 @@ object Similarity {
     require(flip <= 16, "2^flip probes per query — cap flip at 16")
     // (|margin|, aid) structs; array_sort's default struct ordering is
     // lexicographic = margin asc, aid asc — the deterministic weak-bit order
-    val margins = array(collected.map { case (aid, av) =>
+    val margins = array(collected.toIndexedSeq.map { case (aid, av) =>
       val litAnchor = array(av.map(lit): _*)
       struct(abs(dot(col("v"), litAnchor)).as("m"), lit(aid.toInt).as("aid"))
     }: _*)

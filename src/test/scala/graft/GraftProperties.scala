@@ -217,6 +217,19 @@ object GraftAlgoProperties extends Properties("graft.algo") {
       java.util.Arrays.equals(oneShot, merged) && bounds
     }
 
+  property("ImageIoCodec recovers true dimensions from any generated PNG") =
+    Prop.forAll(for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 40)
+      seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield (w, h, seed)) { case (w, h, seed) =>
+      import graft.multimodal.Multimodal
+      val (gw, gh, f) = Multimodal.ImageIoCodec.decode(
+        "image", Multimodal.pngBytes(w, h, seed))
+      gw == w && gh == h && f.length == 8 &&
+        f.forall(v => v >= 0.0 && v <= 255.0)
+    }
+
   private def vecsGen: Gen[(Seq[Seq[Double]], Int)] = for {
     dim <- Gen.chooseNum(2, 6)
     n <- Gen.chooseNum(9, 24) // >= 8 anchors + 1
