@@ -64,6 +64,12 @@ object ScaleSmoke {
       ((System.nanoTime() - t0) / 1e9, n)
     }
     val (tPairs, nPairs) = timed("dedup_minhash_pairs")
+    // AQE must keep the pair-join output exchange bounded: 43.9M pairs at
+    // 10x scale should coalesce to a modest partition count, not fan out
+    val pairParts = graft.queries.DedupQueries.defs("dedup_minhash_pairs")(spark, dir)
+      .rdd.getNumPartitions
+    require(pairParts <= 8 * cpus.toInt,
+      s"pair-join exchange unbounded: $pairParts partitions")
     val (tClusters, nClusters) = timed("dedup_clusters")
     val (tNgram, nNgram) = timed("dedup_ngram_pairs")
     val (tContain, nContain) = timed("dedup_containment")
