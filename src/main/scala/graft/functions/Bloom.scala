@@ -1,0 +1,320 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+
+/** Mergeable Bloom filters — the MEMBERSHIP third of the sketch family
+  * (HLL = distinct counts, CMS = point frequencies, Bloom = "have I seen
+  * this key?"). The 100 TB use cases are join pruning and decontamination:
+  * build one small filter over the small/driving side's keys (a blocklist,
+  * an eval-set shingle table, the qualifying keys of a selective dim
+  * filter), OR-merge the per-partition filters into one broadcastable
+  * value, and drop big-side rows that cannot match BEFORE they reach the
+  * shuffle/join — a no-false-negative prefilter, so following it with the
+  * exact join keeps results exact while the exchange carries only the
+  * (tiny) candidate superset.
+  *
+  * Standard Bloom (Bloch/Kirsch–Mitzenmacher construction): an m-bit array;
+  * each value sets k bits at `floorMod(h1 + i*h2, m)`, i in [0, k) — double
+  * hashing over two independent XXH64 value hashes (h2 forced odd).
+  * Membership tests the same k bits: all set → "maybe" (false-positive rate
+  * ≈ (1 - e^{-kn/m})^k), any clear → definitely absent. Merging filters of
+  * the same shape is bitwise OR, so `merge(bloom(A), bloom(B))` is
+  * byte-identical to `bloom(A ++ B)` — pinned exactly by BloomSpec, like
+  * the HLL/CMS equality tests.
+  *
+  * Sketch bytes are self-describing: `[numBits:int][numHashes:int]` header
+  * then the bit words, so a stored filter (e.g. a published benchmark's
+  * fingerprint blocklist) can be validated and queried standalone.
+  */
+object BloomFilterBits {
+  val SeedA = 0xc2b2ae35L
+  val SeedB = 0x27d4eb2fL
+
+  def numWords(numBits: Int): Int = (numBits + 63) >>> 6
+
+  def emptyBuffer(numBits: Int): Array[Long] = new Array[Long](numWords(numBits))
+
+  /** Bit index for hash row i via Kirsch–Mitzenmacher double hashing. */
+  def bit(h1: Long, h2: Long, i: Int, numBits: Int): Int =
+    java.lang.Math.floorMod(h1 + i.toLong * h2, numBits.toLong).toInt
+
+  def add(buf: Array[Long], h1: Long, h2: Long, numBits: Int, numHashes: Int): Unit = {
+    var i = 0
+    while (i < numHashes) {
+      val b = bit(h1, h2, i, numBits)
+      buf(b >>> 6) |= 1L << (b & 63)
+      i += 1
+    }
+  }
+
+  def mightContain(buf: Array[Long], h1: Long, h2: Long,
+                   numBits: Int, numHashes: Int): Boolean = {
+    var i = 0
+    while (i < numHashes) {
+      val b = bit(h1, h2, i, numBits)
+      if ((buf(b >>> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** In-place bitwise OR of `b` into `a`. */
+  def mergeInto(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a.length == b.length,
+      s"cannot merge Bloom filters of different sizes (${a.length} vs ${b.length} words)")
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  /** [numBits][numHashes] header + bit words, big-endian. */
+  def serialize(buf: Array[Long], numBits: Int, numHashes: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 * buf.length)
+    bb.putInt(numBits).putInt(numHashes)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  /** (numBits, numHashes, words) from filter bytes, shape-validated. */
+  def deserialize(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+    require(bytes.length >= 8, s"Bloom filter too short: ${bytes.length} bytes")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val numBits = bb.getInt()
+    val numHashes = bb.getInt()
+    require(numBits > 0 && numHashes > 0 &&
+      bytes.length == 8 + 8 * numWords(numBits),
+      s"corrupt Bloom filter: bits=$numBits hashes=$numHashes len=${bytes.length}")
+    val buf = new Array[Long](numWords(numBits))
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong(); i += 1 }
+    (numBits, numHashes, buf)
+  }
+
+  /** (h1, h2) value hashes; h2 forced odd so hash rows stay independent
+    * mod any (even) bit count.
+    */
+  def hashers(dt: DataType): (Any => Long, Any => Long) = {
+    val a = HllRegisters.hasher(dt, SeedA)
+    val b = HllRegisters.hasher(dt, SeedB)
+    (a, v => b(v) | 1L)
+  }
+}
+
+/** `bloom_agg(col, numBits, numHashes)` — aggregate raw values into a Bloom
+  * filter (`binary`). Partials build local bit arrays; the final merge is
+  * bitwise OR.
+  */
+case class BloomAgg(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(numBits >= 64 && numBits <= (1 << 27),
+    s"numBits must be in [64, 2^27], got $numBits")
+  require(numHashes >= 1 && numHashes <= 16,
+    s"numHashes must be in [1, 16], got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (HllRegisters.supported(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_agg does not support ${child.dataType.sql} input")
+
+  @transient private lazy val (h1, h2) = BloomFilterBits.hashers(child.dataType)
+
+  override def createAggregationBuffer(): Array[Long] =
+    BloomFilterBits.emptyBuffer(numBits)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) BloomFilterBits.add(buf, h1(v), h2(v), numBits, numHashes)
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    BloomFilterBits.mergeInto(a, b)
+
+  override def eval(buf: Array[Long]): Any =
+    BloomFilterBits.serialize(buf, numBits, numHashes)
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    BloomFilterBits.serialize(buf, numBits, numHashes)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val (nb, nh, buf) = BloomFilterBits.deserialize(bytes)
+    require(nb == numBits && nh == numHashes,
+      s"filter shape ($nb bits, $nh hashes) does not match aggregate ($numBits, $numHashes)")
+    buf
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_agg"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomAgg =
+    copy(child = newChild)
+}
+
+/** `bloom_merge(filterCol, numBits, numHashes)` — aggregate stored filters
+  * by bitwise OR: the re-aggregation half of the mergeable story.
+  */
+case class BloomMergeAgg(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(numBits >= 64 && numBits <= (1 << 27),
+    s"numBits must be in [64, 2^27], got $numBits")
+  require(numHashes >= 1 && numHashes <= 16,
+    s"numHashes must be in [1, 16], got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_merge expects a binary filter column, got ${other.sql}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    BloomFilterBits.emptyBuffer(numBits)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val (nb, nh, in) = BloomFilterBits.deserialize(v.asInstanceOf[Array[Byte]])
+      require(nb == numBits && nh == numHashes,
+        s"cannot merge a ($nb, $nh) filter into a ($numBits, $numHashes) aggregate")
+      BloomFilterBits.mergeInto(buf, in)
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    BloomFilterBits.mergeInto(a, b)
+
+  override def eval(buf: Array[Long]): Any =
+    BloomFilterBits.serialize(buf, numBits, numHashes)
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    BloomFilterBits.serialize(buf, numBits, numHashes)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val (nb, nh, buf) = BloomFilterBits.deserialize(bytes)
+    require(nb == numBits && nh == numHashes,
+      s"filter shape ($nb, $nh) does not match aggregate ($numBits, $numHashes)")
+    buf
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_merge"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomMergeAgg =
+    copy(child = newChild)
+}
+
+/** `bloom_contains(filter, value)` — scalar membership probe: false means
+  * DEFINITELY absent (the no-false-negative guarantee the prefilter
+  * pattern rests on); true means "maybe", within the configured
+  * false-positive rate.
+  *
+  * CodegenFallback would deserialize the filter bytes per row; instead the
+  * probe is evaluated per-row but the deserialized words are cached keyed
+  * on the byte array's identity, so a broadcast filter is decoded once per
+  * task, not once per row.
+  */
+case class BloomContains(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case BinaryType =>
+      if (HllRegisters.supported(right.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"bloom_contains does not support ${right.dataType.sql} values")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains expects a binary filter column, got ${other.sql}")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains"
+
+  @transient private lazy val (h1, h2) = BloomFilterBits.hashers(right.dataType)
+
+  // per-task decode cache: the filter is usually ONE broadcast value probed
+  // by millions of rows — reference-identity beats re-parsing bytes per row
+  @transient private var cachedRef: AnyRef = _
+  @transient private var cached: (Int, Int, Array[Long]) = _
+
+  override protected def nullSafeEval(filter: Any, value: Any): Any = {
+    if (!(filter.asInstanceOf[AnyRef] eq cachedRef)) {
+      cached = BloomFilterBits.deserialize(filter.asInstanceOf[Array[Byte]])
+      cachedRef = filter.asInstanceOf[AnyRef]
+    }
+    val (nb, nh, buf) = cached
+    BloomFilterBits.mightContain(buf, h1(value), h2(value), nb, nh)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): BloomContains =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration + Column-level API for the Bloom family. */
+object Bloom {
+  val DefaultBits = 1 << 20  // 128 KiB; ~1% FPR at ~110k keys with 7 hashes
+  val DefaultHashes = 7
+
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what shape must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private[graft] val aggBuilder: Seq[Expression] => Expression = {
+    case Seq(c)       => BloomAgg(c, DefaultBits, DefaultHashes)
+    case Seq(c, m, k) => BloomAgg(c, litInt(m, "bloom_agg"), litInt(k, "bloom_agg"))
+    case other => throw new IllegalArgumentException(
+      s"bloom_agg takes (col[, numBits, numHashes]), got ${other.size} args")
+  }
+  private[graft] val mergeBuilder: Seq[Expression] => Expression = {
+    case Seq(c)       => BloomMergeAgg(c, DefaultBits, DefaultHashes)
+    case Seq(c, m, k) => BloomMergeAgg(c, litInt(m, "bloom_merge"), litInt(k, "bloom_merge"))
+    case other => throw new IllegalArgumentException(
+      s"bloom_merge takes (filter[, numBits, numHashes]), got ${other.size} args")
+  }
+  private[graft] val containsBuilder: Seq[Expression] => Expression = {
+    case Seq(f, v) => BloomContains(f, v)
+    case other => throw new IllegalArgumentException(
+      s"bloom_contains takes (filter, value), got ${other.size} args")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("bloom_agg", aggBuilder, "scala_udf")
+    r.createOrReplaceTempFunction("bloom_merge", mergeBuilder, "scala_udf")
+    r.createOrReplaceTempFunction("bloom_contains", containsBuilder, "scala_udf")
+  }
+
+  def agg(c: Column, numBits: Int = DefaultBits, numHashes: Int = DefaultHashes): Column =
+    call_function("bloom_agg", c, lit(numBits), lit(numHashes))
+  def merge(c: Column, numBits: Int = DefaultBits, numHashes: Int = DefaultHashes): Column =
+    call_function("bloom_merge", c, lit(numBits), lit(numHashes))
+  def contains(filter: Column, value: Column): Column =
+    call_function("bloom_contains", filter, value)
+}

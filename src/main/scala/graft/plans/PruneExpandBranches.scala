@@ -116,5 +116,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("cms_query"),
       info("cms_query", classOf[graft.functions.CmsQuery]),
       graft.functions.Cms.queryBuilder))
+    e.injectFunction((FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", classOf[graft.functions.BloomAgg]),
+      graft.functions.Bloom.aggBuilder))
+    e.injectFunction((FunctionIdentifier("bloom_merge"),
+      info("bloom_merge", classOf[graft.functions.BloomMergeAgg]),
+      graft.functions.Bloom.mergeBuilder))
+    e.injectFunction((FunctionIdentifier("bloom_contains"),
+      info("bloom_contains", classOf[graft.functions.BloomContains]),
+      graft.functions.Bloom.containsBuilder))
   }
 }

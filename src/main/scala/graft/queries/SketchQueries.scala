@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Bloom
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bloom-prefilter query patterns. HLL and CMS are approximate and therefore
+  * engine-tested (HllSpec/CmsSpec), but a Bloom PREFILTER composes into
+  * EXACT queries: Bloom has no false negatives, so following the probe with
+  * the exact join keeps results bit-identical to the plain join while the
+  * shuffle carries only the (tiny) candidate superset. These two queries are
+  * the canonical 100 TB shapes:
+  *
+  *  - join pruning: filter a big fact scan by a broadcast filter built from
+  *    the qualifying keys of a selective dim predicate BEFORE the exact
+  *    semi-join — the exchange shrinks from |fact| to |candidates|;
+  *  - decontamination: an anti-join split where rows the filter rejects are
+  *    provably clean (no false negatives!) and skip the join entirely; only
+  *    "maybe" rows — blocklist hits plus the configured false-positive
+  *    rate — pay for the exact anti-join.
+  *
+  * The oracle states the same queries as plain semi/anti joins: any
+  * false-negative in the filter or slip in the split logic breaks the hash
+  * match.
+  */
+object SketchQueries {
+
+  /** Revenue of lineitems belonging to URGENT orders. The bloom prefilter
+    * runs BEFORE the exact semi-join: one 128 KiB filter over the
+    * qualifying orderkeys, broadcast to the fact scan. At 100 TB the
+    * semi-join's shuffle then carries only rows that can match (plus the
+    * ~1% false-positive tail the exact join removes) instead of the whole
+    * fact table.
+    */
+  def bloomSemiRevenue(s: SparkSession, d: String): DataFrame = {
+    Bloom.register(s)
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val filt = urgent.agg(Bloom.agg(col("o_orderkey")).as("f"))
+    val pruned = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      .crossJoin(broadcast(filt))
+      .filter(Bloom.contains(col("f"), col("l_orderkey")))
+      .drop("f")
+    pruned
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+             .as("revenue"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Decontamination: drop train documents (doc_id % 10 <> 0) whose exact
+    * text hash appears in the eval blocklist (doc_id % 10 = 0), reported as
+    * per-lang survivor stats. The bloom split sends filter-clean rows (the
+    * overwhelming majority of a 100 TB corpus) straight to the output with
+    * NO join; only probe hits pay for the exact anti-join that removes
+    * false positives.
+    */
+  def bloomDecontam(s: SparkSession, d: String): DataFrame = {
+    Bloom.register(s)
+    val docs = Tables.documents(s, d)
+    val blocklist = docs.filter(col("doc_id") % 10 === 0)
+      .select(md5(col("text")).as("h"))
+    val filt = blocklist.agg(Bloom.agg(col("h")).as("f"))
+    val probed = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("lang"), col("n_chars"), md5(col("text")).as("h"))
+      .crossJoin(broadcast(filt))
+      .withColumn("maybe", Bloom.contains(col("f"), col("h")))
+      .drop("f")
+    val clean = probed.filter(!col("maybe"))
+    val verified = probed.filter(col("maybe"))
+      .join(blocklist, Seq("h"), "left_anti")
+    clean.unionByName(verified)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloom_semi_revenue" -> (bloomSemiRevenue _),
+    "bloom_decontam" -> (bloomDecontam _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "bloom_semi_revenue" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "bloom_decontam" ->
+      """WITH ev AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 = 0)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d
+        |WHERE d.doc_id % 10 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM ev WHERE ev.h = md5(d.text))
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+  )
+}

@@ -42,6 +42,14 @@ class GraftExtensionsSpec extends SparkSpec {
           |  SELECT cms_sketch(x, 5, 64) AS sk
           |  FROM VALUES (1L), (2L), (2L) AS t(x) GROUP BY x % 2)""".stripMargin).head()
       assert(merged.getLong(0) === 2L)
+      // the bloom family resolves: agg + merge + contains, no register()
+      val bloomed = s2.sql(
+        """SELECT bloom_contains(bloom_merge(f, 65536, 7), 2L) AS hit,
+          |       bloom_contains(bloom_merge(f, 65536, 7), 999L) AS miss
+          |FROM (SELECT bloom_agg(x, 65536, 7) AS f
+          |      FROM VALUES (1L), (2L), (2L) AS t(x) GROUP BY x % 2)""".stripMargin).head()
+      assert(bloomed.getBoolean(0) === true)
+      assert(bloomed.getBoolean(1) === false)
       // the optimizer rule is active at build time: a constant-false unpivot
       // branch is pruned from Expand
       import s2.implicits._

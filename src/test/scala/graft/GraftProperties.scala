@@ -217,6 +217,35 @@ object GraftAlgoProperties extends Properties("graft.algo") {
       java.util.Arrays.equals(oneShot, merged) && bounds
     }
 
+  property("bloom: no false negatives, OR-merge of any split byte-equals one-shot") =
+    Prop.forAll(for {
+      xs <- Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      parts <- Gen.chooseNum(1, 5)
+      bits <- Gen.oneOf(64, 256, 1024)
+    } yield (xs, parts, bits)) { case (xs, parts, bits) =>
+      import graft.functions.BloomFilterBits
+      import org.apache.spark.sql.types.LongType
+      val (h1, h2) = BloomFilterBits.hashers(LongType)
+      val k = 5
+      def build(vals: Seq[Long]): Array[Long] = {
+        val buf = BloomFilterBits.emptyBuffer(bits)
+        vals.foreach(v => BloomFilterBits.add(buf, h1(v), h2(v), bits, k))
+        buf
+      }
+      val oneShot = build(xs)
+      val merged = xs.zipWithIndex.groupBy(_._2 % parts).values
+        .map(g => build(g.map(_._1)))
+        .foldLeft(BloomFilterBits.emptyBuffer(bits))(BloomFilterBits.mergeInto)
+      val noFalseNeg = xs.forall(v =>
+        BloomFilterBits.mightContain(oneShot, h1(v), h2(v), bits, k))
+      val roundTrip = BloomFilterBits.deserialize(
+        BloomFilterBits.serialize(oneShot, bits, k))
+      Prop.propBoolean(oneShot.toSeq == merged.toSeq) :| "merge != one-shot" &&
+        Prop.propBoolean(noFalseNeg) :| "false negative" &&
+        Prop.propBoolean(roundTrip._1 == bits && roundTrip._2 == k &&
+          roundTrip._3.toSeq == oneShot.toSeq) :| "serialize round-trip"
+    }
+
   property("ImageIoCodec recovers true dimensions from any generated PNG") =
     Prop.forAll(for {
       w <- Gen.chooseNum(1, 40)
