@@ -56,4 +56,52 @@ object Sampling {
     df.filter(key.isNotNull && hash60(key, salt) <
       coalesce(try_element_at(thresholds, strata), lit(0L)))
   }
+
+  /** Deterministic multi-way split: PARTITION the hash space into
+    * consecutive ranges, one per named split, and label each row with the
+    * range its hash falls in. Unlike independent Bernoulli samples, the
+    * splits are disjoint and exhaustive BY CONSTRUCTION — the
+    * train/val/test assignment a data-mixing job must hold stable across
+    * reruns, backfills, and engines. Weights must sum to 1 (±1 ulp is
+    * rejected: an uncovered sliver of hash space would silently drop rows).
+    * Null-key rows are dropped (see [[hash60]]).
+    */
+  def splitAssign(df: DataFrame, key: Column, splits: Seq[(String, Double)],
+                  salt: String = "", splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val h = hash60(key, salt)
+    // the LAST split is the unconditional otherwise-branch: cumulative float
+    // error in its upper bound can never leave a row unassigned
+    val labeled = splitBounds(splits).init.reverse.foldLeft(lit(splits.last._1)) {
+      case (acc, (name, bound)) => when(h < lit(bound), lit(name)).otherwise(acc)
+    }
+    df.filter(key.isNotNull).withColumn(splitCol, labeled)
+  }
+
+  /** Cumulative hash-space upper bounds for [[splitAssign]]'s ranges — the
+    * oracle needs the SAME integer thresholds the Spark plan compares at.
+    */
+  def splitBounds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.map(_._1).zip(bounds.map(threshold))
+  }
+
+  /** Deterministic EXACT-SIZE sample: the k rows per group with the
+    * smallest hash — a fixed per-source budget ("give me exactly 40 docs
+    * per language, the same 40 every run"). Hash order is uniform, so this
+    * is a uniform sample without replacement; `key` breaks hash ties so
+    * the choice is total even under collisions.
+    */
+  def topKByHash(df: DataFrame, group: Column, key: Column, k: Int,
+                 salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(group).orderBy(hash60(key, salt), key)
+    df.filter(key.isNotNull)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

@@ -26,9 +26,32 @@ object SamplingQueries {
       .groupBy("lang").agg(count(lit(1)).as("n"))
       .orderBy("lang")
 
+  private val Splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Deterministic 80/10/10 train/val/test assignment: disjoint, exhaustive
+    * hash-range partition; per-split doc counts + char volume.
+    */
+  def splitSample(s: SparkSession, d: String): DataFrame =
+    Sampling.splitAssign(Tables.documents(s, d), col("doc_id"), Splits, salt = "s3")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("split")
+
+  /** Exact-size sample: the 40 smallest-hash docs per language — a fixed
+    * per-source budget, identical on every run and engine.
+    */
+  def topkSample(s: SparkSession, d: String): DataFrame =
+    Sampling.topKByHash(Tables.documents(s, d), col("lang"), col("doc_id"),
+        k = 40, salt = "s4")
+      .select("lang", "doc_id", "n_chars")
+      .orderBy("lang", "doc_id")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_det" -> (detSample _),
     "sample_strata" -> (strataSample _),
+    "sample_split" -> (splitSample _),
+    "sample_topk" -> (topkSample _),
   )
 
   private def h60(salt: String, key: String): String =
@@ -47,5 +70,21 @@ object SamplingQueries {
          |            WHEN 'fr' THEN ${Sampling.threshold(0.05)}
          |            ELSE 0 END
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "sample_split" -> {
+      val Seq(("train", tTrain), ("val", tVal), _) = Sampling.splitBounds(Splits)
+      s"""SELECT CASE WHEN ${h60("s3", "doc_id")} < $tTrain THEN 'train'
+         |            WHEN ${h60("s3", "doc_id")} < $tVal THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+    },
+    "sample_topk" ->
+      s"""SELECT lang, doc_id, n_chars FROM (
+         |  SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h60("s4", "doc_id")}, doc_id) AS rk
+         |  FROM documents) t
+         |WHERE rk <= 40 ORDER BY lang, doc_id""".stripMargin,
   )
 }

@@ -144,8 +144,37 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Per-vector symmetric int8 quantization — the storage/serving form of an
+    * embedding table (4x smaller than float32, 8x than the double working
+    * form). scale = max|v_i| so q_i = round(v_i·127/scale) ∈ [-127, 127];
+    * the output audits the codes (sum/min/max) and the reconstruction error
+    * bound max|q_i·scale/127 − v_i| ≤ scale/254 per vector. Everything is
+    * deterministic double arithmetic (round-half-away-from-zero in both
+    * engines), so the oracle reproduces the codes bit-for-bit — a
+    * quantizer whose output depends on the engine is not a storage format.
+    * Per-row HOFs, no shuffle: at 100 TB this is a pure map stage.
+    */
+  def quantInt8(s: SparkSession, d: String): DataFrame = {
+    val vecs = prepared(Tables.embeddings(s, d))
+    val withS = vecs.withColumn("s",
+      greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)))
+    val q = withS.withColumn("q",
+      transform(col("v"), x => round(x * lit(127.0) / col("s")).cast("long")))
+    q.select(
+        col("vec_id"),
+        round(col("s"), 6).as("scale"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+        array_min(col("q")).as("min_q"),
+        array_max(col("q")).as("max_q"),
+        round(array_max(zip_with(col("q"), col("v"),
+          (qi, xi) => abs(qi.cast("double") * col("s") / lit(127.0) - xi))), 6)
+          .as("max_err"))
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c13_cosine_topk" -> (c13 _),
+    "sim_quant_int8" -> (quantInt8 _),
     "sim_knn" -> (knn _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_lsh_multiprobe" -> (lshMultiprobe _),
@@ -154,6 +183,21 @@ object SimilarityQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sim_quant_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS s
+        |      FROM e),
+        |qd AS (SELECT vec_id, v, s,
+        |         list_transform(v, x -> CAST(round(x * 127 / s) AS BIGINT)) AS q
+        |       FROM m)
+        |SELECT vec_id, round(s, 6) AS scale,
+        |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+        |  CAST(list_min(q) AS BIGINT) AS min_q,
+        |  CAST(list_max(q) AS BIGINT) AS max_q,
+        |  round(list_max(list_transform(range(1, len(v)+1),
+        |    i -> abs(q[i] * s / 127 - v[i]))), 6) AS max_err
+        |FROM qd ORDER BY vec_id""".stripMargin,
     "c13_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |t AS (SELECT v AS tv FROM e WHERE vec_id = 0),

@@ -70,7 +70,82 @@ object TextQueries {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** PII masking — the redaction pass a training corpus takes before
+    * anything else sees it. Regex-driven and engine-portable (character
+    * classes + bounded quantifiers only: no lookarounds, which RE2-based
+    * engines reject): emails → `<EMAIL>`, phone-shaped substrings →
+    * `<PHONE>`, long digit runs (ids, accounts) → `<ID>`, applied in that
+    * order so the email mask wins on overlapping text. The testdata
+    * carries no PII columns, so the PII-bearing line is synthesized
+    * deterministically from c_custkey/c_name (identically in the oracle);
+    * the masking pass itself is the operator under test. Pure per-row map
+    * stage — at 100 TB this is codegen'd regexp_replace over the scan,
+    * no shuffle.
+    */
+  def piiMask(s: SparkSession, d: String): DataFrame = {
+    val phone = concat(
+      lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad(((col("c_custkey") * 7) % 10000).cast("string"), 4, "0"))
+    val email = concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", ".")),
+      lit("@example.com"))
+    val text = concat_ws(" ", col("c_name"), lit("reach"), email, lit("or"),
+      phone, lit("ref"), (col("c_custkey") * 104729 + 12345).cast("string"))
+    Tables.customer(s, d).select(
+        col("c_custkey"),
+        text.as("raw_text"),
+        regexp_replace(regexp_replace(regexp_replace(text,
+            "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
+          "[0-9]{3}-[0-9]{4}", "<PHONE>"),
+          "[0-9]{5,}", "<ID>").as("text_masked"))
+      .orderBy("c_custkey")
+  }
+
+  /** TF-IDF top-3 keywords per document: tf·ln(N/df) over whitespace
+    * tokens. Two shuffles (tf by (doc, token), df by token) + a broadcast
+    * of the single-row corpus count — the scalable shape; scores are
+    * deterministic double arithmetic so the oracle ranks identically.
+    */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tok = TextAnalysis.tokenRows(docs, "doc_id", "text")
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * log(col("n").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("token"), round(col("score"), 4).as("tfidf"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Context-window packing: concatenate each language's doc stream in
+    * doc_id order and cut it every 2048 tokens; a doc belongs to the bin
+    * its FIRST token lands in. The per-lang running sum is the scalable
+    * form — packing partitions by shard (here lang), never a global
+    * order-by-everything window.
+    */
+  def packBins(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+              size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("cum", sum("n_toks").over(w))
+      .withColumn("bin", floor((col("cum") - col("n_toks")) / lit(2048L)))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("bin_toks"),
+           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_mask" -> (piiMask _),
+    "text_tfidf" -> (tfidf _),
+    "text_pack_bins" -> (packBins _),
     "c12_tokens" -> (c12Tokens _),
     "c12_lang" -> (c12Lang _),
     "text_langid" -> (langId _),
@@ -80,6 +155,53 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_pii_mask" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    concat_ws(' ', c_name, 'reach',
+        |      lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g')) || '@example.com',
+        |      'or',
+        |      lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+        |        || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0'),
+        |      'ref', CAST(c_custkey * 104729 + 12345 AS VARCHAR)) AS raw_text
+        |  FROM customer)
+        |SELECT c_custkey, raw_text,
+        |  regexp_replace(regexp_replace(regexp_replace(raw_text,
+        |      '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{5,}', '<ID>', 'g') AS text_masked
+        |FROM t ORDER BY c_custkey""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tk GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tk GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf * ln(n.n / df.df) AS score
+        |       FROM tf JOIN df USING (token), n)
+        |SELECT doc_id, token, round(score, 4) AS tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC)
+        |       AS INTEGER) AS rnk
+        |FROM sc QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "text_pack_bins" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, CAST((cum - n_toks) // 2048 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS bin_toks,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     "c12_tokens" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t

@@ -68,6 +68,14 @@ class QueriesSpec extends SparkSpec {
     "c16_pricing_summary" -> 3L,
     "sample_det" -> 44L,
     "sample_strata" -> 3L,
+    "bloom_semi_revenue" -> 3L,
+    "bloom_decontam" -> 5L,
+    "sample_split" -> 3L,
+    "sample_topk" -> 200L,
+    "sim_quant_int8" -> 500L,
+    "text_pii_mask" -> 150L,
+    "text_tfidf" -> 1500L,
+    "text_pack_bins" -> 16L,
   )
 
   test("every query has an oracle and vice versa") {

@@ -40,6 +40,41 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(both - n * 0.09) < n * 0.02, s"both=$both") // ~independent
   }
 
+  test("splitAssign partitions every non-null-key row, disjointly and exhaustively") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitAssign(docs, $"doc_id", splits, "s")
+    assert(out.count() === docs.count(), "every row gets exactly one split")
+    val perSplit = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(perSplit.keySet === Set("train", "val", "test"))
+    // 500 docs: expect roughly 400/50/50; allow generous slack
+    assert(perSplit("train") > 350 && perSplit("train") < 450, perSplit.toString)
+    // stable under repartition (content-keyed)
+    val again = Sampling.splitAssign(docs.repartition(7), $"doc_id", splits, "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(again === out.select("doc_id", "split").as[(Long, String)].collect().toSet)
+    // weights that don't cover the space are rejected loudly
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, $"doc_id", Seq("a" -> 0.5, "b" -> 0.4), "s")
+    }
+  }
+
+  test("topKByHash returns exactly k rows per group, identically every run") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val out = Sampling.topKByHash(docs, $"lang", $"doc_id", k = 7, salt = "t")
+    val sizes = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ === 7L), sizes.toString)
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.topKByHash(docs.repartition(5), $"lang", $"doc_id", 7, "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b, "exact-size sample must be partitioning-independent")
+    // a different salt picks a (near-certainly) different committee
+    val c = Sampling.topKByHash(docs, $"lang", $"doc_id", 7, "u")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a !== c)
+  }
+
   test("stratified drops strata absent from the fraction map") {
     val docs = Tables.documents(spark, sf())
     val out = Sampling.stratified(docs, $"lang", Map("en" -> 1.0), $"doc_id")
