@@ -160,4 +160,55 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     }
   }
+
+  test("bloom_semi_revenue: pushed dim filter, 1-row filter broadcast, broadcast semi-join") {
+    val plan = finalPlan(SketchQueries.bloomSemiRevenue(spark, sf()))
+    // the selective dim predicate reaches the orders scan
+    assert(plan.contains("EqualTo(o_orderpriority,1-URGENT)"), plan)
+    // the single-row bloom filter attaches via ONE broadcast nested-loop
+    // join (the designed 1-row crossJoin — benign at any scale)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size === 1, plan)
+    // the exact semi-join stays a broadcast hash join (urgent side is small)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    // the fact scan reads only the four needed columns
+    val scanCols = "FileScan parquet \\[(l_[^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(scanCols.split(",").map(_.split("#")(0).trim).toSet ===
+      Set("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"), plan)
+  }
+
+  test("bloom_decontam splits without a cartesian; one filter broadcast per branch") {
+    val plan = finalPlan(SketchQueries.bloomDecontam(spark, sf()))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // probe side: <=2 nested-loop attaches of the 1-row filter (clean +
+    // candidate branches); the exact anti-join is a hash/broadcast join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2, plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("sim_quant_int8 is a pure map stage: no hash exchange at all") {
+    val plan = finalPlan(SimilarityQueries.quantInt8(spark, sf()))
+    // only the final ORDER BY range exchange may shuffle
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("sample_topk: one hash exchange for the per-group window") {
+    val plan = finalPlan(graft.operators.Sampling.topKByHash(
+      Tables.documents(spark, sf()), org.apache.spark.sql.functions.col("lang"),
+      org.apache.spark.sql.functions.col("doc_id"), 40, "s4"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("text_tfidf joins on keys only — no cartesian beyond the 1-row N broadcast") {
+    val plan = finalPlan(TextQueries.tfidf(spark, sf()))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("text_pack_bins: the window and aggregate stay within bounded exchanges") {
+    val plan = finalPlan(TextQueries.packBins(spark, sf()))
+    // lang window shuffle + (lang,bin) agg shuffle + final sort range — and
+    // nothing else (no join, no extra repartition)
+    assert("Exchange".r.findAllIn(plan).size <= 3, plan)
+  }
 }
