@@ -38,12 +38,10 @@ object SketchQueries {
     val urgent = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey")
-    val filt = urgent.agg(Bloom.agg(col("o_orderkey")).as("f"))
-    val pruned = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
-      .crossJoin(broadcast(filt))
-      .filter(Bloom.contains(col("f"), col("l_orderkey")))
-      .drop("f")
+    val pruned = Bloom.prefilter(
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"),
+      col("l_orderkey"), urgent)
     pruned
       .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy("l_returnflag")
@@ -65,12 +63,10 @@ object SketchQueries {
     val docs = Tables.documents(s, d)
     val blocklist = docs.filter(col("doc_id") % 10 === 0)
       .select(md5(col("text")).as("h"))
-    val filt = blocklist.agg(Bloom.agg(col("h")).as("f"))
+    val filt = Bloom.filterLiteral(blocklist)
     val probed = docs.filter(col("doc_id") % 10 =!= 0)
       .select(col("lang"), col("n_chars"), md5(col("text")).as("h"))
-      .crossJoin(broadcast(filt))
-      .withColumn("maybe", Bloom.contains(col("f"), col("h")))
-      .drop("f")
+      .withColumn("maybe", Bloom.contains(filt, col("h")))
     val clean = probed.filter(!col("maybe"))
     val verified = probed.filter(col("maybe"))
       .join(blocklist, Seq("h"), "left_anti")

@@ -161,13 +161,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("bloom_semi_revenue: pushed dim filter, 1-row filter broadcast, broadcast semi-join") {
+  test("bloom_semi_revenue: pushed dim filter, literal filter carrier, broadcast semi-join") {
     val plan = finalPlan(SketchQueries.bloomSemiRevenue(spark, sf()))
     // the selective dim predicate reaches the orders scan
     assert(plan.contains("EqualTo(o_orderpriority,1-URGENT)"), plan)
-    // the single-row bloom filter attaches via ONE broadcast nested-loop
-    // join (the designed 1-row crossJoin — benign at any scale)
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size === 1, plan)
+    // the filter rides as a Literal in the predicate — NO join attaches it
+    // (a join-produced binary column is re-copied per row by UnsafeRow,
+    // defeating the decode-once cache: measured 10s vs 0.3s at sf0.1)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
     // the exact semi-join stays a broadcast hash join (urgent side is small)
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
     // the fact scan reads only the four needed columns
@@ -177,12 +179,10 @@ class PlanAuditSpec extends SparkSpec {
       Set("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"), plan)
   }
 
-  test("bloom_decontam splits without a cartesian; one filter broadcast per branch") {
+  test("bloom_decontam splits without any join on the probe side but the exact anti-join") {
     val plan = finalPlan(SketchQueries.bloomDecontam(spark, sf()))
     assert(!plan.contains("CartesianProduct"), plan)
-    // probe side: <=2 nested-loop attaches of the 1-row filter (clean +
-    // candidate branches); the exact anti-join is a hash/broadcast join
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("LeftAnti"), plan)
   }
 
