@@ -40,7 +40,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup events failed: ${e.getMessage}") }
 
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset; the driver
+    // leaves it unset, so official runs always cover every query
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
     // rep-major order (full pass 1, full pass 2, ...) so one rep's JVM/GC
     // state doesn't bias all reps of the same query
     val samples: Seq[Seq[(String, Double)]] = (1 to reps).map { _ =>
