@@ -142,7 +142,61 @@ object TextQueries {
       .orderBy("lang", "bin")
   }
 
+  /** Repetition signals (the Gopher-rule family): fraction of the doc made
+    * of its most-frequent token, of its most-frequent 2-gram, and the
+    * distinct-token ratio — the cheap screens that catch boilerplate and
+    * degenerate generations before anything expensive runs. One explode +
+    * two-level aggregate per signal; exact integer ratios, so the oracle
+    * reproduces every double bit-for-bit.
+    */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val tokStats = base.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id").agg(max("tf").as("max_tf"), sum("tf").as("n_toks"),
+                             count(lit(1)).as("n_distinct"))
+    val grams = base.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+                              element_at(col("toks"), i + 2)))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("gf"))
+      .groupBy("doc_id").agg(max("gf").as("max_gf"), sum("gf").as("n_grams"))
+    tokStats.join(grams, "doc_id")
+      .select(col("doc_id"),
+        col("n_toks"),
+        round(col("max_tf").cast("double") / col("n_toks").cast("double"), 4)
+          .as("top_tok_frac"),
+        round(col("max_gf").cast("double") / col("n_grams").cast("double"), 4)
+          .as("top_2gram_frac"),
+        round(col("n_distinct").cast("double") / col("n_toks").cast("double"), 4)
+          .as("distinct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Overlapping token-window chunking (64-token windows, stride 48): the
+    * doc → embedding-input fan-out. Each chunk carries a content md5 so a
+    * downstream store can dedup chunks across docs. Pure per-row explode —
+    * no shuffle before the output sort.
+    */
+  def chunks(s: SparkSession, d: String): DataFrame = {
+    val W = 64
+    val S = 48
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(S))).as("start"))
+      .select(col("doc_id"), (col("start") / S).cast("long").as("chunk_id"),
+        size(slice(col("toks"), col("start") + 1, lit(W))).cast("long").as("n_chunk_toks"),
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(W)))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (repetition _),
+    "text_chunks" -> (chunks _),
     "text_pii_mask" -> (piiMask _),
     "text_tfidf" -> (tfidf _),
     "text_pack_bins" -> (packBins _),
@@ -155,6 +209,42 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t2) x GROUP BY doc_id, tok),
+        |ts AS (
+        |  SELECT doc_id, max(tf) AS max_tf, sum(tf) AS n_toks,
+        |         CAST(count(*) AS BIGINT) AS n_distinct
+        |  FROM tf GROUP BY doc_id),
+        |gr AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS gf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(toks)),
+        |            i -> toks[i] || ' ' || toks[i+1])) AS g
+        |        FROM t2) x GROUP BY doc_id, g),
+        |gs AS (SELECT doc_id, max(gf) AS max_gf, sum(gf) AS n_grams
+        |       FROM gr GROUP BY doc_id)
+        |SELECT ts.doc_id, CAST(ts.n_toks AS BIGINT) AS n_toks,
+        |  round(CAST(ts.max_tf AS DOUBLE) / CAST(ts.n_toks AS DOUBLE), 4) AS top_tok_frac,
+        |  round(CAST(gs.max_gf AS DOUBLE) / CAST(gs.n_grams AS DOUBLE), 4) AS top_2gram_frac,
+        |  round(CAST(ts.n_distinct AS DOUBLE) / CAST(ts.n_toks AS DOUBLE), 4) AS distinct_ratio
+        |FROM ts JOIN gs USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+        |  CAST(len(toks[start+1 : start+64]) AS BIGINT) AS n_chunk_toks,
+        |  md5(array_to_string(toks[start+1 : start+64], ' ')) AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     "text_pii_mask" ->
       """WITH t AS (
         |  SELECT c_custkey,

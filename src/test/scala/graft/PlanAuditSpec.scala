@@ -205,6 +205,11 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("text_chunks: the chunk fan-out is a pure explode — no hash exchange") {
+    val plan = finalPlan(TextQueries.chunks(spark, sf()))
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("text_pack_bins: the window and aggregate stay within bounded exchanges") {
     val plan = finalPlan(TextQueries.packBins(spark, sf()))
     // lang window shuffle + (lang,bin) agg shuffle + final sort range — and

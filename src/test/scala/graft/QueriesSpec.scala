@@ -76,6 +76,8 @@ class QueriesSpec extends SparkSpec {
     "text_pii_mask" -> 150L,
     "text_tfidf" -> 1500L,
     "text_pack_bins" -> 16L,
+    "text_repetition" -> 500L,
+    "text_chunks" -> 806L,
   )
 
   test("every query has an oracle and vice versa") {
