@@ -114,7 +114,43 @@ object MiscQueries {
       .orderBy("label")
   }
 
+  /** Dataset profiling: per-column null count, distinct count, min and max
+    * over `orders`, in ONE scan — the first query anyone runs on an unknown
+    * table. The wide agg computes all 6 columns' stats as one row
+    * (multi-distinct lowers to a single Expand pass), then `stack` unpivots
+    * to a row per column; min/max are string-formatted with fixed-point
+    * decimals so every engine prints them identically.
+    */
+  def profileOrders(s: SparkSession, d: String): DataFrame = {
+    def intS(c: String) = (min(col(c)).cast("string"), max(col(c)).cast("string"))
+    def dblS(c: String) = (min(col(c)).cast("decimal(18,2)").cast("string"),
+                           max(col(c)).cast("decimal(18,2)").cast("string"))
+    def strS(c: String) = (min(col(c)), max(col(c)))
+    val cols = Seq(
+      "o_orderkey" -> intS("o_orderkey"),
+      "o_custkey" -> intS("o_custkey"),
+      "o_orderstatus" -> strS("o_orderstatus"),
+      "o_totalprice" -> dblS("o_totalprice"),
+      "o_orderdate" -> (min(col("o_orderdate")).cast("string"),
+                        max(col("o_orderdate")).cast("string")),
+      "o_orderpriority" -> strS("o_orderpriority"))
+    val aggs = count(lit(1)).as("n") +: cols.flatMap { case (c, (mn, mx)) => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_distinct"),
+      mn.as(s"${c}_min"), mx.as(s"${c}_max"))
+    }
+    val one = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { case (c, _) =>
+      s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max"
+    }.mkString(", ")
+    one.select(col("n"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct, min_s, max_s)"))
+      .select("column_name", "n", "n_nulls", "n_distinct", "min_s", "max_s")
+      .orderBy("column_name")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_orders" -> (profileOrders _),
     "c14_pivot" -> (pivot _),
     "c4b_cube" -> (cube _),
     "c4c_grouping_sets" -> (groupingSets _),
@@ -125,6 +161,22 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "profile_orders" -> {
+      def row(c: String, mn: String, mx: String) =
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $mn AS min_s, $mx AS max_s FROM orders""".stripMargin
+      Seq(
+        row("o_orderkey", "CAST(min(o_orderkey) AS VARCHAR)", "CAST(max(o_orderkey) AS VARCHAR)"),
+        row("o_custkey", "CAST(min(o_custkey) AS VARCHAR)", "CAST(max(o_custkey) AS VARCHAR)"),
+        row("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)"),
+        row("o_totalprice", "CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)",
+                            "CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)"),
+        row("o_orderdate", "CAST(min(o_orderdate) AS VARCHAR)", "CAST(max(o_orderdate) AS VARCHAR)"),
+        row("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     "c14_pivot" ->
       """SELECT user_id,
         |  round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS click,

@@ -78,6 +78,7 @@ class QueriesSpec extends SparkSpec {
     "text_pack_bins" -> 16L,
     "text_repetition" -> 500L,
     "text_chunks" -> 806L,
+    "profile_orders" -> 6L,
   )
 
   test("every query has an oracle and vice versa") {
