@@ -85,7 +85,10 @@ object Sampling {
     */
   def splitBounds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
     val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
-    splits.map(_._1).zip(bounds.map(threshold))
+    // cumulative float error can carry the last bound an ulp past 1.0
+    // (weights that sum to 1 within splitAssign's 1e-9 gate still do this);
+    // clamp so threshold's domain check can't reject a legitimate split set
+    splits.map(_._1).zip(bounds.map(b => threshold(math.min(b, 1.0))))
   }
 
   /** Deterministic EXACT-SIZE sample: the k rows per group with the

@@ -246,6 +246,23 @@ object GraftAlgoProperties extends Properties("graft.algo") {
           roundTrip._3.toSeq == oneShot.toSeq) :| "serialize round-trip"
     }
 
+  property("splitBounds covers the hash space: monotone, ends at full space") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(1, 1000))) { raw0 =>
+      import graft.operators.Sampling
+      // shrinking ignores generator bounds: clamp to keep weights positive
+      val raw = raw0.map(w => math.max(1, math.abs(w)))
+      val total = raw.sum.toDouble
+      val splits = raw.zipWithIndex.map { case (w, i) => (s"s$i", w / total) }
+      val bounds = Sampling.splitBounds(splits).map(_._2)
+      val monotone = bounds.zip(bounds.tail).forall { case (a, b) => a <= b }
+      // the final bound must reach the space within float-sum slack; the
+      // runtime guards exhaustiveness by making the last split the
+      // unconditional otherwise-branch
+      val full = Sampling.threshold(1.0)
+      Prop.propBoolean(monotone) :| "bounds not monotone" &&
+        Prop.propBoolean(math.abs(bounds.last - full) <= full / 1e9) :| "last bound far from full space"
+    }
+
   property("ImageIoCodec recovers true dimensions from any generated PNG") =
     Prop.forAll(for {
       w <- Gen.chooseNum(1, 40)
