@@ -67,7 +67,49 @@ object EventQueries {
       countDistinct(col("user_id"), col("event_type"), col("value")).as("n_distinct_triples"),
       countDistinct(col("user_id")).as("n_users"))
 
+  /** C17 — weekly cohort retention: users grouped by first-activity week,
+    * counted at each later active week offset — the canonical warehouse
+    * triangle matrix. Two shuffles (distinct user-weeks, then per-user
+    * min), both on user_id, so AQE reuses the exchange.
+    */
+  def c17(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val firsts = ev.groupBy("user_id").agg(min("wk").as("cw"))
+    ev.join(firsts, "user_id")
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+              (datediff(col("wk"), col("cw")) / 7).cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** C18 — conversion funnel: of users with a 'view', how many 'purchase'
+    * within 7 days of their FIRST view.
+    */
+  def c18(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val firstViews = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("fv"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+    val flags = firstViews.join(purchases, Seq("user_id"), "left")
+      .withColumn("hit",
+        col("pts").isNotNull && col("pts") >= col("fv") &&
+          col("pts") <= col("fv") + expr("INTERVAL 7 DAYS"))
+      .groupBy("user_id")
+      .agg(max(when(col("hit"), 1L).otherwise(0L)).as("converted"))
+    flags.agg(
+      count(lit(1)).as("n_view_users"),
+      sum("converted").cast("long").as("n_converted"),
+      round(sum("converted").cast("double") / count(lit(1)).cast("double"), 4)
+        .as("conv_rate"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c17_retention" -> (c17 _),
+    "c18_funnel" -> (c18 _),
     "c8_json" -> (c8 _),
     "c8b_from_json" -> (c8b _),
     "c9_tumbling_hour" -> (c9 _),
@@ -77,6 +119,29 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "c17_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id)
+        |SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', CAST(f.cw AS DATE), CAST(e.wk AS DATE)) // 7 AS BIGINT)
+        |    AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "c18_funnel" ->
+      """WITH fv AS (SELECT user_id, min(ts) AS fv FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |fl AS (
+        |  SELECT fv.user_id,
+        |    max(CASE WHEN p.pts IS NOT NULL AND p.pts >= fv.fv
+        |              AND p.pts <= fv.fv + INTERVAL 7 DAY
+        |         THEN 1 ELSE 0 END) AS converted
+        |  FROM fv LEFT JOIN p USING (user_id) GROUP BY fv.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_view_users,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  round(CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS conv_rate
+        |FROM fl""".stripMargin,
     "c8_json" ->
       """SELECT event_type,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -79,6 +79,8 @@ class QueriesSpec extends SparkSpec {
     "text_repetition" -> 500L,
     "text_chunks" -> 806L,
     "profile_orders" -> 6L,
+    "c17_retention" -> 5L,
+    "c18_funnel" -> 1L,
   )
 
   test("every query has an oracle and vice versa") {
