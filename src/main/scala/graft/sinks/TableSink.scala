@@ -39,4 +39,28 @@ object TableSink {
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol).parquet(path)
+
+  /** Compact one partition of an append table to `numFiles` files.
+    *
+    * Streaming/micro-batch appends accrete small files until scan task
+    * counts (and NameNode/object-store metadata) dominate query cost — the
+    * standard cure is periodic per-partition rewrite. Read ONLY the target
+    * partition (partition pruning keeps this O(partition), not O(table)),
+    * `repartition(numFiles)` for even output sizes, and rewrite that
+    * partition alone via dynamic overwrite. Rows are bit-identical; only
+    * file layout changes. Run it per closed window (e.g. yesterday's
+    * partition) — never the live one a writer is appending to.
+    */
+  def compactWindow(spark: org.apache.spark.sql.SparkSession, path: String,
+                    partitionCol: String, partitionValue: String,
+                    numFiles: Int = 1): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    // localCheckpoint MATERIALIZES the partition (distributed, block store)
+    // before the overwrite: reading and overwriting one path in a single
+    // lazy plan is rejected by Spark (and would be unsafe if it weren't)
+    val part = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col(partitionCol) === partitionValue)
+      .localCheckpoint(true)
+    overwriteWindow(part.repartition(numFiles), path, partitionCol)
+  }
 }

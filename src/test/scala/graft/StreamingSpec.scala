@@ -139,6 +139,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch drives the idempotent TableSink from a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-feb").toString
+    val mem = MemoryStream[Ev]
+    // per-micro-batch windowed counts overwrite their own window partitions:
+    // the stream → warehouse-table handoff, idempotent under batch replay
+    // because overwriteWindow replaces rather than appends
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val counts = batch
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("win"),
+                   col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        graft.sinks.TableSink.overwriteWindow(counts, s"$dir/out", "win")
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      mem.addData(evs); q.processAllAvailable()
+      val landed = spark.read.parquet(s"$dir/out")
+      val expected = evs.groupBy(e =>
+        (java.time.Instant.ofEpochMilli(e.ts.getTime).toString.take(13), e.event_type))
+        .view.mapValues(_.size.toLong).toMap
+      assert(landed.count() === expected.size)
+      assert(landed.agg(sum("n")).head().getLong(0) === evs.size.toLong)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches its batch analog") {
     val clicks = Seq(
       Ev(10, t(50), 1, "click", 0.0),   // joins user 1's view at t(40) only

@@ -67,4 +67,29 @@ class TrendsPipelineSpec extends SparkSpec {
     TableSink.overwriteWindow(out, idemPath, "week_start")
     assert(spark.read.parquet(idemPath).count() === 10)
   }
+
+  test("compactWindow collapses a fragmented partition to one file, rows intact") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val path = s"$dir/t"
+    // accrete a fragmented partition: 6 micro-appends (>=1 file each)
+    for (i <- 0 until 6) {
+      Seq((i * 2L, "w1"), (i * 2L + 1, "w1")).toDF("v", "win")
+        .write.mode("append").partitionBy("win").parquet(path)
+    }
+    Seq((100L, "w2")).toDF("v", "win")
+      .write.mode("append").partitionBy("win").parquet(path)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files(s"$path/win=w1") >= 6)
+    val before = spark.read.parquet(path).orderBy("v")
+      .collect().map(_.toSeq).toSeq
+
+    TableSink.compactWindow(spark, path, "win", "w1", numFiles = 1)
+
+    assert(files(s"$path/win=w1") === 1, "partition must collapse to one file")
+    val after = spark.read.parquet(path).orderBy("v").collect().map(_.toSeq).toSeq
+    assert(after === before, "compaction must be row-identical")
+    // the untouched partition keeps its files (dynamic overwrite scope)
+    assert(spark.read.parquet(path).filter($"win" === "w2").count() === 1)
+  }
 }
