@@ -28,7 +28,8 @@ object SketchQueries {
 
   /** Revenue of lineitems belonging to URGENT orders. The bloom prefilter
     * runs BEFORE the exact semi-join: one 128 KiB filter over the
-    * qualifying orderkeys, broadcast to the fact scan. At 100 TB the
+    * qualifying orderkeys, carried to the fact scan as a task-closure
+    * Literal (see [[graft.functions.Bloom.prefilter]]). At 100 TB the
     * semi-join's shuffle then carries only rows that can match (plus the
     * ~1% false-positive tail the exact join removes) instead of the whole
     * fact table.
