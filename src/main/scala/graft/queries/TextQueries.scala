@@ -109,8 +109,12 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val tok = TextAnalysis.tokenRows(docs, "doc_id", "text")
+    // materialized once: the df aggregate and the score join both consume it
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      .localCheckpoint(true)
+    // df falls out of tf for free — one row per (doc, token) means
+    // count-per-token ≡ countDistinct(doc_id), without re-tokenizing
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
       .withColumn("score",
