@@ -257,17 +257,23 @@ case class BloomContains(left: Expression, right: Expression)
 
   @transient private lazy val (h1, h2) = BloomFilterBits.hashers(right.dataType)
 
-  // per-task decode cache: the filter is usually ONE broadcast value probed
-  // by millions of rows — reference-identity beats re-parsing bytes per row
-  @transient private var cachedRef: AnyRef = _
-  @transient private var cached: (Int, Int, Array[Long]) = _
+  // decode cache: the filter is usually ONE Literal probed by millions of
+  // rows — reference-identity beats re-parsing bytes per row. A single
+  // volatile (ref, parsed) pair, because an interpreted expression instance
+  // can be shared by every task thread of a stage (CodegenFallback holds
+  // the object in the generated code's references): two separate fields
+  // could tear under concurrent misses, pairing one filter's ref with
+  // another filter's decoded words.
+  @transient @volatile private var cache: (AnyRef, (Int, Int, Array[Long])) = _
 
   override protected def nullSafeEval(filter: Any, value: Any): Any = {
-    if (!(filter.asInstanceOf[AnyRef] eq cachedRef)) {
-      cached = BloomFilterBits.deserialize(filter.asInstanceOf[Array[Byte]])
-      cachedRef = filter.asInstanceOf[AnyRef]
+    val ref = filter.asInstanceOf[AnyRef]
+    var c = cache
+    if (c == null || !(c._1 eq ref)) {
+      c = (ref, BloomFilterBits.deserialize(filter.asInstanceOf[Array[Byte]]))
+      cache = c
     }
-    val (nb, nh, buf) = cached
+    val (nb, nh, buf) = c._2
     BloomFilterBits.mightContain(buf, h1(value), h2(value), nb, nh)
   }
 
