@@ -47,7 +47,34 @@ object SamplingQueries {
       .select("lang", "doc_id", "n_chars")
       .orderBy("lang", "doc_id")
 
+  private val Targets = Seq("en" -> 0.50, "de" -> 0.20, "fr" -> 0.15,
+                            "es" -> 0.10, "it" -> 0.05)
+
+  /** Data-mixing plan: given target corpus shares per language, derive each
+    * language's deterministic sampling rate min(1, target·N/n) and the doc
+    * count that rate yields — the planning step before [[Sampling
+    * .deterministic]] executes the mix. Rates that clip at 1 reveal
+    * under-represented sources (you cannot upsample by Bernoulli thinning).
+    */
+  def mixPlan(s: SparkSession, d: String): DataFrame = {
+    val targets = map(Targets.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val perLang = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+    perLang.crossJoin(broadcast(total))
+      .withColumn("target_share", coalesce(try_element_at(targets, col("lang")), lit(0.0)))
+      .withColumn("rate", least(lit(1.0),
+        col("target_share") * col("n_total").cast("double") / col("n_docs").cast("double")))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total").cast("double"), 4)
+          .as("natural_share"),
+        col("target_share"),
+        round(col("rate"), 4).as("rate"),
+        floor(col("rate") * col("n_docs").cast("double")).cast("long").as("planned_docs"))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_mix_plan" -> (mixPlan _),
     "sample_det" -> (detSample _),
     "sample_strata" -> (strataSample _),
     "sample_split" -> (splitSample _),
@@ -58,6 +85,24 @@ object SamplingQueries {
     s"CAST('0x' || substring(md5('$salt:' || CAST($key AS VARCHAR)), 1, 15) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "sample_mix_plan" -> {
+      val caseExpr = Targets.map { case (k, v) => s"WHEN '$k' THEN $v" }
+        .mkString("CASE lang ", " ", " ELSE 0.0 END")
+      s"""WITH p AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         |           FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         |r AS (
+         |  SELECT p.lang, p.n_docs, t.n_total,
+         |    CAST($caseExpr AS DOUBLE) AS target_share,
+         |    least(1.0, CAST($caseExpr AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+         |                / CAST(p.n_docs AS DOUBLE)) AS rate
+         |  FROM p, t)
+         |SELECT lang, n_docs,
+         |  round(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 4) AS natural_share,
+         |  target_share, round(rate, 4) AS rate,
+         |  CAST(floor(rate * CAST(n_docs AS DOUBLE)) AS BIGINT) AS planned_docs
+         |FROM r ORDER BY lang""".stripMargin
+    },
     "sample_det" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${h60("s1", "doc_id")} < ${Sampling.threshold(0.10)}

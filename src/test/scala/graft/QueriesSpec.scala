@@ -81,6 +81,7 @@ class QueriesSpec extends SparkSpec {
     "profile_orders" -> 6L,
     "c17_retention" -> 5L,
     "c18_funnel" -> 1L,
+    "sample_mix_plan" -> 5L,
   )
 
   test("every query has an oracle and vice versa") {
