@@ -65,10 +65,13 @@ object SimilarityQueries {
   /** Multi-probe LSH ANN: same 8-anchor sign buckets as [[lshAnn]], but each
     * query also probes the buckets reached by flipping every subset of its 3
     * lowest-|margin| hyperplanes (8 probes total) — the standard multi-probe
-    * fix for single-probe's over-partitioning. Still a bucket equi-join; the
-    * probe factor multiplies only the 10-row query side, never the corpus.
-    * Recall@3 vs brute force: 0.33 single-probe → pinned ≥0.8 here
-    * (AnnRecallSpec).
+    * mitigation for single-probe's over-partitioning. Still a bucket
+    * equi-join; the probe factor multiplies only the 10-row query side,
+    * never the corpus. Recall@3 vs brute force on the isotropic fixture:
+    * 0.33 single-probe → 0.43 here (pinned ≥0.4 and ≥ single-probe,
+    * AnnRecallSpec); measured 0.53 even at 32 probes — the 8-bit code space
+    * itself is the ceiling, which is why [[lshBanded]] (OR-amplified bands,
+    * recall 1.0, pinned ≥0.9) is the production path.
     */
   def lshMultiprobe(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
