@@ -81,12 +81,26 @@ object ScaleSmoke {
     require(cross == 0L, s"$cross cross-replica pairs — vocabulary leak")
     require(nClusters == nDocs, s"clusters must label every doc: $nClusters != $nDocs")
     require(nNgram > 0 && nContain > 0, s"ngram=$nNgram containment=$nContain must find pairs")
-    val total = tPairs + tClusters + tNgram + tContain
+
+    // the flagship curation job end-to-end at 10x: funnel must narrow
+    // monotonically and stay inside the same wall budget
+    val t0Corpus = System.nanoTime()
+    val (_, funnel) = graft.pipeline.CorpusJob.execute(spark,
+      graft.pipeline.CorpusJob.Config(input = dir,
+        out = java.nio.file.Files.createTempDirectory("graft-sf1-corpus").toString))
+    val tCorpus = (System.nanoTime() - t0Corpus) / 1e9
+    require(funnel.input == nDocs && funnel.qualityKept > 0 &&
+      funnel.input >= funnel.exactKept && funnel.exactKept >= funnel.nearKept &&
+      funnel.nearKept >= funnel.cleanKept && funnel.cleanKept >= funnel.qualityKept,
+      s"corpus funnel broken at 10x: $funnel")
+
+    val total = tPairs + tClusters + tNgram + tContain + tCorpus
     require(total <= budgetSec,
-      f"budget blown: pairs $tPairs%.1f + clusters $tClusters%.1f + ngram $tNgram%.1f + containment $tContain%.1f > ${budgetSec}s")
+      f"budget blown: pairs $tPairs%.1f + clusters $tClusters%.1f + ngram $tNgram%.1f + " +
+        f"containment $tContain%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
 
     val json =
-      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"budget_sec":$budgetSec}"""
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.qualityKept},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"budget_sec":$budgetSec}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
