@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.functions.{call_function, col, lit}
 import org.apache.spark.sql.types._
 
 /** Mergeable Bloom filters — the MEMBERSHIP third of the sketch family
@@ -29,9 +29,12 @@ import org.apache.spark.sql.types._
   * byte-identical to `bloom(A ++ B)` — pinned exactly by BloomSpec, like
   * the HLL/CMS equality tests.
   *
-  * Sketch bytes are self-describing: `[numBits:int][numHashes:int]` header
-  * then the bit words, so a stored filter (e.g. a published benchmark's
-  * fingerprint blocklist) can be validated and queried standalone.
+  * Sketch bytes are self-describing:
+  * `[numBits:int][numHashes:int][typeClass:int]` header then the bit
+  * words, so a stored filter (e.g. a published benchmark's fingerprint
+  * blocklist) can be validated and queried standalone — including the
+  * key-hash class check that makes a cross-typed probe a loud error
+  * instead of silent false negatives.
   */
 object BloomFilterBits {
   val SeedA = 0xc2b2ae35L
@@ -74,28 +77,49 @@ object BloomFilterBits {
     a
   }
 
-  /** [numBits][numHashes] header + bit words, big-endian. */
-  def serialize(buf: Array[Long], numBits: Int, numHashes: Int): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + 8 * buf.length)
-    bb.putInt(numBits).putInt(numHashes)
+  /** The key-hash equivalence class a filter was built over. The value hash
+    * widens all integrals (and date/timestamps) into one hashLong domain,
+    * so those interoperate; float/double, string, and binary hash
+    * differently — probing a filter with a key from another class would
+    * SILENTLY return false for inserted keys, breaking the
+    * no-false-negative guarantee, so the class is stamped into the filter
+    * bytes and checked at probe/merge time. 0 = empty/untyped.
+    */
+  def typeClass(dt: DataType): Int = dt match {
+    case LongType | IntegerType | ShortType | ByteType | BooleanType |
+         DateType | TimestampType | TimestampNTZType => 1
+    case FloatType | DoubleType => 2
+    case StringType => 3
+    case BinaryType => 4
+    case other => throw new IllegalArgumentException(
+      s"no Bloom type class for ${other.sql}")
+  }
+
+  /** [numBits][numHashes][typeClass] header + bit words, big-endian. */
+  def serialize(buf: Array[Long], numBits: Int, numHashes: Int, tc: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 * buf.length)
+    bb.putInt(numBits).putInt(numHashes).putInt(tc)
     var i = 0
     while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
     bb.array()
   }
 
-  /** (numBits, numHashes, words) from filter bytes, shape-validated. */
-  def deserialize(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
-    require(bytes.length >= 8, s"Bloom filter too short: ${bytes.length} bytes")
+  /** (numBits, numHashes, typeClass, words) from filter bytes,
+    * shape-validated.
+    */
+  def deserialize(bytes: Array[Byte]): (Int, Int, Int, Array[Long]) = {
+    require(bytes.length >= 12, s"Bloom filter too short: ${bytes.length} bytes")
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val numBits = bb.getInt()
     val numHashes = bb.getInt()
-    require(numBits > 0 && numHashes > 0 &&
-      bytes.length == 8 + 8 * numWords(numBits),
-      s"corrupt Bloom filter: bits=$numBits hashes=$numHashes len=${bytes.length}")
+    val tc = bb.getInt()
+    require(numBits > 0 && numHashes > 0 && tc >= 0 && tc <= 4 &&
+      bytes.length == 12 + 8 * numWords(numBits),
+      s"corrupt Bloom filter: bits=$numBits hashes=$numHashes tc=$tc len=${bytes.length}")
     val buf = new Array[Long](numWords(numBits))
     var i = 0
     while (i < buf.length) { buf(i) = bb.getLong(); i += 1 }
-    (numBits, numHashes, buf)
+    (numBits, numHashes, tc, buf)
   }
 
   /** (h1, h2) value hashes; h2 forced odd so hash rows stay independent
@@ -131,6 +155,7 @@ case class BloomAgg(
       s"bloom_agg does not support ${child.dataType.sql} input")
 
   @transient private lazy val (h1, h2) = BloomFilterBits.hashers(child.dataType)
+  @transient private lazy val tc = BloomFilterBits.typeClass(child.dataType)
 
   override def createAggregationBuffer(): Array[Long] =
     BloomFilterBits.emptyBuffer(numBits)
@@ -145,13 +170,14 @@ case class BloomAgg(
     BloomFilterBits.mergeInto(a, b)
 
   override def eval(buf: Array[Long]): Any =
-    BloomFilterBits.serialize(buf, numBits, numHashes)
+    BloomFilterBits.serialize(buf, numBits, numHashes, tc)
   override def serialize(buf: Array[Long]): Array[Byte] =
-    BloomFilterBits.serialize(buf, numBits, numHashes)
+    BloomFilterBits.serialize(buf, numBits, numHashes, tc)
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val (nb, nh, buf) = BloomFilterBits.deserialize(bytes)
-    require(nb == numBits && nh == numHashes,
-      s"filter shape ($nb bits, $nh hashes) does not match aggregate ($numBits, $numHashes)")
+    val (nb, nh, t, buf) = BloomFilterBits.deserialize(bytes)
+    require(nb == numBits && nh == numHashes && t == tc,
+      s"filter shape ($nb bits, $nh hashes, class $t) does not match " +
+        s"aggregate ($numBits, $numHashes, class $tc)")
     buf
   }
 
@@ -189,32 +215,56 @@ case class BloomMergeAgg(
       s"bloom_merge expects a binary filter column, got ${other.sql}")
   }
 
+  // buffer layout: bit words ++ one trailing slot holding the type class
+  // of the filters merged so far (0 until the first input arrives) — merged
+  // filters must agree on it, else the result would silently false-negative
   override def createAggregationBuffer(): Array[Long] =
-    BloomFilterBits.emptyBuffer(numBits)
+    new Array[Long](BloomFilterBits.numWords(numBits) + 1)
+
+  private def adoptClass(buf: Array[Long], t: Int): Unit = {
+    val slot = buf.length - 1
+    if (t != 0) {
+      if (buf(slot) == 0L) buf(slot) = t.toLong
+      else require(buf(slot) == t.toLong,
+        s"cannot merge a class-$t filter into a class-${buf(slot)} aggregate")
+    }
+  }
+
+  private def orWords(buf: Array[Long], in: Array[Long]): Unit = {
+    var i = 0
+    while (i < in.length) { buf(i) |= in(i); i += 1 }
+  }
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val (nb, nh, in) = BloomFilterBits.deserialize(v.asInstanceOf[Array[Byte]])
+      val (nb, nh, t, in) = BloomFilterBits.deserialize(v.asInstanceOf[Array[Byte]])
       require(nb == numBits && nh == numHashes,
         s"cannot merge a ($nb, $nh) filter into a ($numBits, $numHashes) aggregate")
-      BloomFilterBits.mergeInto(buf, in)
+      adoptClass(buf, t)
+      orWords(buf, in)
     }
     buf
   }
 
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-    BloomFilterBits.mergeInto(a, b)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    adoptClass(a, b(b.length - 1).toInt)
+    var i = 0
+    while (i < b.length - 1) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  private def words(buf: Array[Long]): Array[Long] = buf.init
 
   override def eval(buf: Array[Long]): Any =
-    BloomFilterBits.serialize(buf, numBits, numHashes)
+    BloomFilterBits.serialize(words(buf), numBits, numHashes, buf.last.toInt)
   override def serialize(buf: Array[Long]): Array[Byte] =
-    BloomFilterBits.serialize(buf, numBits, numHashes)
+    BloomFilterBits.serialize(words(buf), numBits, numHashes, buf.last.toInt)
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val (nb, nh, buf) = BloomFilterBits.deserialize(bytes)
+    val (nb, nh, t, w) = BloomFilterBits.deserialize(bytes)
     require(nb == numBits && nh == numHashes,
       s"filter shape ($nb, $nh) does not match aggregate ($numBits, $numHashes)")
-    buf
+    w :+ t.toLong
   }
 
   override def dataType: DataType = BinaryType
@@ -264,7 +314,8 @@ case class BloomContains(left: Expression, right: Expression)
   // the object in the generated code's references): two separate fields
   // could tear under concurrent misses, pairing one filter's ref with
   // another filter's decoded words.
-  @transient @volatile private var cache: (AnyRef, (Int, Int, Array[Long])) = _
+  @transient private lazy val probeTc = BloomFilterBits.typeClass(right.dataType)
+  @transient @volatile private var cache: (AnyRef, (Int, Int, Int, Array[Long])) = _
 
   override protected def nullSafeEval(filter: Any, value: Any): Any = {
     val ref = filter.asInstanceOf[AnyRef]
@@ -273,7 +324,14 @@ case class BloomContains(left: Expression, right: Expression)
       c = (ref, BloomFilterBits.deserialize(filter.asInstanceOf[Array[Byte]]))
       cache = c
     }
-    val (nb, nh, buf) = c._2
+    val (nb, nh, tc, buf) = c._2
+    // a cross-class probe (e.g. filter built over strings, probed with a
+    // long) hashes differently and would SILENTLY miss inserted keys —
+    // fail loudly instead; class 0 = provably-empty filter, any probe false
+    require(tc == 0 || tc == probeTc,
+      s"bloom_contains: filter was built over key class $tc but the probe " +
+        s"value is ${right.dataType.sql} (class $probeTc) — a cross-class " +
+        "probe would silently break the no-false-negative guarantee")
     BloomFilterBits.mightContain(buf, h1(value), h2(value), nb, nh)
   }
 
@@ -306,6 +364,28 @@ object Bloom {
                 numBits: Int = DefaultBits, numHashes: Int = DefaultHashes): DataFrame =
     df.filter(contains(filterLiteral(keys, numBits, numHashes), key))
 
+  /** Drop rows of `df` whose `key` appears in `blocklist` (single-column
+    * frame of the same key domain) — the decontamination anti-join with a
+    * bloom split: rows the filter rejects are PROVABLY clean (no false
+    * negatives) and skip the join entirely; only probe hits pay for the
+    * exact anti-join that removes false positives. The result is exactly
+    * `df` minus blocklisted rows — the composition's exactness argument
+    * lives here, shared by the `bloom_decontam` query and
+    * [[graft.pipeline.CorpusJob]].
+    */
+  def decontaminate(df: DataFrame, key: Column, blocklist: DataFrame,
+                    numBits: Int = DefaultBits, numHashes: Int = DefaultHashes): DataFrame = {
+    require(!df.columns.contains("__bl_k") && !df.columns.contains("__bl_maybe"),
+      "df already carries the decontaminate scratch columns")
+    val filt = filterLiteral(blocklist, numBits, numHashes)
+    val probed = df.withColumn("__bl_k", key)
+      .withColumn("__bl_maybe", contains(filt, col("__bl_k")))
+    val bl = blocklist.toDF("__bl_k")
+    probed.filter(!col("__bl_maybe"))
+      .unionByName(probed.filter(col("__bl_maybe")).join(bl, Seq("__bl_k"), "left_anti"))
+      .drop("__bl_k", "__bl_maybe")
+  }
+
   /** Build a filter over `keys`' single column and return it as a Literal
     * column — see [[prefilter]] for why a Literal (and not a 1-row
     * broadcast join) is the right carrier for a probe-side filter.
@@ -319,7 +399,7 @@ object Bloom {
     }
     val bytes = keys.agg(agg(keys.col(keyCol), numBits, numHashes).as("f"))
       .head().getAs[Array[Byte]]("f")
-    val (nb, nh, _) = BloomFilterBits.deserialize(bytes) // shape sanity
+    val (nb, nh, _, _) = BloomFilterBits.deserialize(bytes) // shape sanity
     require(nb == numBits && nh == numHashes, s"built filter shape ($nb,$nh) drifted")
     lit(bytes)
   }

@@ -347,4 +347,30 @@ object Dedup {
     hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
       .select(col(idCol), packed.as("simhash"))
   }
+
+  /** SimHash near-dup pairs `(a, b, hamming)` at Hamming distance <=
+    * `maxHamming`, blocked by pigeonhole banding: the 60-bit simhash splits
+    * into 4 bands of 15 bits, and any pair within distance 3 must agree
+    * EXACTLY on at least one band (3 bit flips touch at most 3 of the 4
+    * bands) — so candidates come from the same first-matching-band
+    * equi-join the MinHash path uses, never an all-pairs comparison.
+    * Verification is one codegen'd `bit_count(xor)` per candidate. The ONE
+    * near-dup-pair definition shared by the `dedup_simhash_pairs` query
+    * and [[graft.pipeline.CorpusJob]]'s curation stage.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x15-bit pigeonhole banding is complete only for Hamming <= 3, got $maxHamming")
+    val sh = simhash(df, idCol, textCol)
+    val banded = sh.select(col(idCol) +: (0 until 4).map { j =>
+      shiftrightunsigned(col("simhash"), 15 * j).bitwiseAND(lit(0x7fffL)).as(s"band$j")
+    }: _*)
+    val cand = lshCandidatePairs(banded, idCol, 4)
+    cand.join(sh.select(col(idCol).as("a"), col("simhash").as("ha")), "a")
+      .join(sh.select(col(idCol).as("b"), col("simhash").as("hb")), "b")
+      .select(col("a"), col("b"),
+              bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

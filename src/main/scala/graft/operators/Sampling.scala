@@ -69,6 +69,8 @@ object Sampling {
   def splitAssign(df: DataFrame, key: Column, splits: Seq[(String, Double)],
                   salt: String = "", splitCol: String = "split"): DataFrame = {
     require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0.0),
+      s"every split weight must be positive, got ${splits.map(_._2).mkString(", ")}")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got ${splits.map(_._2).sum}")
     val h = hash60(key, salt)

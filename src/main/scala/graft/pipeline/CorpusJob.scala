@@ -3,7 +3,6 @@ package graft.pipeline
 import graft.Tables
 import graft.functions.Bloom
 import graft.operators.{Dedup, Sampling, TextAnalysis}
-import graft.sinks.TableSink
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,8 +25,10 @@ import org.apache.spark.sql.functions._
   *     (the Gopher-style repetition gate);
   *  5. deterministic split — disjoint, exhaustive train/val/test hash
   *     ranges, stable across reruns and engines;
-  *  6. idempotent write — dynamic partition overwrite keyed on split, so
-  *     re-running a curation replaces it without touching other runs.
+  *  6. idempotent write — a STATIC overwrite of the whole output path
+  *     partitioned by split: one curation is one atomic corpus, and a
+  *     re-run with different screens must not leave stale split
+  *     directories behind (dynamic per-partition overwrite would).
   *
   * Every stage count is reported in one JSON line (the funnel a data-lead
   * actually reviews); the returned frame is the curated corpus.
@@ -82,17 +83,9 @@ object CorpusJob {
       .localCheckpoint(true)
     val nExact = exact.count()
 
-    // 2. near-dup: simhash bands -> Hamming<=3 pairs -> components -> keep
-    // each component's minimum doc
-    val sh = Dedup.simhash(exact, "doc_id", "text")
-    val banded = sh.select(col("doc_id") +: (0 until 4).map { j =>
-      shiftrightunsigned(col("simhash"), 15 * j).bitwiseAND(lit(0x7fffL)).as(s"band$j")
-    }: _*)
-    val cand = Dedup.lshCandidatePairs(banded, "doc_id", 4)
-    val pairs = cand
-      .join(sh.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
-      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+    // 2. near-dup: simhash Hamming<=3 pairs (the shared Dedup.simhashPairs
+    // definition) -> components -> keep each component's minimum doc
+    val pairs = Dedup.simhashPairs(exact, "doc_id", "text", maxHamming = 3)
       .select("a", "b")
     val comps = Dedup.connectedComponents(pairs, exact.select("doc_id"), "doc_id")
     val near = exact.join(
@@ -101,16 +94,12 @@ object CorpusJob {
       .localCheckpoint(true)
     val nNear = near.count()
 
-    // 3. decontamination vs the eval blocklist (doc_id % 10 = 0)
+    // 3. decontamination vs the eval blocklist (doc_id % 10 = 0), via the
+    // shared bloom-split anti-join
     val blocklist = docs.filter(col("doc_id") % 10 === 0)
       .select(md5(col("text")).as("h"))
-    val filt = Bloom.filterLiteral(blocklist)
-    val probed = near.filter(col("doc_id") % 10 =!= 0)
-      .withColumn("h", md5(col("text")))
-      .withColumn("maybe", Bloom.contains(filt, col("h")))
-    val clean = probed.filter(!col("maybe"))
-      .unionByName(probed.filter(col("maybe")).join(blocklist, Seq("h"), "left_anti"))
-      .drop("h", "maybe")
+    val clean = Bloom.decontaminate(
+      near.filter(col("doc_id") % 10 =!= 0), md5(col("text")), blocklist)
     val nClean = clean.count()
 
     // 4. quality screens on materialized tokens (never inline in a HOF)
@@ -122,10 +111,16 @@ object CorpusJob {
       .drop("toks")
     val nQuality = quality.count()
 
-    // 5. deterministic split + 6. idempotent partitioned write
+    // 5. deterministic split + 6. idempotent write. The overwrite is
+    // STATIC (whole path), not dynamic-per-split: a curation is one atomic
+    // corpus, and a re-run with stricter screens must not leave a stale
+    // split directory from the previous run visible in the output
+    require(nQuality > 0,
+      s"curation emptied the corpus (input=$nInput): relax --min-tokens/--min-distinct-ratio")
     val curated = Sampling.splitAssign(quality, col("doc_id"),
       Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01), cfg.salt)
-    TableSink.overwriteWindow(curated, cfg.out, "split")
+    curated.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("split").parquet(cfg.out)
 
     val out = spark.read.parquet(cfg.out)
     val perSplit = out.groupBy("split").count()

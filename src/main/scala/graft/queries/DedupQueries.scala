@@ -88,29 +88,16 @@ object DedupQueries {
     Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
-  /** SimHash near-dup pairs at Hamming distance <= 3, blocked by pigeonhole
-    * banding: the 60-bit simhash splits into 4 bands of 15 bits, and any
-    * pair within distance 3 must agree EXACTLY on at least one band (3 bit
-    * flips can touch at most 3 of the 4 bands) — so candidates come from
-    * the same first-matching-band equi-join the MinHash path uses, never an
-    * all-pairs comparison. Verification is one codegen'd
-    * `bit_count(xor)` per candidate. The sibling to jaccard-verified
-    * MinHash: one 64-bit fingerprint per doc instead of a K-hash signature,
-    * the cheapest near-dup pass a 100 TB pipeline runs first.
+  /** SimHash near-dup pairs at Hamming distance <= 3 — see
+    * [[Dedup.simhashPairs]] for the pigeonhole-banding blocking. The
+    * sibling to jaccard-verified MinHash: one 64-bit fingerprint per doc
+    * instead of a K-hash signature, the cheapest near-dup pass a 100 TB
+    * pipeline runs first.
     */
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
-    val banded = sh.select(col("doc_id") +: (0 until 4).map { j =>
-      shiftrightunsigned(col("simhash"), 15 * j).bitwiseAND(lit(0x7fffL)).as(s"band$j")
-    }: _*)
-    val cand = Dedup.lshCandidatePairs(banded, "doc_id", 4)
-    cand.join(sh.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
-      .select(col("a").as("doc_a"), col("b").as("doc_b"),
-              bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-      .filter(col("hamming") <= 3)
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Token-3-gram Jaccard near-dup pairs, blocked by (lang, n_chars±5).
     * The Spark plan uses banded buckets (floor(n_chars/10), probe ±1 band)

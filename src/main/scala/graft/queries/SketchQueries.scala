@@ -64,14 +64,9 @@ object SketchQueries {
     val docs = Tables.documents(s, d)
     val blocklist = docs.filter(col("doc_id") % 10 === 0)
       .select(md5(col("text")).as("h"))
-    val filt = Bloom.filterLiteral(blocklist)
-    val probed = docs.filter(col("doc_id") % 10 =!= 0)
-      .select(col("lang"), col("n_chars"), md5(col("text")).as("h"))
-      .withColumn("maybe", Bloom.contains(filt, col("h")))
-    val clean = probed.filter(!col("maybe"))
-    val verified = probed.filter(col("maybe"))
-      .join(blocklist, Seq("h"), "left_anti")
-    clean.unionByName(verified)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("lang"), col("n_chars"), col("text"))
+    Bloom.decontaminate(train, md5(col("text")), blocklist)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_chars")).cast("long").as("sum_chars"))

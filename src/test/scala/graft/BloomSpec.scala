@@ -59,8 +59,9 @@ class BloomSpec extends SparkSpec {
     Bloom.register(spark)
     val bytes = spark.range(100).agg(Bloom.agg($"id", 256, 3).as("f"))
       .select($"f").as[Array[Byte]].head()
-    val (nb, nh, words) = BloomFilterBits.deserialize(bytes)
+    val (nb, nh, tc, words) = BloomFilterBits.deserialize(bytes)
     assert(nb === 256 && nh === 3 && words.length === 4)
+    assert(tc === BloomFilterBits.typeClass(org.apache.spark.sql.types.LongType))
     assert(words.exists(_ != 0L), "100 keys must set some bits")
     // merging mismatched shapes must fail loudly, not corrupt bits
     intercept[Exception] {
@@ -69,6 +70,34 @@ class BloomSpec extends SparkSpec {
     }
     // corrupt bytes are rejected, not misread
     intercept[Exception] { BloomFilterBits.deserialize(Array[Byte](1, 2, 3)) }
+  }
+
+  test("cross-class probe and cross-class merge fail loudly, never silently miss") {
+    Bloom.register(spark)
+    // filter built over STRING keys, probed with a BIGINT: the hash domains
+    // differ, so a silent probe would false-negative — must throw instead
+    val err = intercept[Exception] {
+      spark.sql(
+        """SELECT bloom_contains(f, CAST(7 AS BIGINT)) FROM
+          |(SELECT bloom_agg(CAST(id AS STRING), 65536, 7) AS f FROM range(0, 50))"""
+          .stripMargin).collect()
+    }
+    assert(err.getMessage.contains("class"), err.getMessage)
+    // integral widening stays compatible: build on INT, probe with BIGINT
+    val ok = spark.sql(
+      """SELECT bloom_contains(f, CAST(7 AS BIGINT)) AS hit FROM
+        |(SELECT bloom_agg(CAST(id AS INT), 65536, 7) AS f FROM range(0, 50))"""
+        .stripMargin).head()
+    assert(ok.getBoolean(0) === true)
+    // merging filters of different classes is rejected
+    intercept[Exception] {
+      spark.sql(
+        """SELECT bloom_merge(f, 65536, 7) FROM (
+          |  SELECT bloom_agg(id, 65536, 7) AS f FROM range(0, 10)
+          |  UNION ALL
+          |  SELECT bloom_agg(CAST(id AS STRING), 65536, 7) FROM range(0, 10))"""
+          .stripMargin).collect()
+    }
   }
 
   test("bloom SQL surface after register()") {

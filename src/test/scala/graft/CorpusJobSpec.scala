@@ -51,7 +51,7 @@ class CorpusJobSpec extends SparkSpec {
     assert(survivors === 0L, s"$survivors near-dup pairs survived curation")
   }
 
-  test("re-running the job is byte-idempotent (dynamic overwrite per split)") {
+  test("re-running the job is byte-idempotent (static overwrite of the corpus)") {
     val (out, _) = result
     val first = out.orderBy("doc_id").collect().map(_.toSeq).toSeq
     val (again, f2) = CorpusJob.execute(spark, cfg)

@@ -238,12 +238,13 @@ object GraftAlgoProperties extends Properties("graft.algo") {
         .foldLeft(BloomFilterBits.emptyBuffer(bits))(BloomFilterBits.mergeInto)
       val noFalseNeg = xs.forall(v =>
         BloomFilterBits.mightContain(oneShot, h1(v), h2(v), bits, k))
+      val tc = BloomFilterBits.typeClass(LongType)
       val roundTrip = BloomFilterBits.deserialize(
-        BloomFilterBits.serialize(oneShot, bits, k))
+        BloomFilterBits.serialize(oneShot, bits, k, tc))
       Prop.propBoolean(oneShot.toSeq == merged.toSeq) :| "merge != one-shot" &&
         Prop.propBoolean(noFalseNeg) :| "false negative" &&
         Prop.propBoolean(roundTrip._1 == bits && roundTrip._2 == k &&
-          roundTrip._3.toSeq == oneShot.toSeq) :| "serialize round-trip"
+          roundTrip._3 == tc && roundTrip._4.toSeq == oneShot.toSeq) :| "serialize round-trip"
     }
 
   property("splitBounds covers the hash space: monotone, ends at full space") =

@@ -143,27 +143,33 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-feb").toString
     val mem = MemoryStream[Ev]
-    // per-micro-batch windowed counts overwrite their own window partitions:
-    // the stream → warehouse-table handoff, idempotent under batch replay
-    // because overwriteWindow replaces rather than appends
-    val q = mem.toDF().writeStream
+    // the aggregate lives in STREAM state (complete mode emits total counts
+    // per window), so a window whose events span micro-batches still lands
+    // with its full count — aggregating inside foreachBatch and overwriting
+    // per batch would silently drop the earlier batches' contribution.
+    // overwriteWindow then makes the landing idempotent per window.
+    val counts = mem.toDF()
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("win"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream
+      .outputMode("complete")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val counts = batch
-          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("win"),
-                   col("event_type"))
-          .agg(count(lit(1)).as("n"))
-        graft.sinks.TableSink.overwriteWindow(counts, s"$dir/out", "win")
+        graft.sinks.TableSink.overwriteWindow(batch, s"$dir/out", "win")
       }
       .option("checkpointLocation", s"$dir/ckpt")
       .start()
     try {
-      mem.addData(evs); q.processAllAvailable()
+      // deliberately split the SAME hour across two micro-batches
+      mem.addData(evs.take(2)); q.processAllAvailable()
+      mem.addData(evs.drop(2)); q.processAllAvailable()
       val landed = spark.read.parquet(s"$dir/out")
       val expected = evs.groupBy(e =>
         (java.time.Instant.ofEpochMilli(e.ts.getTime).toString.take(13), e.event_type))
         .view.mapValues(_.size.toLong).toMap
       assert(landed.count() === expected.size)
-      assert(landed.agg(sum("n")).head().getLong(0) === evs.size.toLong)
+      assert(landed.agg(sum("n")).head().getLong(0) === evs.size.toLong,
+        "cross-batch windows must land with their full counts")
     } finally q.stop()
   }
 
