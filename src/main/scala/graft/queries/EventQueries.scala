@@ -107,7 +107,25 @@ object EventQueries {
         .as("conv_rate"))
   }
 
+  /** C19 — DAU and rolling 7-day WAU per day. Distinct users cannot ride a
+    * running window (distinct isn't decomposable), so WAU joins the tiny
+    * day list to the (day, user) pairs within its 7-day range — a
+    * broadcast range join whose left side is |days|, never |events|.
+    */
+  def c19(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = daily.select("day").distinct()
+    val dau = daily.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = broadcast(days.select(col("day").as("wday"))).join(daily,
+        col("day").between(date_sub(col("wday"), 6), col("wday")))
+      .groupBy("wday").agg(countDistinct("user_id").as("wau"))
+      .select(col("wday").as("day"), col("wau"))
+    dau.join(wau, "day").orderBy("day")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c19_active_users" -> (c19 _),
     "c17_retention" -> (c17 _),
     "c18_funnel" -> (c18 _),
     "c8_json" -> (c8 _),
@@ -119,6 +137,17 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "c19_active_users" ->
+      """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM daily GROUP BY day),
+        |wau AS (
+        |  SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+        |  FROM days d JOIN daily a ON a.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day)
+        |SELECT day, dau.dau, wau.wau
+        |FROM days JOIN dau USING (day) JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
     "c17_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
         |f AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id)

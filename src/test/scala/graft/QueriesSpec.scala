@@ -82,6 +82,7 @@ class QueriesSpec extends SparkSpec {
     "c17_retention" -> 5L,
     "c18_funnel" -> 1L,
     "sample_mix_plan" -> 5L,
+    "c19_active_users" -> 30L,
   )
 
   test("every query has an oracle and vice versa") {
