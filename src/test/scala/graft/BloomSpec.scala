@@ -114,6 +114,24 @@ class BloomSpec extends SparkSpec {
       "65536 bits over 50 keys: P(fp) ~ 1e-17 — a hit here means broken hashing")
   }
 
+  test("decontaminate equals the plain anti-join on randomized key sets") {
+    Bloom.register(spark)
+    // a TINY filter (64 bits) over 300 blocklisted keys forces a high
+    // false-positive rate, so the exact anti-join leg does real work —
+    // exactness must hold regardless of how bad the filter is
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 2000).map(_ => rnd.nextInt(1000).toLong)
+    val block = (0 until 300).map(_ => rnd.nextInt(1000).toLong).distinct
+    val df = rows.toDF("k")
+    val bl = block.toDF("b")
+    val got = graft.functions.Bloom
+      .decontaminate(df, $"k", bl, numBits = 64, numHashes = 3)
+      .as[Long].collect().sorted.toSeq
+    val want = df.join(bl, $"k" === $"b", "left_anti").as[Long].collect().sorted.toSeq
+    assert(got === want, "bloom split must be invisible — exact anti-join semantics")
+    assert(got.nonEmpty && got.size < rows.size)
+  }
+
   test("prefiltered semi-join is row-identical to the plain semi-join") {
     Bloom.register(spark)
     val d = sf("sf0.01")

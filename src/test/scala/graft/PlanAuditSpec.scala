@@ -210,6 +210,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("c19: the WAU range join broadcasts the day list, nothing bigger") {
+    val plan = finalPlan(EventQueries.c19(spark, sf()))
+    // the non-equi BETWEEN join must be the ONE nested-loop whose build
+    // side is the tiny day list; events-sized sides never nested-loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("text_pack_bins: the window and aggregate stay within bounded exchanges") {
     val plan = finalPlan(TextQueries.packBins(spark, sf()))
     // lang window shuffle + (lang,bin) agg shuffle + final sort range — and
