@@ -188,6 +188,36 @@ object DedupQueries {
       .orderBy("eval_id", "train_id")
   }
 
+  /** Incremental near-dup: match an INCOMING batch (doc_id >= 400) against
+    * the STANDING corpus (doc_id < 400) without re-pairing the corpus with
+    * itself — the operation a rolling 100 TB ingest actually runs: the
+    * corpus side is a stored band table (here recomputed because the
+    * fixture has no persisted state); only new×corpus band collisions are
+    * candidates, new×new and corpus×corpus pairs never form. Verification
+    * reuses the bitset jaccard over candidate participants only.
+    */
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = Dedup.distinctTokenRows(docs, "doc_id", "text")
+    val bands = Dedup.minhashBands(Dedup.minhashSignatures(toks, "doc_id", K), "doc_id", K, R)
+    def long(df: DataFrame) = df.select(col("doc_id"),
+      posexplode(array((0 until K / R).map(j => col(s"band$j")): _*))
+        .as(Seq("band_idx", "band_val")))
+    val fresh = long(bands.filter(col("doc_id") >= 400))
+      .select(col("doc_id").as("a"), col("band_idx"), col("band_val"))
+    val corpus = long(bands.filter(col("doc_id") < 400))
+      .select(col("doc_id").as("b"), col("band_idx"), col("band_val"))
+    val cand = fresh.join(corpus, Seq("band_idx", "band_val"))
+      .select("a", "b").distinct()
+    val parts = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    Dedup.jaccardVerifyBitset(cand, toks.join(parts, Seq("doc_id"), "left_semi"), "doc_id")
+      .filter(col("jaccard") >= 0.7)
+      .select(col("a").as("new_id"), col("b").as("corpus_id"),
+              round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Embedding-cosine near-dup: candidate pairs share (label, LSH bucket);
     * top-20 by rounded cosine.
     */
@@ -218,6 +248,7 @@ object DedupQueries {
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_ngram_pairs" -> (ngramPairs _),
     "dedup_containment" -> (containment _),
+    "dedup_incremental" -> (incremental _),
     "dedup_embedding" -> (embeddingPairs _),
   )
 
@@ -338,6 +369,32 @@ object DedupQueries {
          |SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS comp,
          |       (id = min(root)) AS keeper
          |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $sigBandsCtes,
+         |bl AS (
+         |  SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM bands
+         |  UNION ALL SELECT doc_id, 1, band1 FROM bands
+         |  UNION ALL SELECT doc_id, 2, band2 FROM bands
+         |  UNION ALL SELECT doc_id, 3, band3 FROM bands),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bl x JOIN bl y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |  WHERE x.doc_id >= 400 AND y.doc_id < 400),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM cand c
+         |  JOIN tok ta ON c.a = ta.doc_id
+         |  JOIN tok tb ON c.b = tb.doc_id AND ta.token = tb.token
+         |  GROUP BY c.a, c.b)
+         |SELECT i.a AS new_id, i.b AS corpus_id,
+         |  round(CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 4) AS jaccard
+         |FROM inter i
+         |JOIN sz sa ON i.a = sa.doc_id
+         |JOIN sz sb ON i.b = sb.doc_id
+         |WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.7
+         |ORDER BY new_id, corpus_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCtes
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,

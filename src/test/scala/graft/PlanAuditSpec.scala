@@ -152,9 +152,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("dedup_simhash_pairs and dedup_containment pair via equi-joins only") {
+  test("dedup_simhash_pairs, dedup_containment, dedup_incremental pair via equi-joins only") {
     for (q <- Seq(DedupQueries.simhashPairs(spark, sf()),
-                  DedupQueries.containment(spark, sf()))) {
+                  DedupQueries.containment(spark, sf()),
+                  DedupQueries.incremental(spark, sf()))) {
       val plan = finalPlan(q)
       assert(!plan.contains("CartesianProduct"), plan)
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)

@@ -83,6 +83,7 @@ class QueriesSpec extends SparkSpec {
     "c18_funnel" -> 1L,
     "sample_mix_plan" -> 5L,
     "c19_active_users" -> 30L,
+    "dedup_incremental" -> 14664L,
   )
 
   test("every query has an oracle and vice versa") {
