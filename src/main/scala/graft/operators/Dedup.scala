@@ -121,6 +121,37 @@ object Dedup {
       .select(col(s"a_$idCol").as("a"), col(s"b_$idCol").as("b"))
   }
 
+  /** Cross-set candidate pairs `(a, b)`: a from `bandsA`, b from `bandsB`,
+    * sharing at least one LSH band — the INCREMENTAL form of
+    * [[lshCandidatePairs]] for matching an incoming batch against a
+    * standing corpus (ids must be disjoint across the two frames; no
+    * within-set pairs form). Uses the same first-matching-band rule, so
+    * band-duplicated collisions never exist and no `distinct()` exchange
+    * is paid.
+    */
+  def lshCrossCandidatePairs(bandsA: DataFrame, bandsB: DataFrame,
+                             idCol: String, nBands: Int): DataFrame = {
+    val bandCols = (0 until nBands).map(j => col(s"band$j"))
+    val entries = array((0 until nBands).map(j =>
+      struct(lit(j).as("bi"), col(s"band$j").as("bv"))): _*)
+    def long(df: DataFrame) = df
+      .select(col(idCol) +: bandCols :+ explode(entries).as("e"): _*)
+      .select(col(idCol) +: bandCols :+ col("e.bi").as("band_idx") :+ col("e.bv").as("band_val"): _*)
+      .filter(col("band_val").isNotNull)
+    def pfx(df: DataFrame, p: String) = df.toDF(df.columns.map(c => s"$p$c").toIndexedSeq: _*)
+    val a = pfx(long(bandsA), "a_")
+    val b = pfx(long(bandsB), "b_")
+    val firstMatchOnly = (0 until nBands).map { i =>
+      (col("a_band_idx") <= lit(i)) ||
+        col(s"a_band$i").isNull || col(s"b_band$i").isNull ||
+        (col(s"a_band$i") =!= col(s"b_band$i"))
+    }.reduce(_ && _)
+    a.join(b,
+        col("a_band_idx") === col("b_band_idx") &&
+        col("a_band_val") === col("b_band_val") && firstMatchOnly)
+      .select(col(s"a_$idCol").as("a"), col(s"b_$idCol").as("b"))
+  }
+
   /** Exact set-overlap statistics `(a, b, n_inter, sz_a, sz_b)` for
     * candidate pairs via packed 64-bit token bitmasks: tokens get dense ids
     * from a distributed vocabulary numbering, each doc's set becomes a map

@@ -200,15 +200,9 @@ object DedupQueries {
     val docs = Tables.documents(s, d)
     val toks = Dedup.distinctTokenRows(docs, "doc_id", "text")
     val bands = Dedup.minhashBands(Dedup.minhashSignatures(toks, "doc_id", K), "doc_id", K, R)
-    def long(df: DataFrame) = df.select(col("doc_id"),
-      posexplode(array((0 until K / R).map(j => col(s"band$j")): _*))
-        .as(Seq("band_idx", "band_val")))
-    val fresh = long(bands.filter(col("doc_id") >= 400))
-      .select(col("doc_id").as("a"), col("band_idx"), col("band_val"))
-    val corpus = long(bands.filter(col("doc_id") < 400))
-      .select(col("doc_id").as("b"), col("band_idx"), col("band_val"))
-    val cand = fresh.join(corpus, Seq("band_idx", "band_val"))
-      .select("a", "b").distinct()
+    val cand = Dedup.lshCrossCandidatePairs(
+      bands.filter(col("doc_id") >= 400), bands.filter(col("doc_id") < 400),
+      "doc_id", K / R)
     val parts = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
     Dedup.jaccardVerifyBitset(cand, toks.join(parts, Seq("doc_id"), "left_semi"), "doc_id")

@@ -147,6 +147,31 @@ object GraftAlgoProperties extends Properties("graft.algo") {
       wide == narrow
     }
 
+  property("cross-set first-match pairs = brute-force any-band cross pairs, exactly once") =
+    Prop.forAll(for {
+      n <- Gen.chooseNum(2, 16)
+      split <- Gen.chooseNum(1, n - 1)
+      vals <- Gen.chooseNum(1, 3) // tiny value alphabet -> heavy collisions
+      rows <- Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(0, vals - 1)))
+    } yield (rows, split)) { case (rows, split) =>
+      import spark.implicits._
+      val bands = rows.zipWithIndex
+        .map { case (bs, i) => (i.toLong, s"v${bs(0)}", s"v${bs(1)}", s"v${bs(2)}", s"v${bs(3)}") }
+        .toDF("doc_id", "band0", "band1", "band2", "band3")
+      val a = bands.filter(col("doc_id") < split)
+      val b = bands.filter(col("doc_id") >= split)
+      // collect WITH duplicates: the first-match rule must emit each
+      // colliding pair exactly once, not rely on a downstream distinct
+      val got = graft.operators.Dedup.lshCrossCandidatePairs(a, b, "doc_id", 4)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val want = (for {
+        (x, i) <- rows.zipWithIndex if i < split
+        (y, j) <- rows.zipWithIndex if j >= split
+        if x.zip(y).exists { case (p, q) => p == q }
+      } yield (i.toLong, j.toLong)).sorted
+      got == want
+    }
+
   property("simhash equals a plain-Scala reference on random documents") =
     Prop.forAll(for {
       n <- Gen.chooseNum(1, 8)
