@@ -43,4 +43,31 @@ object AsOfJoin {
       .filter(col("__tag") === 1)
       .drop("__tag", "__val")
   }
+
+  /** The FORWARD direction (pandas `merge_asof(direction='forward')`): the
+    * earliest right `valueCol` at or after the left row's time (null if
+    * none). Same union + running-aggregate shape, mirrored: right rows sort
+    * AFTER left rows at an equal timestamp would break ">=", so the tag
+    * order flips and the window looks ahead; right-right ties resolve to
+    * the MIN value for a total, engine-independent order.
+    */
+  def nextValue(left: DataFrame, right: DataFrame,
+                keyCol: String, tsCol: String, valueCol: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("__tag", lit(0))
+      .withColumn("__val", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(col(keyCol), col(tsCol), col(valueCol))
+      .withColumn("__tag", lit(1))
+      .withColumnRenamed(valueCol, "__val")
+    val unioned = l.select((leftCols.map(col).toIndexedSeq :+ col("__tag") :+ col("__val")): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // left rows (__tag 0) sort before right rows at equal ts, and the frame
+    // starts at CURRENT ROW => a right row at the same ts is visible (">=")
+    val w = Window.partitionBy(keyCol).orderBy(asc(tsCol), asc("__tag"), asc("__val"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    unioned
+      .withColumn(s"asof_$valueCol", first(col("__val"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 0)
+      .drop("__tag", "__val")
+  }
 }

@@ -100,6 +100,21 @@ object MiscQueries {
       .orderBy("event_id")
   }
 
+  /** Forward as-of join: for each 'error' event, the value of the user's
+    * NEXT 'view' event at or after it (null if none) — merge_asof
+    * direction='forward'.
+    */
+  def asofNextView(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    AsOfJoin.nextValue(errors, views, "user_id", "ts", "value")
+      .select("event_id", "user_id", "asof_value")
+      .orderBy("event_id")
+  }
+
   /** Typed-Aggregator centroid per embedding label (first 4 dims shown). */
   def centroid(s: SparkSession, d: String): DataFrame = {
     val centroidUdaf = udaf(new CentroidAgg(64))
@@ -157,6 +172,7 @@ object MiscQueries {
     "c7e_map_fns" -> (mapFns _),
     "c16_pricing_summary" -> (pricingSummary _),
     "asof_last_view" -> (asofLastView _),
+    "asof_next_view" -> (asofNextView _),
     "sim_centroid" -> (centroid _),
   )
 
@@ -219,6 +235,19 @@ object MiscQueries {
         |  CAST(cardinality(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}) AS BIGINT) AS m_size,
         |  array_to_string(list_sort(map_keys(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)})), ',') AS keys_csv
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "asof_next_view" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, ts, 0 AS tag, CAST(NULL AS DOUBLE) AS val
+        |  FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT CAST(NULL AS BIGINT), user_id, ts, 1 AS tag, value
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT event_id, user_id,
+        |  first_value(val IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), tag, val
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS asof_value
+        |FROM u QUALIFY tag = 0 ORDER BY event_id""".stripMargin,
     "asof_last_view" ->
       """WITH u AS (
         |  SELECT event_id, user_id, ts, 1 AS tag, CAST(NULL AS DOUBLE) AS val

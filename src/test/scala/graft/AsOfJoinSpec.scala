@@ -33,4 +33,27 @@ class AsOfJoinSpec extends SparkSpec {
       .select("asof_value").as[Double].head()
     assert(v === 9.0)
   }
+
+  test("nextValue picks the earliest right value at or after each left ts") {
+    val left = Seq((1L, t(10), "e1"), (1L, t(16), "e2"), (1L, t(30), "e3"),
+                   (2L, t(12), "e4"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, t(10), 100.0), (1L, t(15), 150.0), (2L, t(11), 300.0))
+      .toDF("k", "ts", "value")
+    val got = AsOfJoin.nextValue(left, right, "k", "ts", "value")
+      .select("name", "asof_value").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got("e1") === Some(100.0)) // equal timestamp counts (>=)
+    assert(got("e2") === None)        // latest right for k=1 is t=15 < 16
+    assert(got("e3") === None)        // nothing at or after t=30
+    assert(got("e4") === None)        // right row for k=2 is before t=12
+  }
+
+  test("nextValue right-side ties resolve deterministically to the min value") {
+    val left = Seq((1L, t(5), "e")).toDF("k", "ts", "name")
+    val right = Seq((1L, t(10), 9.0), (1L, t(10), 5.0)).toDF("k", "ts", "value")
+    val v = AsOfJoin.nextValue(left, right, "k", "ts", "value")
+      .select("asof_value").as[Double].head()
+    assert(v === 5.0)
+  }
 }

@@ -84,6 +84,7 @@ class QueriesSpec extends SparkSpec {
     "sample_mix_plan" -> 5L,
     "c19_active_users" -> 30L,
     "dedup_incremental" -> 14664L,
+    "asof_next_view" -> 201L,
   )
 
   test("every query has an oracle and vice versa") {
