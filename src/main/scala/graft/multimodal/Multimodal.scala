@@ -233,6 +233,48 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), lit((maxFrames - 1) * stride), lit(stride))))
 
+  /** PAYLOAD-derived frame sampling + per-frame feature extraction: the
+    * payload is treated as `n_bytes / frameBytes` fixed-size frames (tail
+    * remainder dropped, as a real container's truncated last frame would
+    * be), every `stride`-th frame is decoded, and each sampled frame emits
+    * one row with its byte-mean feature. This is the video analog of the
+    * [[decode]] stage — same per-partition batch iteration (`mapInPandas`
+    * shape), payload never leaves the executor, fan-out rows carry only
+    * scalar features.
+    *
+    * The frame feature is a mean of integer byte values — exact in a double
+    * regardless of summation order — so the stage is oracle-reproducible
+    * (`mm_frame_sample`), like [[PortableCodec]] is for [[decode]].
+    *
+    * Scale shape: one narrow pass over the media table; output size is
+    * `ceil(n_frames / stride)` rows per blob, bounded by payload size — the
+    * sampling ratio is the knob that keeps the frame relation a fixed
+    * fraction of the corpus at 100 TB.
+    */
+  def frameFeatures(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("f_mean", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+        val nFrames = payload.length / frameBytes
+        (0 until nFrames by stride).iterator.map { fi =>
+          var s = 0.0
+          var j = fi * frameBytes
+          val end = j + frameBytes
+          while (j < end) { s += (payload(j) & 0xff).toDouble; j += 1 }
+          Row(r.getAs[Long]("media_id"), fi, nFrames.toLong, s / frameBytes)
+        }
+      }
+    }(enc)
+  }
+
   /** Build a media table from any (id, text) source — test/demo helper that
     * treats utf-8 bytes as the opaque payload.
     */

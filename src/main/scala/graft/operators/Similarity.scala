@@ -140,6 +140,59 @@ object Similarity {
     withWeak.withColumn("probes", array(probes: _*)).drop("__weak")
   }
 
+  /** Assignment step of Lloyd k-means: each vector gets the centroid with
+    * the smallest squared L2 distance (the SAME sequential fold the DuckDB
+    * oracle uses, rounded to 6 decimals BEFORE the argmin; ties break by
+    * centroid id via array_sort's lexicographic struct order). Centroids are
+    * driver-held literals — k tiny rows — so assignment is one narrow
+    * projection over the corpus: no join, no shuffle.
+    */
+  def kmeansAssign(vecs: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "centroid set is empty")
+    def sqDist(cv: Seq[Double]): Column = {
+      val litC = array(cv.map(lit): _*)
+      round(aggregate(zip_with(col("v"), litC, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 6)
+    }
+    val scored = array(cents.map { case (cid, cv) =>
+      struct(sqDist(cv).as("dist"), lit(cid).as("cid"))
+    }: _*)
+    vecs.withColumn("best", element_at(array_sort(scored), 1))
+      .select(col("vec_id"), col("v"),
+        col("best").getField("cid").as("cluster"),
+        col("best").getField("dist").as("dist"))
+  }
+
+  /** `rounds` Lloyd update rounds from deterministic seeds (the first k
+    * vectors by id). Each round: [[kmeansAssign]] (narrow projection), then
+    * an element-wise mean per cluster via [[graft.functions.CentroidAgg]]
+    * (map-side-combined partials — raw vectors never shuffle), collected as
+    * k tiny rows and rounded to 6 decimals before they feed the next round.
+    * The rounding re-synchronizes engine float noise (partial-agg sum order
+    * differs) every round instead of letting it compound into assignment
+    * flips — that is what makes a multi-round iterative algorithm
+    * hash-reproducible by a different engine. Empty clusters keep their
+    * previous centroid. MLlib's k-means communication pattern, on the
+    * public DataFrame API.
+    */
+  def kmeansFit(vecs: DataFrame, k: Int, rounds: Int, dim: Int = 64): Seq[(Int, Seq[Double])] = {
+    require(k >= 1 && rounds >= 0, s"need k >= 1, rounds >= 0; got k=$k rounds=$rounds")
+    val centroidUdaf = udaf(new graft.functions.CentroidAgg(dim))
+    var cents: Seq[(Int, Seq[Double])] = vecs.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("vec_id", "v").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+    require(cents.nonEmpty, s"no seed vectors with vec_id < $k")
+    for (_ <- 1 to rounds) {
+      val means = kmeansAssign(vecs, cents).groupBy("cluster")
+        .agg(centroidUdaf(col("v")).as("c"))
+        .select(col("cluster"), transform(col("c"), x => round(x, 6)).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+      cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
+    }
+    cents
+  }
+
   /** (vec_id, bucket) projection of [[withBuckets]] — kept for callers that
     * want the bucket relation alone.
     */

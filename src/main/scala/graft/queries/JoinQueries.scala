@@ -34,6 +34,39 @@ object JoinQueries {
       .orderBy("k", "side")
   }
 
+  /** MERGE / upsert semantics (the snapshot-maintenance op an append-only
+    * sink like the reference's cannot express): a deterministic change
+    * batch — price-bumped updates for keys ≡3 (mod 10), brand-new rows
+    * (negated keys, guaranteed absent) for keys ≡7 — applies to the orders
+    * snapshot via ONE full outer join + coalesce. Each output row is tagged
+    * `update` / `insert` / `keep`, so the result is both the new snapshot
+    * and its change audit. At 100 TB this is the standard merge shape: one
+    * shuffle on the key for each side, AQE free to broadcast a small batch;
+    * no driver-side diffing.
+    */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val cur = Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val updates = cur.filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey"),
+              round(col("o_totalprice") * 1.1, 2).as("u_totalprice"),
+              lit("U").as("u_orderstatus"))
+    val inserts = cur.filter(col("o_orderkey") % 10 === 7)
+      .select((-col("o_orderkey")).as("o_orderkey"),
+              round(col("o_totalprice"), 2).as("u_totalprice"),
+              lit("N").as("u_orderstatus"))
+    val changes = updates.unionByName(inserts)
+    cur.join(changes, Seq("o_orderkey"), "full_outer")
+      .select(
+        col("o_orderkey"),
+        round(coalesce(col("u_totalprice"), col("o_totalprice")), 2).as("price"),
+        coalesce(col("u_orderstatus"), col("o_orderstatus")).as("status"),
+        when(col("u_totalprice").isNotNull && col("o_totalprice").isNotNull, "update")
+          .when(col("o_totalprice").isNull, "insert")
+          .otherwise("keep").as("action"))
+      .orderBy("o_orderkey")
+  }
+
   /** Theta join: equi on nation + non-equi on balances; per-nation counts. */
   def theta(s: SparkSession, d: String): DataFrame =
     Tables.supplier(s, d).select(col("s_nationkey"), col("s_acctbal"))
@@ -69,6 +102,7 @@ object JoinQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c2b_left_outer" -> (outer _),
+    "c20_merge_upsert" -> (mergeUpsert _),
     "c2c_full_outer" -> (fullOuter _),
     "c2d_theta_join" -> (theta _),
     "c7d_predicates" -> (predicates _),
@@ -76,6 +110,24 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "c20_merge_upsert" ->
+      """WITH cur AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |upd AS (SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS u_totalprice,
+        |               'U' AS u_orderstatus
+        |        FROM cur WHERE o_orderkey % 10 = 3),
+        |ins AS (SELECT -o_orderkey AS o_orderkey, round(o_totalprice, 2) AS u_totalprice,
+        |               'N' AS u_orderstatus
+        |        FROM cur WHERE o_orderkey % 10 = 7),
+        |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT coalesce(cur.o_orderkey, ch.o_orderkey) AS o_orderkey,
+        |  round(coalesce(ch.u_totalprice, cur.o_totalprice), 2) AS price,
+        |  coalesce(ch.u_orderstatus, cur.o_orderstatus) AS status,
+        |  CASE WHEN ch.u_totalprice IS NOT NULL AND cur.o_totalprice IS NOT NULL
+        |         THEN 'update'
+        |       WHEN cur.o_totalprice IS NULL THEN 'insert'
+        |       ELSE 'keep' END AS action
+        |FROM cur FULL OUTER JOIN ch ON cur.o_orderkey = ch.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     "c2b_left_outer" ->
       """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey

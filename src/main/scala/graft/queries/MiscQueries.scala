@@ -164,8 +164,36 @@ object MiscQueries {
     }.reduce(_ unionByName _).orderBy("column_name")
   }
 
+  /** Join-key skew diagnostic — the question to answer BEFORE shuffling
+    * 100 TB on a key: per-key group-size distribution (count, max, mean,
+    * exact p50/p99) and the max/mean skew ratio, for the two natural join
+    * keys in the fixture. One map-side-combined groupBy per relation; the
+    * stats then aggregate the key-sizes relation, which is distinct-keys
+    * sized, not corpus sized. A skew_ratio near 1 means hash partitions
+    * balance; a large one says use `Skew.saltedJoin` / AQE skew handling
+    * on that key.
+    */
+  def skewProfile(s: SparkSession, d: String): DataFrame = {
+    def keyStats(df: DataFrame, key: String, tag: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum("n").as("n_rows"),
+          max("n").as("max_n"),
+          round(avg("n"), 4).as("avg_n"),
+          round(expr("percentile(n, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n, 0.99)"), 4).as("p99"),
+          round(max("n").cast("double") / avg("n"), 4).as("skew_ratio"))
+        .select((lit(tag).as("key_col") +: Seq("n_keys", "n_rows", "max_n",
+          "avg_n", "p50", "p99", "skew_ratio").map(col)): _*)
+    keyStats(Tables.lineitem(s, d), "l_orderkey", "lineitem.l_orderkey")
+      .unionByName(keyStats(Tables.events(s, d), "user_id", "events.user_id"))
+      .orderBy("key_col")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
+    "profile_skew" -> (skewProfile _),
     "c14_pivot" -> (pivot _),
     "c4b_cube" -> (cube _),
     "c4c_grouping_sets" -> (groupingSets _),
@@ -177,6 +205,20 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "profile_skew" -> {
+      def branch(rel: String, key: String) =
+        s"""SELECT '$rel.$key' AS key_col,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(n) AS BIGINT) AS n_rows,
+           |  CAST(max(n) AS BIGINT) AS max_n,
+           |  round(avg(n), 4) AS avg_n,
+           |  round(quantile_cont(n, 0.5), 4) AS p50,
+           |  round(quantile_cont(n, 0.99), 4) AS p99,
+           |  round(CAST(max(n) AS DOUBLE) / avg(n), 4) AS skew_ratio
+           |FROM (SELECT $key, count(*) AS n FROM $rel GROUP BY $key) t""".stripMargin
+      branch("lineitem", "l_orderkey") + "\nUNION ALL\n" +
+        branch("events", "user_id") + "\nORDER BY key_col"
+    },
     "profile_orders" -> {
       def row(c: String, mn: String, mx: String) =
         s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n,

@@ -41,8 +41,24 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** mm_frame_sample — video-kind blobs as 16-byte frames, every 4th frame
+    * sampled, per-frame byte-mean feature: (media_id, frame_idx, n_frames,
+    * f_mean). The frame fan-out runs in the same per-partition batch shape
+    * as the decode stage; the oracle recomputes each sampled frame's mean
+    * from the same bytes via `ascii(substring(...))` (ASCII fixture).
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 3 === 2)
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text", "video", "documents")
+    Multimodal.frameFeatures(media, frameBytes = 16, stride = 4)
+      .select(col("media_id"), col("frame_idx"), col("n_frames"),
+              round(col("f_mean"), 4).as("f_mean"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> (decodeMeta _),
+    "mm_frame_sample" -> (frameSample _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -66,5 +82,21 @@ object MultimodalQueries {
         |  CAST(ceil(width * least(1.0, 256.0 / greatest(width, height))) AS INTEGER) AS out_width,
         |  CAST(ceil(height * least(1.0, 256.0 / greatest(width, height))) AS INTEGER) AS out_height
         |FROM f ORDER BY media_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT media_id, text, CAST(n // 16 AS BIGINT) AS n_frames
+        |  FROM m WHERE n >= 16),
+        |idx AS (
+        |  SELECT media_id, text, n_frames,
+        |         CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx
+        |  FROM fr)
+        |SELECT media_id, frame_idx, n_frames,
+        |  round(list_sum(list_transform(range(1, 17),
+        |    j -> ascii(substring(text, CAST(frame_idx * 16 + j AS INTEGER), 1))))
+        |    / 16.0, 4) AS f_mean
+        |FROM idx ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

@@ -147,6 +147,44 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Distributed Lloyd k-means (k=5, 2 update rounds) over the embedding
+    * corpus — the clustering primitive behind semantic dedup and
+    * diversity-aware sampling of training data. Deterministic and
+    * oracle-reproducible by construction:
+    *
+    *   - seeds = the first k vectors (bit-equal in both engines);
+    *   - assignment = argmin of squared L2 distance computed as the SAME
+    *     sequential fold the oracle uses, rounded to 6 decimals BEFORE the
+    *     argmin, ties broken by centroid id — so both engines pick the same
+    *     cluster even at exact-tie boundaries;
+    *   - updated centroids are element-wise means rounded to 6 decimals
+    *     before they feed the next round, which re-synchronizes the two
+    *     engines' float noise (partial-agg sum order differs) each round
+    *     instead of letting it compound into assignment flips.
+    *
+    * Scale shape: centroids are k tiny rows — they live on the driver and
+    * re-enter the plan as literal arrays (same pattern as the LSH anchors),
+    * so each round is ONE full scan with a map-side-combined centroid
+    * aggregate ([[graft.functions.CentroidAgg]] partials) and a k-row
+    * collect. No per-round shuffle of raw vectors, no driver-sized state:
+    * exactly the MLlib k-means communication pattern, expressed on the
+    * DataFrame API.
+    */
+  def kmeans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = prepared(Tables.embeddings(s, d)).select(col("vec_id"), col("v"))
+    val cents = kmeansFit(vecs, k = 5, rounds = 2)
+    val cdf = cents.map { case (cid, cv) => (cid, cv(0), cv(1), cv(2), cv(3)) }
+      .toDF("cluster", "c0", "c1", "c2", "c3")
+    kmeansAssign(vecs, cents).groupBy("cluster")
+      .agg(count(lit(1)).as("n"), round(sum(col("dist")), 4).as("inertia"))
+      .join(broadcast(cdf), "cluster")
+      .select(col("cluster"), col("n"), col("inertia"),
+        round(col("c0"), 4).as("c0"), round(col("c1"), 4).as("c1"),
+        round(col("c2"), 4).as("c2"), round(col("c3"), 4).as("c3"))
+      .orderBy("cluster")
+  }
+
   /** Per-vector symmetric int8 quantization — the storage/serving form of an
     * embedding table (4x smaller than float32, 8x than the double working
     * form). scale = max|v_i| so q_i = round(v_i·127/scale) ∈ [-127, 127];
@@ -177,6 +215,7 @@ object SimilarityQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c13_cosine_topk" -> (c13 _),
+    "sim_kmeans" -> (kmeans _),
     "sim_quant_int8" -> (quantInt8 _),
     "sim_knn" -> (knn _),
     "sim_lsh_ann" -> (lshAnn _),
@@ -185,7 +224,48 @@ object SimilarityQueries {
     "sim_ivf_ann" -> (ivfAnn _),
   )
 
+  /** One Lloyd round in DuckDB: distances from centroid set `c` (rounded 6dp
+    * before the argmin, ties by cid — identical to the Spark side), argmin
+    * assignment, element-wise means rounded 6dp, empty clusters keep their
+    * previous centroid. Emits CTEs d{n}, a{n}, m{n}, u{n} chained off `prev`.
+    */
+  private def duckKmRound(prev: String, n: Int): String =
+    s"""d$n AS (SELECT e.vec_id, e.v, c.cid,
+       |  round(list_sum(list_transform(range(1, len(e.v)+1),
+       |    i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS dist
+       |  FROM e, $prev c),
+       |a$n AS (SELECT vec_id, v, cid AS cluster FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+       |   FROM d$n) t WHERE rn = 1),
+       |m$n AS (SELECT cluster AS cid, list(round(m, 6) ORDER BY i) AS cv FROM
+       |  (SELECT cluster, r.i, avg(v[r.i]) AS m
+       |   FROM a$n, range(1, 65) r(i) GROUP BY cluster, r.i) t
+       |  GROUP BY cluster),
+       |u$n AS (SELECT p.cid, coalesce(m$n.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN m$n ON p.cid = m$n.cid)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sim_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seed AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < 5),
+         |${duckKmRound("seed", 1)},
+         |${duckKmRound("u1", 2)},
+         |d3 AS (SELECT e.vec_id, c.cid,
+         |  round(list_sum(list_transform(range(1, len(e.v)+1),
+         |    i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS dist
+         |  FROM e, u2 c),
+         |a3 AS (SELECT vec_id, cluster, dist FROM
+         |  (SELECT *, cid AS cluster,
+         |     row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+         |   FROM d3) t WHERE rn = 1),
+         |st AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         |         round(sum(dist), 4) AS inertia
+         |       FROM a3 GROUP BY cluster)
+         |SELECT st.cluster, st.n, st.inertia,
+         |  round(u2.cv[1], 4) AS c0, round(u2.cv[2], 4) AS c1,
+         |  round(u2.cv[3], 4) AS c2, round(u2.cv[4], 4) AS c3
+         |FROM st JOIN u2 ON st.cluster = u2.cid
+         |ORDER BY cluster""".stripMargin,
     "sim_quant_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v,

@@ -18,6 +18,36 @@ object TextQueries {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("token")).limit(20)
 
+  /** Vocabulary coverage curve — the tokenizer-design question "how much of
+    * the corpus do the top-N types cover?". Global type frequencies, ranked,
+    * with the cumulative share of all token occurrences; top-20 reported.
+    *
+    * Scale shape: the corpus-sized work is ONE explode + map-side-combined
+    * groupBy(token); everything after runs on the VOCAB relation, which is
+    * orders of magnitude smaller than the corpus (types, not tokens). The
+    * unpartitioned ranking window single-partitions only that small frame —
+    * the same deliberate trade as every global top-k here. Frames are ROWS,
+    * not the default RANGE, so the running sum is per-row even if two types
+    * ever tied on (freq, token).
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = TextAnalysis.tokenRows(Tables.documents(s, d), "doc_id", "text")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val order = Window.orderBy(desc("freq"), asc("token"))
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("rnk", row_number().over(order))
+      .withColumn("cum_share",
+        round(sum(col("freq")).over(running).cast("double")
+          / sum(col("freq")).over(whole), 4))
+      .filter(col("rnk") <= 20)
+      .select("rnk", "token", "freq", "cum_share")
+      .orderBy("rnk")
+  }
+
   /** C12b — per-language doc counts + char volume. */
   def c12Lang(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -205,6 +235,7 @@ object TextQueries {
     "text_tfidf" -> (tfidf _),
     "text_pack_bins" -> (packBins _),
     "c12_tokens" -> (c12Tokens _),
+    "text_vocab_coverage" -> (vocabCoverage _),
     "c12_lang" -> (c12Lang _),
     "text_langid" -> (langId _),
     "text_quality" -> (quality _),
@@ -296,6 +327,17 @@ object TextQueries {
         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
         |  CAST(max(doc_id) AS BIGINT) AS last_doc
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "text_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |      FROM t WHERE token <> '' GROUP BY token),
+        |r AS (SELECT token, freq,
+        |  CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INTEGER) AS rnk,
+        |  round(CAST(sum(freq) OVER (ORDER BY freq DESC, token ASC
+        |                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |        / sum(freq) OVER (), 4) AS cum_share
+        |  FROM c)
+        |SELECT rnk, token, freq, cum_share FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     "c12_tokens" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t

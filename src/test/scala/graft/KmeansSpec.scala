@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Lloyd k-means invariants at sf0.01. The oracle hash-match proves the
+  * 2-round query is reproducible; this suite proves it is a CORRECT Lloyd
+  * iteration: assignment covers every vector exactly once, total inertia is
+  * non-increasing round over round (the Lloyd descent guarantee — the 6-dp
+  * centroid rounding perturbs each step by ≤1e-6 per dimension, far below
+  * the inertia drops on this fixture), and empty clusters keep their seed.
+  */
+class KmeansSpec extends SparkSpec {
+
+  private def vecs = Similarity.prepared(Tables.embeddings(spark, sf("sf0.01")))
+    .select(col("vec_id"), col("v"))
+
+  private def inertia(cents: Seq[(Int, Seq[Double])]): Double =
+    Similarity.kmeansAssign(vecs, cents)
+      .agg(sum("dist")).head().getDouble(0)
+
+  test("assignment partitions the corpus: every vector in exactly one cluster") {
+    val cents = Similarity.kmeansFit(vecs, k = 5, rounds = 1)
+    val assigned = Similarity.kmeansAssign(vecs, cents)
+    assert(assigned.count() === vecs.count())
+    val ids = assigned.select("cluster").distinct().collect().map(_.getInt(0)).toSet
+    assert(ids.subsetOf(cents.map(_._1).toSet))
+  }
+
+  test("Lloyd descent: inertia is non-increasing over update rounds") {
+    val byRound = (0 to 3).map(r => inertia(Similarity.kmeansFit(vecs, k = 5, rounds = r)))
+    byRound.sliding(2).foreach { w =>
+      assert(w(1) <= w(0) + 1e-3, s"inertia rose: $byRound")
+    }
+    // and round 1 must actually improve on the raw seeds on this fixture
+    assert(byRound(1) < byRound(0))
+  }
+
+  test("k larger than the seed range still fits; empty clusters keep seeds") {
+    // k=3 on a 3-vector corpus with rounds=2: clusters can go empty without
+    // losing their centroid (the map fallback), and fit stays total
+    val tiny = vecs.filter(col("vec_id") < 3)
+    val cents = Similarity.kmeansFit(tiny, k = 3, rounds = 2)
+    assert(cents.map(_._1) === Seq(0, 1, 2))
+    assert(cents.forall(_._2.length == 64))
+  }
+}

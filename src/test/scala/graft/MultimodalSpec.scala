@@ -65,6 +65,26 @@ class MultimodalSpec extends SparkSpec {
     assert(idx === Seq(0, 5, 10, 15))
   }
 
+  test("frameFeatures samples payload frames and computes exact byte means") {
+    // 40-byte payload, 16-byte frames -> 2 full frames (tail 8 bytes dropped);
+    // stride 1 samples both
+    val bytes = Array.tabulate(40)(i => (i + 1).toByte)
+    val m = Seq((7L, bytes)).toDF("media_id", "payload")
+    val rows = Multimodal.frameFeatures(m, frameBytes = 16, stride = 1)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 1))
+    assert(rows.forall(_.getAs[Long]("n_frames") == 2L))
+    assert(rows(0).getAs[Double]("f_mean") === (1 to 16).sum / 16.0)
+    assert(rows(1).getAs[Double]("f_mean") === (17 to 32).sum / 16.0)
+    // stride 2 keeps only frame 0; sub-frame payloads emit nothing
+    assert(Multimodal.frameFeatures(m, 16, 2).collect().map(_.getInt(1)).toSeq === Seq(0))
+    val tiny = Seq((8L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    assert(Multimodal.frameFeatures(tiny, 16, 1).isEmpty)
+    // null payload is an empty blob, not a crash
+    val nul = Seq((9L, null: Array[Byte])).toDF("media_id", "payload")
+    assert(Multimodal.frameFeatures(nul, 16, 1).isEmpty)
+  }
+
   test("ImageIoCodec decodes real PNG bytes: true dimensions + pixel features") {
     // deterministic PNGs of known sizes, through the real mapPartitions stage
     val fixtures = Seq((1L, 5, 3, 42L), (2L, 17, 9, 7L), (3L, 64, 1, 1L))

@@ -28,6 +28,10 @@ class QueriesSpec extends SparkSpec {
     "c12_tokens" -> 20L,
     "c12_lang" -> 5L,
     "c13_cosine_topk" -> 10L,
+    "sim_kmeans" -> 5L,
+    "text_vocab_coverage" -> 20L,
+    "mm_frame_sample" -> 827L,
+    "profile_skew" -> 2L,
     "sim_knn" -> 50L,
     "sim_lsh_ann" -> 29L,
     "text_langid" -> 500L,
@@ -56,6 +60,7 @@ class QueriesSpec extends SparkSpec {
     "c9b_sliding" -> 1504L,
     "c2b_left_outer" -> 150L,
     "c2c_full_outer" -> 21L,
+    "c20_merge_upsert" -> 1650L,
     "c2d_theta_join" -> 10L,
     "c7d_predicates" -> 200L,
     "c12b_arrays" -> 500L,
