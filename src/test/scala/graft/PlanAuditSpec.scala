@@ -225,4 +225,46 @@ class PlanAuditSpec extends SparkSpec {
     // nothing else (no join, no extra repartition)
     assert("Exchange".r.findAllIn(plan).size <= 3, plan)
   }
+
+  test("c20_merge_upsert: one equi-join, no cartesian, key-pruned scans") {
+    val plan = finalPlan(JoinQueries.mergeUpsert(spark, sf()))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    // the merge is ONE full-outer equi-join (merge/shuffled-hash/broadcast —
+    // AQE's pick); orders is scanned for cur + the two change branches
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).size === 1, plan)
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.forall(r =>
+      r.contains("o_orderkey") && !r.contains("o_custkey")), plan)
+  }
+
+  test("text_vocab_coverage: corpus-sized work is one agg; windows run on the vocab frame") {
+    val q = TextQueries.vocabCoverage(spark, sf())
+    val plan = finalPlan(q)
+    // token agg partials (2 exchanges from two-phase agg would show as 1
+    // hashpartitioning) + single-partition window + final sort
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+    // partial aggregation must happen BEFORE the exchange (map-side combine
+    // on the exploded tokens): a HashAggregate appears below the exchange
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("profile_skew: two-phase key-count aggregates, no join anywhere") {
+    val plan = finalPlan(MiscQueries.skewProfile(spark, sf()))
+    assert(!plan.contains("Join"), plan)
+    // each relation: one exchange for the key groupBy + one single-partition
+    // gather for the global stats; the union adds none
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("sim_kmeans assignment is a narrow projection: no exchange before the cluster agg") {
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.operators.Similarity.prepared(Tables.embeddings(spark, sf()))
+      .select(col("vec_id"), col("v"))
+    val cents = graft.operators.Similarity.kmeansFit(vecs, k = 5, rounds = 0)
+    val plan = finalPlan(graft.operators.Similarity.kmeansAssign(vecs, cents))
+    // centroids ride as literals: assignment adds NO exchange of any kind
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }

@@ -179,16 +179,15 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
-  test("sharePairs flag yields bit-identical dedup pairs and clusters") {
+  test("sharePairs flag yields bit-identical dedup pairs, clusters, sigs, incremental") {
     import graft.queries.DedupQueries
+    val qs = Seq("dedup_minhash_pairs", "dedup_clusters",
+                 "dedup_minhash_sigs", "dedup_incremental")
     def run(q: String) = DedupQueries.defs(q)(spark, sf())
       .collect().map(_.toSeq).sortBy(_.mkString("|"))
-    val (pairsOff, clustersOff) = (run("dedup_minhash_pairs"), run("dedup_clusters"))
+    val off = qs.map(q => q -> run(q)).toMap
     spark.conf.set("spark.graft.dedup.sharePairs", "true")
-    try {
-      val (pairsOn, clustersOn) = (run("dedup_minhash_pairs"), run("dedup_clusters"))
-      assert(pairsOn === pairsOff)
-      assert(clustersOn === clustersOff)
-    } finally spark.conf.unset("spark.graft.dedup.sharePairs")
+    try qs.foreach { q => assert(run(q) === off(q), s"sharePairs changed $q") }
+    finally spark.conf.unset("spark.graft.dedup.sharePairs")
   }
 }
