@@ -229,6 +229,38 @@ object DedupQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** SemDeDup-style semantic dedup: k-means clusters as the blocking
+    * structure, then within-cluster cosine pairs decide drops — a vector is
+    * dropped when an EARLIER cluster-mate (smaller vec_id, the deterministic
+    * keeper rule) is more similar than the threshold; `dup_of` reports the
+    * first such keeper. Composes [[Similarity.kmeansFit]]/`kmeansAssign`
+    * (assignment is a narrow zero-shuffle projection) with a cluster
+    * equi-join — the scale contract is the cluster count growing with the
+    * corpus so cluster SIZE stays bounded and the within-cluster join never
+    * goes quadratic in n (here k=5 on the small fixture).
+    *
+    * Blocked differently from [[embeddingPairs]] (learned Voronoi cells vs
+    * fixed label+sign-bucket): clusters adapt to where the vectors actually
+    * are, which is what lets a threshold rule replace a top-k rule.
+    */
+  def semantic(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val vecs = Similarity.prepared(Tables.embeddings(s, d)).select(col("vec_id"), col("v"))
+    val cents = Similarity.kmeansFit(vecs, k = 5, rounds = 2)
+    val assigned = Similarity.kmeansAssign(vecs, cents).select("vec_id", "v", "cluster")
+    val x = assigned.select(col("vec_id").as("va"), col("v").as("xa"), col("cluster").as("ca"))
+    val y = assigned.select(col("vec_id").as("vb"), col("v").as("xb"), col("cluster").as("cb"))
+    val pairs = x.join(y, col("ca") === col("cb") && col("va") < col("vb"))
+      .select(col("vb").as("vec_id"), col("cb").as("cluster"), col("va").as("dup_of"),
+              round(Similarity.cosineNative(col("xa"), col("xb")), 4).as("sim"))
+      .filter(col("sim") >= 0.4)
+    val w = Window.partitionBy("vec_id").orderBy(asc("dup_of"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "cluster", "dup_of", "sim")
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-dup: candidate pairs share (label, LSH bucket);
     * top-20 by rounded cosine.
     */
@@ -261,6 +293,7 @@ object DedupQueries {
     "dedup_containment" -> (containment _),
     "dedup_incremental" -> (incremental _),
     "dedup_embedding" -> (embeddingPairs _),
+    "dedup_semantic" -> (semantic _),
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -489,5 +522,24 @@ object DedupQueries {
         |FROM eb x JOIN eb y
         |  ON x.bucket = y.bucket AND x.label = y.label AND x.vec_id < y.vec_id
         |ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seed AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < 5),
+         |${SimilarityQueries.duckKmRound("seed", 1)},
+         |${SimilarityQueries.duckKmRound("u1", 2)},
+         |d3 AS (SELECT e.vec_id, e.v, c.cid,
+         |  round(list_sum(list_transform(range(1, len(e.v)+1),
+         |    i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS dist
+         |  FROM e, u2 c),
+         |asg AS (SELECT vec_id, v, cid AS cluster FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+         |   FROM d3) t WHERE rn = 1),
+         |p AS (
+         |  SELECT y.vec_id, y.cluster, x.vec_id AS dup_of,
+         |    round(${SimilarityQueries.duckCos("x.v", "y.v")}, 4) AS sim
+         |  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+         |q AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dup_of ASC) AS rn
+         |      FROM p WHERE sim >= 0.4)
+         |SELECT vec_id, cluster, dup_of, sim FROM q WHERE rn = 1 ORDER BY vec_id""".stripMargin,
   )
 }

@@ -15,7 +15,7 @@ object SimilarityQueries {
   /** Shared DuckDB fragment: cosine of two DOUBLE[] columns, sequential sum
     * order identical to Spark's aggregate(zip_with(...)) fold.
     */
-  private def duckCos(a: String, b: String): String =
+  private[queries] def duckCos(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))
        | / (sqrt(list_sum(list_transform($a, x -> x*x)))
        |    * sqrt(list_sum(list_transform($b, x -> x*x))))""".stripMargin
@@ -229,7 +229,7 @@ object SimilarityQueries {
     * assignment, element-wise means rounded 6dp, empty clusters keep their
     * previous centroid. Emits CTEs d{n}, a{n}, m{n}, u{n} chained off `prev`.
     */
-  private def duckKmRound(prev: String, n: Int): String =
+  private[queries] def duckKmRound(prev: String, n: Int): String =
     s"""d$n AS (SELECT e.vec_id, e.v, c.cid,
        |  round(list_sum(list_transform(range(1, len(e.v)+1),
        |    i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS dist

@@ -48,6 +48,7 @@ class QueriesSpec extends SparkSpec {
     "dedup_minhash_pairs" -> 47265L,
     "dedup_clusters" -> 500L,
     "dedup_embedding" -> 20L,
+    "dedup_semantic" -> 31L,
     "c14_pivot" -> 15L,
     "c4b_cube" -> 24L,
     "asof_last_view" -> 201L,
