@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import java.sql.Timestamp
 
+case class Doc(doc_id: Long, text: String)
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
@@ -171,6 +172,55 @@ class StreamingSpec extends SparkSpec {
       assert(landed.agg(sum("n")).head().getLong(0) === evs.size.toLong,
         "cross-batch windows must land with their full counts")
     } finally q.stop()
+  }
+
+  test("foreachBatch streaming-ingest dedup equals the batch dedup_incremental") {
+    // the rolling-ingest deployment shape: the corpus band table is STORED
+    // state (checkpointed once), each micro-batch of incoming docs signs
+    // only its own rows and joins the stored bands — new×corpus candidates
+    // only, exactly like the batch query. Split the incoming docs across
+    // TWO micro-batches to prove batch boundaries don't change the pair set.
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val (k, r) = (16, 4)
+    val docs = Tables.documents(spark, sf())
+    val corpusToks = Dedup.distinctTokenRows(
+      docs.filter($"doc_id" < 400), "doc_id", "text").localCheckpoint(true)
+    val corpusBands = Dedup.minhashBands(
+      Dedup.minhashSignatures(corpusToks, "doc_id", k), "doc_id", k, r)
+      .localCheckpoint(true)
+
+    val incoming = docs.filter($"doc_id" >= 400).select("doc_id", "text")
+      .as[Doc].collect().sortBy(_.doc_id)
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val mem = MemoryStream[Doc]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val toksNew = Dedup.distinctTokenRows(batch, "doc_id", "text")
+        val bandsNew = Dedup.minhashBands(
+          Dedup.minhashSignatures(toksNew, "doc_id", k), "doc_id", k, r)
+        val cand = Dedup.lshCrossCandidatePairs(bandsNew, corpusBands, "doc_id", k / r)
+        val parts = cand.select($"a".as("doc_id"))
+          .union(cand.select($"b".as("doc_id"))).distinct()
+        val toks = toksNew.unionByName(corpusToks).join(parts, Seq("doc_id"), "left_semi")
+        val pairs = Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
+          .filter($"jaccard" >= 0.7)
+          .select($"a", $"b", round($"jaccard", 4).as("j"))
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+        got.synchronized { got ++= pairs }
+        ()
+      }
+      .start()
+    try {
+      val (first, second) = incoming.splitAt(incoming.length / 2)
+      mem.addData(first); q.processAllAvailable()
+      mem.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val expected = graft.queries.DedupQueries.defs("dedup_incremental")(spark, sf())
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got.toSet === expected,
+      s"streaming pairs ${got.size} != batch pairs ${expected.size}")
   }
 
   test("stream-stream interval join matches its batch analog") {
