@@ -149,10 +149,13 @@ object Similarity {
     */
   def kmeansAssign(vecs: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     require(cents.nonEmpty, "centroid set is empty")
+    // native codegen'd squared-L2 (bit-identical to the aggregate(zip_with)
+    // fold it replaced — same strict left-to-right accumulation): the
+    // assignment evaluates it k times per row, the suite's hottest scalar
+    graft.functions.DistanceFunctions.register(vecs.sparkSession)
     def sqDist(cv: Seq[Double]): Column = {
       val litC = array(cv.map(lit): _*)
-      round(aggregate(zip_with(col("v"), litC, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x), 6)
+      round(graft.functions.DistanceFunctions.sqDist(col("v"), litC), 6)
     }
     val scored = array(cents.map { case (cid, cv) =>
       struct(sqDist(cv).as("dist"), lit(cid).as("cid"))

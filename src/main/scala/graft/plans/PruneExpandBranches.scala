@@ -95,6 +95,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", classOf[graft.functions.CosineSimilarity]),
       graft.functions.VectorFunctions.cosineBuilder))
+    e.injectFunction((FunctionIdentifier("sq_dist"),
+      info("sq_dist", classOf[graft.functions.SquaredDistance]),
+      graft.functions.DistanceFunctions.sqDistBuilder))
     e.injectFunction((FunctionIdentifier("bitset_intersect"),
       info("bitset_intersect", classOf[graft.functions.BitsetIntersectCount]),
       graft.functions.BitsetFunctions.intersectBuilder))
