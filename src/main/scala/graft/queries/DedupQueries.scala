@@ -51,6 +51,19 @@ object DedupQueries {
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Bounded memoization: the checkpointed frames are pinned in block
+    * storage for as long as the map references them, so a session touching
+    * many sf dirs must not accumulate them forever — past a handful of
+    * entries the cache clears and the ContextCleaner reclaims the dropped
+    * checkpoints once unreferenced. (Bench/Verify touch exactly one dir;
+    * this guards interactive/long-lived sessions.)
+    */
+  private def memo[V](cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V],
+                      key: (SparkSession, String), make: () => V): V = {
+    if (cache.size > 3) cache.clear()
+    cache.computeIfAbsent(key, _ => make())
+  }
+
   /** Distinct-token rows + per-doc band table — the expensive upstream every
     * MinHash consumer shares (K md5 hashes per (doc, token)). Under the same
     * `sharePairs` flag both frames are localCheckpointed once per (session,
@@ -70,7 +83,7 @@ object DedupQueries {
       (kept, if (checkpoint) bands.localCheckpoint(true) else bands)
     }
     if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build(false)
-    else bandsCache.computeIfAbsent((s, d), _ => build(true))
+    else memo(bandsCache, (s, d), () => build(true))
   }
 
   private def minhashPairsRaw(s: SparkSession, d: String): DataFrame = {
@@ -81,7 +94,7 @@ object DedupQueries {
         .filter(col("jaccard") >= 0.7)
     }
     if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build()
-    else pairCache.computeIfAbsent((s, d), _ => build().localCheckpoint(true))
+    else memo(pairCache, (s, d), () => build().localCheckpoint(true))
   }
 
   def minhashPairs(s: SparkSession, d: String): DataFrame =
@@ -248,7 +261,12 @@ object DedupQueries {
     graft.functions.VectorFunctions.register(s)
     val vecs = Similarity.prepared(Tables.embeddings(s, d)).select(col("vec_id"), col("v"))
     val cents = Similarity.kmeansFit(vecs, k = 5, rounds = 2)
-    val assigned = Similarity.kmeansAssign(vecs, cents).select("vec_id", "v", "cluster")
+    // checkpoint the assignment: both self-join branches read it, and an
+    // uncached narrow subplan would be recomputed per branch — one extra
+    // corpus scan plus k sq_dist evaluations per row (same move as the
+    // shingle frame in ngramPairs)
+    val assigned = Similarity.kmeansAssign(vecs, cents)
+      .select("vec_id", "v", "cluster").localCheckpoint(true)
     val x = assigned.select(col("vec_id").as("va"), col("v").as("xa"), col("cluster").as("ca"))
     val y = assigned.select(col("vec_id").as("vb"), col("v").as("xb"), col("cluster").as("cb"))
     val pairs = x.join(y, col("ca") === col("cb") && col("va") < col("vb"))
@@ -527,17 +545,11 @@ object DedupQueries {
          |seed AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < 5),
          |${SimilarityQueries.duckKmRound("seed", 1)},
          |${SimilarityQueries.duckKmRound("u1", 2)},
-         |d3 AS (SELECT e.vec_id, e.v, c.cid,
-         |  round(list_sum(list_transform(range(1, len(e.v)+1),
-         |    i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS dist
-         |  FROM e, u2 c),
-         |asg AS (SELECT vec_id, v, cid AS cluster FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
-         |   FROM d3) t WHERE rn = 1),
+         |${SimilarityQueries.duckKmAssign("u2", 3)},
          |p AS (
          |  SELECT y.vec_id, y.cluster, x.vec_id AS dup_of,
          |    round(${SimilarityQueries.duckCos("x.v", "y.v")}, 4) AS sim
-         |  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+         |  FROM a3 x JOIN a3 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
          |q AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dup_of ASC) AS rn
          |      FROM p WHERE sim >= 0.4)
          |SELECT vec_id, cluster, dup_of, sim FROM q WHERE rn = 1 ORDER BY vec_id""".stripMargin,

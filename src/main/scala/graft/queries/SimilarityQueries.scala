@@ -224,19 +224,28 @@ object SimilarityQueries {
     "sim_ivf_ann" -> (ivfAnn _),
   )
 
-  /** One Lloyd round in DuckDB: distances from centroid set `c` (rounded 6dp
-    * before the argmin, ties by cid — identical to the Spark side), argmin
-    * assignment, element-wise means rounded 6dp, empty clusters keep their
-    * previous centroid. Emits CTEs d{n}, a{n}, m{n}, u{n} chained off `prev`.
+  /** Lloyd assignment in DuckDB, the ONE statement of the distance+argmin
+    * rule (rounded 6dp before the argmin, ties by cid — identical to the
+    * Spark side): emits CTEs d{n} and a{n} (vec_id, v, cluster, dist) off
+    * centroid set `prev`. Shared by [[duckKmRound]], the sim_kmeans final
+    * assignment, and dedup_semantic, so a change to the rule cannot
+    * desynchronize one of the three.
     */
-  private[queries] def duckKmRound(prev: String, n: Int): String =
+  private[queries] def duckKmAssign(prev: String, n: Int): String =
     s"""d$n AS (SELECT e.vec_id, e.v, c.cid,
        |  round(list_sum(list_transform(range(1, len(e.v)+1),
        |    i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS dist
        |  FROM e, $prev c),
-       |a$n AS (SELECT vec_id, v, cid AS cluster FROM
+       |a$n AS (SELECT vec_id, v, cid AS cluster, dist FROM
        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
-       |   FROM d$n) t WHERE rn = 1),
+       |   FROM d$n) t WHERE rn = 1)""".stripMargin
+
+  /** One full Lloyd round in DuckDB: [[duckKmAssign]] + element-wise means
+    * rounded 6dp; empty clusters keep their previous centroid. Emits CTEs
+    * d{n}, a{n}, m{n}, u{n} chained off `prev`.
+    */
+  private[queries] def duckKmRound(prev: String, n: Int): String =
+    s"""${duckKmAssign(prev, n)},
        |m$n AS (SELECT cluster AS cid, list(round(m, 6) ORDER BY i) AS cv FROM
        |  (SELECT cluster, r.i, avg(v[r.i]) AS m
        |   FROM a$n, range(1, 65) r(i) GROUP BY cluster, r.i) t
@@ -250,14 +259,7 @@ object SimilarityQueries {
          |seed AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < 5),
          |${duckKmRound("seed", 1)},
          |${duckKmRound("u1", 2)},
-         |d3 AS (SELECT e.vec_id, c.cid,
-         |  round(list_sum(list_transform(range(1, len(e.v)+1),
-         |    i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS dist
-         |  FROM e, u2 c),
-         |a3 AS (SELECT vec_id, cluster, dist FROM
-         |  (SELECT *, cid AS cluster,
-         |     row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
-         |   FROM d3) t WHERE rn = 1),
+         |${duckKmAssign("u2", 3)},
          |st AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,
          |         round(sum(dist), 4) AS inertia
          |       FROM a3 GROUP BY cluster)

@@ -36,12 +36,18 @@ class KmeansSpec extends SparkSpec {
     assert(byRound(1) < byRound(0))
   }
 
-  test("k larger than the seed range still fits; empty clusters keep seeds") {
+  test("tiny corpus: empty clusters keep their centroid; k beyond the corpus degrades to n seeds") {
     // k=3 on a 3-vector corpus with rounds=2: clusters can go empty without
     // losing their centroid (the map fallback), and fit stays total
     val tiny = vecs.filter(col("vec_id") < 3)
     val cents = Similarity.kmeansFit(tiny, k = 3, rounds = 2)
     assert(cents.map(_._1) === Seq(0, 1, 2))
     assert(cents.forall(_._2.length == 64))
+    // k exceeding the corpus: only the n existing vectors can seed — the
+    // fit returns n centroids rather than fabricating empty ones, and
+    // assignment against them still partitions the corpus
+    val over = Similarity.kmeansFit(tiny, k = 5, rounds = 1)
+    assert(over.map(_._1) === Seq(0, 1, 2))
+    assert(Similarity.kmeansAssign(tiny, over).count() === 3)
   }
 }

@@ -153,6 +153,24 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("partitioned reads prune at the scan: day predicate is a PartitionFilter") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppr").toString
+    Tables.events(spark, sf())
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$dir/t")
+    val read = spark.read.parquet(s"$dir/t")
+    val days = read.select("day").distinct().orderBy("day").collect().map(_.getDate(0))
+    assert(days.length > 1, "fixture must span multiple days for pruning to mean anything")
+    val one = read.filter(col("day") === lit(days(days.length / 2)))
+    one.collect()
+    val plan = one.queryExecution.executedPlan.toString
+    // the predicate must prune at partition-metadata level (PartitionFilters
+    // on the scan), not ride along as a per-row data filter over every file
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined, plan)
+    assert(!"PushedFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("bucketed tables join without any exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
