@@ -44,6 +44,42 @@ object AsOfJoin {
       .drop("__tag", "__val")
   }
 
+  /** Backward as-of with a TOLERANCE (pandas `merge_asof(tolerance=...)`):
+    * like [[lastValue]], but the match is discarded — asof value NULL —
+    * when the latest right row is more than `toleranceSec` seconds older
+    * than the left row. The window additionally carries the matched right
+    * row's timestamp (conditioned on a non-null value so the (ts, value)
+    * pair can never desynchronize under null right values); the tolerance
+    * check is exact timestamp INTERVAL arithmetic, no epoch-second
+    * truncation. Same one-shuffle union + running-aggregate scale shape.
+    */
+  def lastValueWithin(left: DataFrame, right: DataFrame,
+                      keyCol: String, tsCol: String, valueCol: String,
+                      toleranceSec: Long): DataFrame = {
+    require(toleranceSec >= 0, s"tolerance must be non-negative, got $toleranceSec")
+    val leftCols = left.columns
+    val l = left.withColumn("__tag", lit(1))
+      .withColumn("__val", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(col(keyCol), col(tsCol), col(valueCol))
+      .withColumn("__tag", lit(0))
+      .withColumnRenamed(valueCol, "__val")
+    val unioned = l.select((leftCols.map(col).toIndexedSeq :+ col("__tag") :+ col("__val")): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol).orderBy(asc(tsCol), asc("__tag"), asc("__val"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("__mval", last(col("__val"), ignoreNulls = true).over(w))
+      .withColumn("__mts",
+        last(when(col("__tag") === 0 && col("__val").isNotNull, col(tsCol)),
+          ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      // NULL __mts (no match at all) falls through the when to NULL
+      .withColumn(s"asof_$valueCol",
+        when(col("__mts") >= col(tsCol) - expr(s"INTERVAL $toleranceSec SECOND"),
+          col("__mval")))
+      .drop("__tag", "__val", "__mval", "__mts")
+  }
+
   /** The FORWARD direction (pandas `merge_asof(direction='forward')`): the
     * earliest right `valueCol` at or after the left row's time (null if
     * none). Same union + running-aggregate shape, mirrored: right rows sort

@@ -115,6 +115,21 @@ object MiscQueries {
       .orderBy("event_id")
   }
 
+  /** Tolerance as-of join (merge_asof tolerance=10min): the last view
+    * strictly within 10 minutes before each error, else NULL — a stale
+    * reference row is worse than none for attribution-style joins.
+    */
+  def asofToleranceView(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    AsOfJoin.lastValueWithin(errors, views, "user_id", "ts", "value", toleranceSec = 600L)
+      .select("event_id", "user_id", "asof_value")
+      .orderBy("event_id")
+  }
+
   /** Typed-Aggregator centroid per embedding label (first 4 dims shown). */
   def centroid(s: SparkSession, d: String): DataFrame = {
     val centroidUdaf = udaf(new CentroidAgg(64))
@@ -201,6 +216,7 @@ object MiscQueries {
     "c16_pricing_summary" -> (pricingSummary _),
     "asof_last_view" -> (asofLastView _),
     "asof_next_view" -> (asofNextView _),
+    "asof_tolerance_view" -> (asofToleranceView _),
     "sim_centroid" -> (centroid _),
   )
 
@@ -290,6 +306,27 @@ object MiscQueries {
         |    ORDER BY epoch_us(ts), tag, val
         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS asof_value
         |FROM u QUALIFY tag = 0 ORDER BY event_id""".stripMargin,
+    "asof_tolerance_view" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, ts, 1 AS tag, CAST(NULL AS DOUBLE) AS val
+        |  FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT CAST(NULL AS BIGINT), user_id, ts, 0 AS tag, value
+        |  FROM events WHERE event_type = 'view'
+        |),
+        |m AS (
+        |  SELECT event_id, user_id, ts, tag,
+        |    last_value(val IGNORE NULLS) OVER w AS mval,
+        |    last_value(CASE WHEN tag = 0 AND val IS NOT NULL
+        |                    THEN epoch_us(ts) END IGNORE NULLS) OVER w AS mts
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), tag, val
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id,
+        |  CASE WHEN mts IS NOT NULL AND mts >= epoch_us(ts) - 600000000
+        |       THEN mval END AS asof_value
+        |FROM m WHERE tag = 1 ORDER BY event_id""".stripMargin,
     "asof_last_view" ->
       """WITH u AS (
         |  SELECT event_id, user_id, ts, 1 AS tag, CAST(NULL AS DOUBLE) AS val

@@ -34,6 +34,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(v === 9.0)
   }
 
+  test("lastValueWithin nulls matches older than the tolerance, keeps the boundary") {
+    val left = Seq((1L, t(100), "in"), (1L, t(200), "boundary"), (1L, t(300), "out"),
+                   (2L, t(50), "none"))
+      .toDF("k", "ts", "name")
+    // one right row at t=90 for k=1; left rows probe at increasing distance
+    val right = Seq((1L, t(90), 7.0)).toDF("k", "ts", "value")
+    val got = AsOfJoin.lastValueWithin(left, right, "k", "ts", "value", toleranceSec = 110L)
+      .select("name", "asof_value").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got("in") === Some(7.0))       // 10s old, within 110s
+    assert(got("boundary") === Some(7.0)) // exactly 110s old: boundary kept (>=)
+    assert(got("out") === None)           // 210s old: tolerance exceeded
+    assert(got("none") === None)          // no prior right row at all
+  }
+
   test("nextValue picks the earliest right value at or after each left ts") {
     val left = Seq((1L, t(10), "e1"), (1L, t(16), "e2"), (1L, t(30), "e3"),
                    (2L, t(12), "e4"))

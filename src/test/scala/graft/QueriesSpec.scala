@@ -91,6 +91,7 @@ class QueriesSpec extends SparkSpec {
     "c19_active_users" -> 30L,
     "dedup_incremental" -> 14664L,
     "asof_next_view" -> 201L,
+    "asof_tolerance_view" -> 201L,
   )
 
   test("every query has an oracle and vice versa") {

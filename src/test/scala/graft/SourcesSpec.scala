@@ -34,6 +34,43 @@ class SourcesSpec extends SparkSpec {
            fromOrc.schema === schema)
   }
 
+  test("malformed json rows surface as nulls (PERMISSIVE) or are droppable (DROPMALFORMED)") {
+    // at 100 TB some rows WILL be garbage; a poison line must not kill the
+    // scan, and the two recovery policies must behave as declared
+    val dir = Files.createTempDirectory("graft-badjson").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/part.json"),
+      java.util.Arrays.asList(
+        """{"k": 1, "v": "ok"}""",
+        """{"k": not-json at all""",
+        """{"k": 3, "v": "also ok"}"""))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val permissive = spark.read.schema(schema).json(dir)
+    assert(permissive.count() === 3)
+    assert(permissive.filter($"k".isNull).count() === 1) // poison row nulled, scan alive
+    val dropped = spark.read.schema(schema)
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() === 2)
+    assert(dropped.filter($"k".isNull).count() === 0)
+  }
+
+  test("observe: pipeline-embedded metrics ride the existing scan (O20 debug)") {
+    // df.observe collects named aggregates DURING the job — no second scan,
+    // no collect of data rows: the production way to watch row counts /
+    // null rates at 100 TB (vs a debug .count() that doubles the read)
+    val obs = new org.apache.spark.sql.Observation("orders_stats")
+    val df = Tables.orders(spark, sf())
+      .observe(obs, count(lit(1)).as("n"),
+               sum(when($"o_totalprice" <= 0, 1L).otherwise(0L)).as("bad_price"))
+      .filter($"o_orderstatus" === "O")
+    val filtered = df.count()
+    val m = obs.get
+    assert(m("n") === 1500L, m)          // observed BEFORE the filter
+    assert(m("bad_price") === 0L, m)
+    assert(filtered < 1500L)
+  }
+
   test("TrendsSource file-drop replay paths (parquet + csv) yield the wide schema") {
     val dir = Files.createTempDirectory("graft-src-w").toString
     val terms = Seq("vpn", "hack")
