@@ -225,9 +225,11 @@ case class CmsMergeAgg(
 /** `cms_query(sketch, value)` — scalar point-frequency estimate: min over
   * rows, an upper bound on the true count of `value`.
   *
-  * CodegenFallback is fine here: queries run against already-aggregated
-  * sketches (one row per group/day, not per raw record), so this is never
-  * in the raw-scan hot path the codegen rule exists for.
+  * CodegenFallback is fine here: the per-row work is a handful of array
+  * probes; the decode cache below keeps the bytes→counters parse off the
+  * per-row path so the expression also serves as a raw-scan PREFILTER
+  * (millions of probes against one Literal sketch — the heavy-hitter
+  * analog of [[BloomContains]]'s probe pattern).
   */
 case class CmsQuery(left: Expression, right: Expression) extends BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -246,8 +248,21 @@ case class CmsQuery(left: Expression, right: Expression) extends BinaryExpressio
 
   @transient private lazy val (h1, h2) = CmsSketch.hashers(right.dataType)
 
+  // decode cache, same shape as BloomContains': one volatile (ref, parsed)
+  // pair keyed on reference identity, because the common carrier is a
+  // single Literal whose byte array keeps one stable reference across every
+  // probe of a task — and a single atomic pair can't tear when the
+  // expression instance is shared across task threads.
+  @transient @volatile private var cache: (AnyRef, (Int, Int, Array[Long])) = _
+
   override protected def nullSafeEval(sketch: Any, value: Any): Any = {
-    val (d, w, buf) = CmsSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
+    val ref = sketch.asInstanceOf[AnyRef]
+    var c = cache
+    if (c == null || !(c._1 eq ref)) {
+      c = (ref, CmsSketch.deserialize(sketch.asInstanceOf[Array[Byte]]))
+      cache = c
+    }
+    val (d, w, buf) = c._2
     CmsSketch.query(buf, h1(value), h2(value), d, w)
   }
 

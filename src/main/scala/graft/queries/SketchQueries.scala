@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.Bloom
+import graft.functions.{Bloom, Cms}
+import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,9 +74,46 @@ object SketchQueries {
       .orderBy("lang")
   }
 
+  /** Exact boilerplate-shingle detection with a CMS prefilter — the
+    * frequency analog of the bloom patterns above. "Boilerplate" = a
+    * 3-gram shingle appearing in >= 5 distinct documents (the C4-style
+    * repeated-fragment signal a corpus-curation pipeline strips).
+    *
+    * Pass 1 builds ONE fixed-size mergeable sketch over the doc-distinct
+    * shingle stream (map-side partials, sum-merged — no per-key state
+    * anywhere). Pass 2 re-scans and keeps only shingles whose sketch
+    * ESTIMATE reaches the threshold BEFORE the exact groupBy: CMS never
+    * underestimates, so every true heavy hitter survives the prefilter,
+    * and the exact recount + HAVING drops the overestimate tail — the
+    * result is bit-identical to the plain groupBy + HAVING the oracle
+    * states, while the exchange carries only candidate occurrences. At
+    * 100 TB that is the difference between shuffling every shingle
+    * occurrence (trillions of rows, mostly singletons) and shuffling the
+    * thin candidate slice; width is sized so expected collision noise
+    * (N/width per row, min over depth rows) stays below the threshold —
+    * scale width with stream size, the sketch stays megabytes.
+    */
+  def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    Cms.register(s)
+    val sh = Tables.documents(s, d)
+      // materialize toks before the shingle HOF (the documented
+      // interpreted-lambda re-evaluation pitfall — see dedup_containment)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(explode(Dedup.ngramShingles(col("toks"), 3)).as("shingle"))
+    val (depth, width) = (4, 1 << 17)
+    val sk = sh.agg(Cms.sketch(col("shingle"), depth, width).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val t = 5L
+    sh.filter(Cms.query(lit(sk), col("shingle")) >= t)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= t)
+      .orderBy(desc("df"), col("shingle"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bloom_semi_revenue" -> (bloomSemiRevenue _),
     "bloom_decontam" -> (bloomDecontam _),
+    "cms_heavy_hitters" -> (cmsHeavyHitters _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -95,5 +133,16 @@ object SketchQueries {
         |WHERE d.doc_id % 10 <> 0
         |  AND NOT EXISTS (SELECT 1 FROM ev WHERE ev.h = md5(d.text))
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "cms_heavy_hitters" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 0) + 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM t)
+        |SELECT shingle, CAST(count(*) AS BIGINT) AS df
+        |FROM g GROUP BY shingle HAVING count(*) >= 5
+        |ORDER BY df DESC, shingle""".stripMargin,
   )
 }

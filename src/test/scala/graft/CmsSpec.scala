@@ -75,6 +75,53 @@ class CmsSpec extends SparkSpec {
     }
   }
 
+  test("prefilter never drops a true heavy hitter and stays selective") {
+    // the exactness argument behind cms_heavy_hitters: estimate >= true
+    // count means {est >= T} ⊇ {true >= T} — the prefiltered exact recount
+    // equals the unfiltered groupBy + HAVING. Also pin that the candidate
+    // slice is actually thin (the 100 TB point of the pattern): with
+    // width >> distinct keys, collision noise stays below the threshold
+    // for most singletons.
+    Cms.register(spark)
+    val sh = Tables.documents(spark, sf("sf0.01"))
+      .select($"doc_id", graft.operators.TextAnalysis.tokens($"text").as("toks"))
+      .select(explode(graft.operators.Dedup.ngramShingles($"toks", 3)).as("shingle"))
+    val sk = sh.agg(Cms.sketch($"shingle", 4, 1 << 17).as("sk"))
+      .select($"sk").as[Array[Byte]].head()
+    val t = 5L
+    val exact = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" >= t)
+    val prefiltered = sh.filter(Cms.query(lit(sk), $"shingle") >= t)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" >= t)
+    assert(prefiltered.exceptAll(exact).isEmpty && exact.exceptAll(prefiltered).isEmpty,
+      "prefiltered exact recount must equal the plain groupBy + HAVING")
+    val total = sh.count()
+    val candidates = sh.filter(Cms.query(lit(sk), $"shingle") >= t).count()
+    assert(candidates < total / 5,
+      s"prefilter kept $candidates of $total rows — not selective; widen the sketch")
+  }
+
+  test("decode cache keys on sketch identity, not expression instance") {
+    // one CmsQuery instance probed with TWO different Literal sketches in
+    // alternation must re-decode on each switch — a stale cache would
+    // silently answer from the wrong sketch's counters
+    Cms.register(spark)
+    val skA = spark.range(100).agg(Cms.sketch($"id", 3, 64).as("sk"))
+      .select($"sk").as[Array[Byte]].head()
+    val skB = spark.range(1).agg(Cms.sketch($"id", 3, 64).as("sk"))
+      .select($"sk").as[Array[Byte]].head()
+    val probed = spark.range(10).select(
+      $"id",
+      Cms.query(when($"id" % 2 === 0, lit(skA)).otherwise(lit(skB)), $"id").as("est"))
+      .as[(Long, Long)].collect().toMap
+    // skA counted 0..99 once each; skB counted only 0 — estimates are
+    // upper bounds but at these widths exact for inserted vs absent keys
+    assert((0L until 10L by 2).forall(i => probed(i) >= 1L))
+    assert(probed(1L) === 0L && probed(3L) === 0L,
+      "odd ids probe the 1-element sketch and must miss")
+  }
+
   test("cms SQL surface after register()") {
     // build-time extensions injection is covered by GraftExtensionsSpec;
     // this pins the per-session register() path on the shared session
