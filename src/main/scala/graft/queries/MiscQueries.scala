@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.CentroidAgg
-import graft.operators.{AsOfJoin, Similarity}
+import graft.operators.{AsOfJoin, Layout, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -206,8 +206,29 @@ object MiscQueries {
       .orderBy("key_col")
   }
 
+  /** Z-order curve audit: Morton values of `(o_custkey mod 4096,
+    * o_orderkey mod 4096)` summarized into 64 coarse curve cells
+    * (top 6 of 24 bits). Exercises [[Layout.zvalue]]'s bit-interleave over
+    * every row with the identical shift/and/or arithmetic stated in the
+    * oracle — the layout writer's correctness reduces to this expression
+    * plus stock repartitionByRange (layout QUALITY is engine-tested in
+    * LayoutSpec, where per-file min/max boxes are compared against a
+    * linear sort).
+    */
+  def layoutZvalue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(Layout.zvalue(
+        pmod(col("o_custkey"), lit(4096)).cast("long"),
+        pmod(col("o_orderkey"), lit(4096)).cast("long")).as("z"))
+      .groupBy(shiftright(col("z"), 18).cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"),
+           min("z").cast("long").as("min_z"),
+           max("z").cast("long").as("max_z"))
+      .orderBy("cell")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
+    "layout_zvalue" -> (layoutZvalue _),
     "profile_skew" -> (skewProfile _),
     "c14_pivot" -> (pivot _),
     "c4b_cube" -> (cube _),
@@ -221,6 +242,18 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "layout_zvalue" -> {
+      // the same 12-bit interleave as Layout.zvalue, spelled in portable
+      // integer bit arithmetic
+      val terms = (0 until Layout.Bits).map(i =>
+        s"(((a >> $i) & 1) << ${2 * i}) | (((b >> $i) & 1) << ${2 * i + 1})")
+      s"""WITH t AS (SELECT CAST(o_custkey % 4096 AS BIGINT) AS a,
+         |                  CAST(o_orderkey % 4096 AS BIGINT) AS b FROM orders),
+         |z AS (SELECT (${terms.mkString(" | ")}) AS z FROM t)
+         |SELECT CAST(z >> 18 AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(min(z) AS BIGINT) AS min_z, CAST(max(z) AS BIGINT) AS max_z
+         |FROM z GROUP BY cell ORDER BY cell""".stripMargin
+    },
     "profile_skew" -> {
       def branch(rel: String, key: String) =
         s"""SELECT '$rel.$key' AS key_col,

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+/** Z-order layout contract: the bit-interleave is exact, the written files
+  * form small bounding boxes in BOTH dimensions, and file-level min/max
+  * pruning (what a 100 TB scan actually does with footer stats) reads far
+  * fewer files than a single-column sort layout for predicates on the
+  * secondary dimension.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mortonRef(a: Long, b: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < Layout.Bits) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("zvalue matches the plain-Scala Morton reference on the full corner set") {
+    val probes = for {
+      a <- Seq(0L, 1L, 2L, 3L, 5L, 1023L, 2048L, 4095L)
+      b <- Seq(0L, 1L, 7L, 64L, 4095L)
+    } yield (a, b)
+    val got = probes.toDF("a", "b")
+      .select($"a", $"b", Layout.zvalue($"a", $"b").as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      assert(z === mortonRef(a, b), s"zvalue($a, $b)")
+    }
+    // interleave is a bijection on the grid: distinct inputs, distinct z
+    assert(got.map(_._3).distinct.length === probes.length)
+  }
+
+  test("z-order files are pruned on BOTH dimensions; linear sort only on one") {
+    val orders = Tables.orders(spark, sf("sf0.01"))
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val zPath = tmp("layout_z")
+    val linPath = tmp("layout_lin")
+    val files = 16
+    Layout.writeZOrdered(orders, "o_custkey", "o_totalprice", zPath, files)
+    Layout.writeLinear(orders, "o_custkey", linPath, files)
+
+    val zBack = spark.read.parquet(zPath)
+    val linBack = spark.read.parquet(linPath)
+    // layout must not change the data
+    assert(zBack.count() === orders.count())
+    assert(zBack.exceptAll(orders).isEmpty && orders.exceptAll(zBack).isEmpty)
+
+    // a predicate on the SECONDARY dimension only: 5% band in the middle
+    // of o_totalprice. Candidate files = those whose per-file [min, max]
+    // overlaps the band — exactly the files footer-stats pruning must read.
+    val b = Layout.bounds(orders, "o_custkey", "o_totalprice")
+    val (lo, hi) = (b(2) + 0.40 * (b(3) - b(2)), b(2) + 0.45 * (b(3) - b(2)))
+    def candidates(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val st = Layout.fileStats(df, "o_totalprice")
+      (st.count(), st.filter($"hi" >= lo && $"lo" <= hi).count())
+    }
+    val (zTotal, zCand) = candidates(zBack)
+    val (linTotal, linCand) = candidates(linBack)
+    assert(zTotal === files && linTotal === files)
+    // linear-on-custkey files each span ~the full price range: no pruning
+    assert(linCand >= files - 1, s"linear layout unexpectedly pruned: $linCand")
+    // a 16-file z-layout is ~a 4x4 grid; a 5% band hits one B-row of the
+    // grid (~4 files) — allow slack for range-sampling boundaries
+    assert(zCand <= files / 2,
+      s"z-order candidates $zCand of $zTotal — boxes too wide, no skip win")
+
+    // and the primary dimension still prunes too (the box is small BOTH
+    // ways): a 5% custkey band keeps at most half the files
+    val (alo, ahi) = (b(0) + 0.40 * (b(1) - b(0)), b(0) + 0.45 * (b(1) - b(0)))
+    val aStats = Layout.fileStats(zBack, "o_custkey")
+    val aCand = aStats.filter($"hi" >= alo && $"lo" <= ahi).count()
+    assert(aCand <= files / 2, s"z-order custkey candidates $aCand of $zTotal")
+  }
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$name")
+    d.toFile.deleteOnExit()
+    d.resolve("t").toString
+  }
+}
