@@ -93,4 +93,21 @@ object Layout {
   def fileStats(df: DataFrame, c: String): DataFrame =
     df.groupBy(input_file_name().as("file"))
       .agg(min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi"))
+
+  /** Persist `df` as a catalog table hash-bucketed (and in-bucket sorted)
+    * on `key` — the OTHER half of the layout story: z-order shrinks what a
+    * scan READS; bucketing pre-pays the join/agg SHUFFLE at write time.
+    * Two tables bucketed the same way join with zero exchanges (Spark
+    * reads bucket i of each side into the same task), and a groupBy on the
+    * bucket key skips its exchange too — at 100 TB that converts every
+    * recurring fact-to-fact join on the bucket key from a full network
+    * shuffle into a co-located merge. BucketingSpec pins the zero-exchange
+    * plans; bucket count is fixed at write time, so size it for the
+    * TARGET scale (buckets ≈ data / healthy-partition-size), not the
+    * current one.
+    */
+  def writeBucketed(df: DataFrame, key: String, table: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .saveAsTable(table)
 }

@@ -80,6 +80,38 @@ class LayoutSpec extends SparkSpec {
     assert(aCand <= files / 2, s"z-order custkey candidates $aCand of $zTotal")
   }
 
+  test("matching bucketed tables join and aggregate with zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val orders = Tables.orders(spark, sf("sf0.01"))
+      .select($"o_orderkey", $"o_totalprice")
+    val lineitem = Tables.lineitem(spark, sf("sf0.01"))
+      .select($"l_orderkey", $"l_quantity")
+    Layout.writeBucketed(orders, "o_orderkey", "bkt_orders", 8)
+    Layout.writeBucketed(lineitem, "l_orderkey", "bkt_lineitem", 8)
+    val bo = spark.table("bkt_orders")
+    val bl = spark.table("bkt_lineitem")
+
+    // hint("merge") pins sort-merge (the small fixture would otherwise
+    // broadcast); bucketing must then elide BOTH shuffle exchanges
+    val joined = bo.hint("merge")
+      .join(bl, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+    joined.count() // materialize so AQE finalizes the physical plan
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeLike => s
+    }
+    assert(shuffles.isEmpty,
+      s"bucketed join+agg should be exchange-free, found ${shuffles.size}")
+
+    // and the co-located plan returns exactly what the plain join does
+    val plain = orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+    assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+  }
+
   private def tmp(name: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft_$name")
     d.toFile.deleteOnExit()
