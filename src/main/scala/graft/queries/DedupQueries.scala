@@ -299,8 +299,45 @@ object DedupQueries {
       .limit(20)
   }
 
+  /** Span-level exact dedup (the substring story doc-level dedup misses):
+    * every 8-token rolling window (stride 1) that appears in >= 2 distinct
+    * documents, emitted as POSITIONED occurrences `(doc_id, start,
+    * span_md5)` — the actionable form: these are the exact spans a
+    * substring-dedup pass cuts out of otherwise-unique documents
+    * (RefinedWeb/"Deduplicating Training Data" style, hash-window
+    * approximation of the suffix-array method).
+    *
+    * Scale shape: span hashes are built INSIDE array-land (`transform`
+    * over a start-index sequence, then explode of the (start, md5) struct
+    * array) so exploded rows carry 40 bytes, not the token array — the
+    * stride-1 inflation is rows = tokens, unavoidable for positioned
+    * output, and each row is tiny. The duplicate set is a groupBy on the
+    * hash (count-distinct doc over 2 suffices — no positions shuffle) and
+    * occurrences come back via a left-semi on the hash.
+    */
+  def spans(s: SparkSession, d: String): DataFrame = {
+    val W = 8
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= W)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - W + 1),
+        i => struct(i.cast("long").as("start"),
+                    md5(concat_ws(" ", slice(col("toks"), i, lit(W)))).as("span_md5"))))
+        .as("sp"))
+      .select(col("doc_id"), col("sp.start"), col("sp.span_md5"))
+    val dup = w.groupBy("span_md5")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("span_md5")
+    w.join(dup, Seq("span_md5"), "left_semi")
+      .select("doc_id", "start", "span_md5")
+      .orderBy("doc_id", "start", "span_md5")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
+    "dedup_spans" -> (spans _),
     "dedup_exact_keep" -> (exactKeep _),
     "dedup_minhash_sigs" -> (minhashSigs _),
     "dedup_minhash_pairs" -> (minhashPairs _),
@@ -360,6 +397,21 @@ object DedupQueries {
        |  FROM sig)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+        |         md5(array_to_string(toks[i : i+7], ' ')) AS span_md5
+        |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |d AS (
+        |  SELECT span_md5 FROM w GROUP BY span_md5
+        |  HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT w.doc_id, w.start, w.span_md5
+        |FROM w JOIN d USING (span_md5)
+        |ORDER BY doc_id, start, span_md5""".stripMargin,
     "dedup_exact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT text) AS BIGINT) AS n_unique_text,
