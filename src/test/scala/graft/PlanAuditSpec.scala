@@ -257,6 +257,39 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("cms_heavy_hitters: text-only scan, literal sketch prefilter, no join") {
+    val plan = finalPlan(SketchQueries.cmsHeavyHitters(spark, sf()))
+    // the sketch rides as a Literal in a map-side Filter — NO join attaches
+    // it, and the only shuffles are the candidate groupBy + final ORDER BY
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("cms_query"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+    // the documents scan reads ONLY text (doc_id is not in the output)
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(scanCols.split(",").map(_.split("#")(0).trim).toSet === Set("text"), plan)
+  }
+
+  test("dedup_spans: hash-only shuffles, no cartesian, minimal scan") {
+    val plan = finalPlan(DedupQueries.spans(spark, sf()))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(scanCols.split(",").map(_.split("#")(0).trim).toSet ===
+      Set("doc_id", "text"), plan)
+  }
+
+  test("layout_zvalue: single aggregation over a two-column scan") {
+    val plan = finalPlan(MiscQueries.layoutZvalue(spark, sf()))
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(scanCols.split(",").map(_.split("#")(0).trim).toSet ===
+      Set("o_orderkey", "o_custkey"), plan)
+  }
+
   test("sim_kmeans assignment is a narrow projection: no exchange before the cluster agg") {
     import org.apache.spark.sql.functions.col
     val vecs = graft.operators.Similarity.prepared(Tables.embeddings(spark, sf()))

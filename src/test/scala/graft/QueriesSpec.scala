@@ -92,6 +92,9 @@ class QueriesSpec extends SparkSpec {
     "dedup_incremental" -> 14664L,
     "asof_next_view" -> 201L,
     "asof_tolerance_view" -> 201L,
+    "cms_heavy_hitters" -> 186L,
+    "dedup_spans" -> 2382L,
+    "layout_zvalue" -> 3L,
   )
 
   test("every query has an oracle and vice versa") {
