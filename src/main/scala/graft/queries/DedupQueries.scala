@@ -326,6 +326,9 @@ object DedupQueries {
                     md5(concat_ws(" ", slice(col("toks"), i, lit(W)))).as("span_md5"))))
         .as("sp"))
       .select(col("doc_id"), col("sp.start"), col("sp.span_md5"))
+      // consumed twice (duplicate-set groupBy, occurrence semi-join) —
+      // checkpoint so the window md5s are computed once
+      .localCheckpoint(true)
     val dup = w.groupBy("span_md5")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)

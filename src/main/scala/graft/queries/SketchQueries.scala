@@ -100,6 +100,12 @@ object SketchQueries {
       // interpreted-lambda re-evaluation pitfall — see dedup_containment)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(explode(Dedup.ngramShingles(col("toks"), 3)).as("shingle"))
+      // both passes (sketch build, prefilter+recount) consume this frame;
+      // checkpoint so tokenize+shingle+md5 runs once. At 100 TB the same
+      // choice is a real knob: persist the shingle stream if storage
+      // affords it, or pay the second scan — the sketch pass itself stays
+      // one fixed-size aggregate either way.
+      .localCheckpoint(true)
     val (depth, width) = (4, 1 << 17)
     val sk = sh.agg(Cms.sketch(col("shingle"), depth, width).as("sk"))
       .head().getAs[Array[Byte]]("sk")
