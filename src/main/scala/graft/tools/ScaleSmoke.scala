@@ -73,6 +73,24 @@ object ScaleSmoke {
     val (tClusters, nClusters) = timed("dedup_clusters")
     val (tNgram, nNgram) = timed("dedup_ngram_pairs")
     val (tContain, nContain) = timed("dedup_containment")
+    val (tSpans, nSpans) = timed("dedup_spans")
+    def timedSketch(q: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = graft.queries.SketchQueries.defs(q)(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (tHeavy, nHeavy) = timedSketch("cms_heavy_hitters")
+
+    // replicas are structurally identical with disjoint vocabularies, so
+    // span duplicates and heavy shingles scale EXACTLY linearly: 10x the
+    // corpus must give 10x the rows, not 100x (a quadratic leak) or fewer
+    // (blocking that silently drops structure at scale)
+    val nSpansBase = graft.queries.DedupQueries.defs("dedup_spans")(spark, base).count()
+    require(nSpans == nSpansBase * copies,
+      s"span occurrences must scale linearly: $nSpans != $nSpansBase x $copies")
+    val nHeavyBase = graft.queries.SketchQueries.defs("cms_heavy_hitters")(spark, base).count()
+    require(nHeavy == nHeavyBase * copies,
+      s"heavy shingles must scale linearly: $nHeavy != $nHeavyBase x $copies")
 
     // every verified pair must be within one replica (vocabularies are
     // disjoint, so a cross-replica pair means the pipeline is broken)
@@ -94,13 +112,14 @@ object ScaleSmoke {
       funnel.nearKept >= funnel.cleanKept && funnel.cleanKept >= funnel.qualityKept,
       s"corpus funnel broken at 10x: $funnel")
 
-    val total = tPairs + tClusters + tNgram + tContain + tCorpus
+    val total = tPairs + tClusters + tNgram + tContain + tSpans + tHeavy + tCorpus
     require(total <= budgetSec,
       f"budget blown: pairs $tPairs%.1f + clusters $tClusters%.1f + ngram $tNgram%.1f + " +
-        f"containment $tContain%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
+        f"containment $tContain%.1f + spans $tSpans%.1f + heavy $tHeavy%.1f + " +
+        f"corpus $tCorpus%.1f > ${budgetSec}s")
 
     val json =
-      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.qualityKept},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"budget_sec":$budgetSec}"""
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"heavy_sec":$tHeavy%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.qualityKept},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"heavy":$nHeavy,"budget_sec":$budgetSec}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
