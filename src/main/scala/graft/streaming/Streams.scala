@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming twins of the batch event queries (SURVEY.md §2b/§5):
   * each transform takes a (possibly streaming) DataFrame with the `events`
@@ -106,4 +108,59 @@ object Streams {
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+
+  /** Running per-user profile via Spark 4's arbitrary-state API
+    * (`transformWithState` + [[UserProfileProcessor]]) — the successor to
+    * `flatMapGroupsWithState` with typed per-state-variable storage, TTL
+    * support, and timers. Each micro-batch updates one small ValueState
+    * per user and emits the refreshed profile (Update mode), so state is
+    * per-key constant-size — the shape that holds at 100 TB/day. Requires
+    * the RocksDB state store provider (the API's backing store).
+    */
+  def userProfiles(events: DataFrame): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+                  col("value").cast("double").as("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserProfileProcessor, TimeMode.None(),
+                          OutputMode.Update())
+  }
+}
+
+/** Input/output rows of [[Streams.userProfiles]]. */
+case class UserEvent(user_id: Long, value: Double)
+case class UserProfile(user_id: Long, n_events: Long,
+                       total_value: Double, max_value: Double)
+
+/** Arbitrary-state processor: one [[UserProfile]] ValueState per user,
+  * folded over each batch's rows and re-emitted when the user appears.
+  * State access goes through the handle (init runs once per partition per
+  * batch AFTER the handle is set); no TTL — profile state is meant to live
+  * for the stream's lifetime (pair with TTLConfig for bounded retention).
+  */
+class UserProfileProcessor
+    extends StatefulProcessor[Long, UserEvent, UserProfile] {
+
+  @transient private var profile: ValueState[UserProfile] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    profile = getHandle.getValueState[UserProfile](
+      "profile", Encoders.product[UserProfile], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+                               timers: TimerValues): Iterator[UserProfile] = {
+    val prev =
+      if (profile.exists()) profile.get()
+      else UserProfile(user, 0L, 0.0, Double.NegativeInfinity)
+    var n = prev.n_events
+    var tot = prev.total_value
+    var mx = prev.max_value
+    rows.foreach { e =>
+      n += 1; tot += e.value; mx = math.max(mx, e.value)
+    }
+    val next = UserProfile(user, n, tot, mx)
+    profile.update(next)
+    Iterator.single(next)
+  }
 }

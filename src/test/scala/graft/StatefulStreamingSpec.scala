@@ -50,4 +50,42 @@ class StatefulStreamingSpec extends SparkSpec {
       assert(rows(2L) === 1L)
     } finally q.stop()
   }
+
+  test("transformWithState folds per-user profiles across batches (RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the arbitrary-state API requires the RocksDB provider; scope the
+    // session conf to this test and restore the default after
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    val q = graft.streaming.Streams.userProfiles(mem.toDF())
+      .writeStream.format("memory").queryName("tws").outputMode("update").start()
+    try {
+      def t(min: Long) = new Timestamp(1704067200000L + min * 60000L)
+      mem.addData(Seq(Ev(0, t(0), 1, "view", 2.0), Ev(1, t(1), 1, "click", 5.0),
+                      Ev(2, t(2), 2, "view", 3.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(3, t(3), 1, "purchase", 1.0), Ev(4, t(4), 3, "view", 4.0)))
+      q.processAllAvailable()
+      // Update mode re-emits a user's profile each batch they appear in;
+      // the LAST emission per user is the folded state across all batches
+      val last = spark.table("tws")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n"), max("total_value").as("tot"),
+             max("max_value").as("mx"))
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(last(1L) === ((3L, 8.0, 5.0)), "user 1 folded across both batches")
+      assert(last(2L) === ((1L, 3.0, 3.0)))
+      assert(last(3L) === ((1L, 4.0, 4.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
