@@ -41,11 +41,13 @@ object Layout {
     }.reduce(_ bitwiseOR _).cast("long")
 
   /** Linear min/max scaling of a numeric column into the [0, 2^Bits) rank
-    * space: `floor((x - min) / (max - min + 1e-9) * 2^Bits)` clamped. One
-    * pass over the data computes the (min, max) pair per dimension;
+    * space: `floor((x - lo) / max(hi - lo, 1e-9) * 2^Bits)`, then clamped
+    * into [0, 2^Bits) — x = hi lands on 2^Bits and is clamped to the top
+    * cell; a degenerate hi <= lo range maps everything to cell 0. One pass
+    * over the data computes the (lo, hi) pair per dimension;
     * rank-exactness is not required — z-order locality only needs a
     * monotone map into the cell grid, so a linear scale (no sort, no
-    * window) is the scale-correct choice. Constant columns map to cell 0.
+    * window) is the scale-correct choice.
     */
   def scaled(x: Column, lo: Double, hi: Double): Column = {
     val cells = (1 << Bits).toDouble
@@ -101,7 +103,7 @@ object Layout {
     * reads bucket i of each side into the same task), and a groupBy on the
     * bucket key skips its exchange too — at 100 TB that converts every
     * recurring fact-to-fact join on the bucket key from a full network
-    * shuffle into a co-located merge. BucketingSpec pins the zero-exchange
+    * shuffle into a co-located merge. LayoutSpec pins the zero-exchange
     * plans; bucket count is fixed at write time, so size it for the
     * TARGET scale (buckets ≈ data / healthy-partition-size), not the
     * current one.

@@ -316,8 +316,25 @@ object DedupQueries {
     * occurrences come back via a left-semi on the hash.
     */
   def spans(s: SparkSession, d: String): DataFrame = {
+    // consumed twice (duplicate-set groupBy, occurrence semi-join) —
+    // checkpoint so the window md5s are computed once
+    val w = spanWindows(s, d).localCheckpoint(true)
+    val dup = w.groupBy("span_md5")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("span_md5")
+    w.join(dup, Seq("span_md5"), "left_semi")
+      .select("doc_id", "start", "span_md5")
+      .orderBy("doc_id", "start", "span_md5")
+  }
+
+  /** The positioned window-hash stream spans() dedups — exposed
+    * pre-checkpoint so PlanAuditSpec can pin the scan shape (a
+    * checkpointed frame's plan starts at a Scan ExistingRDD).
+    */
+  private[graft] def spanWindows(s: SparkSession, d: String): DataFrame = {
     val W = 8
-    val w = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= W)
       .select(col("doc_id"), explode(transform(
@@ -326,16 +343,6 @@ object DedupQueries {
                     md5(concat_ws(" ", slice(col("toks"), i, lit(W)))).as("span_md5"))))
         .as("sp"))
       .select(col("doc_id"), col("sp.start"), col("sp.span_md5"))
-      // consumed twice (duplicate-set groupBy, occurrence semi-join) —
-      // checkpoint so the window md5s are computed once
-      .localCheckpoint(true)
-    val dup = w.groupBy("span_md5")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= 2)
-      .select("span_md5")
-    w.join(dup, Seq("span_md5"), "left_semi")
-      .select("doc_id", "start", "span_md5")
-      .orderBy("doc_id", "start", "span_md5")
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -95,18 +95,24 @@ object SketchQueries {
     */
   def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
     Cms.register(s)
-    val sh = Tables.documents(s, d)
-      // materialize toks before the shingle HOF (the documented
-      // interpreted-lambda re-evaluation pitfall — see dedup_containment)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .select(explode(Dedup.ngramShingles(col("toks"), 3)).as("shingle"))
+    val sh = shingleStream(s, d)
       // both passes (sketch build, prefilter+recount) consume this frame;
       // checkpoint so tokenize+shingle+md5 runs once. At 100 TB the same
       // choice is a real knob: persist the shingle stream if storage
       // affords it, or pay the second scan — the sketch pass itself stays
       // one fixed-size aggregate either way.
       .localCheckpoint(true)
-    val (depth, width) = (4, 1 << 17)
+    // width scales with the (cheap, post-checkpoint) stream count so the
+    // prefilter stays SELECTIVE as the corpus grows: collision noise is
+    // ~n/width per row, and holding a FIXED absolute threshold t requires
+    // width ∝ n — that memory growth is inherent to exact heavy hitters at
+    // constant t (a production pipeline would instead raise t with scale
+    // and keep the sketch fixed). Correctness never depends on width; only
+    // the size of the candidate slice does. ScaleSmoke re-validates
+    // selectivity at 10x.
+    val n = sh.count()
+    val depth = 4
+    val width = heavyWidth(n)
     val sk = sh.agg(Cms.sketch(col("shingle"), depth, width).as("sk"))
       .head().getAs[Array[Byte]]("sk")
     val t = 5L
@@ -114,6 +120,29 @@ object SketchQueries {
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= t)
       .orderBy(desc("df"), col("shingle"))
+  }
+
+  /** The doc-distinct 3-gram shingle stream cms_heavy_hitters surveys —
+    * exposed pre-checkpoint so PlanAuditSpec can pin the scan shape (a
+    * checkpointed frame's plan starts at a Scan ExistingRDD).
+    */
+  private[graft] def shingleStream(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      // materialize toks before the shingle HOF (the documented
+      // interpreted-lambda re-evaluation pitfall — see dedup_containment)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(explode(Dedup.ngramShingles(col("toks"), 3)).as("shingle"))
+
+  /** Sketch width for a stream of `n` rows: next power of two >= n/4
+    * (expected collision noise ~< 1 after the min over depth rows),
+    * floored at 2^17 and capped at 2^22 (a 128 MiB sketch at depth 4) —
+    * past that cap (n ≈ 16M+ rows) the fixed-t contract should flip to a
+    * relative threshold instead of growing the sketch further; see the
+    * width discussion in [[cmsHeavyHitters]].
+    */
+  private[graft] def heavyWidth(n: Long): Int = {
+    val target = math.min(math.max(1L << 17, n / 4), 1L << 22).toInt
+    java.lang.Integer.highestOneBit(target - 1) << 1
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

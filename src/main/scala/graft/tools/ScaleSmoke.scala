@@ -58,11 +58,13 @@ object ScaleSmoke {
     val nDocs = Tables.documents(spark, dir).count()
     require(nDocs == nBase * copies, s"replication produced $nDocs of ${nBase * copies}")
 
-    def timed(q: String): (Double, Long) = {
+    def timedIn(defs: Map[String, (SparkSession, String) => DataFrame])
+               (q: String): (Double, Long) = {
       val t0 = System.nanoTime()
-      val n = graft.queries.DedupQueries.defs(q)(spark, dir).count()
+      val n = defs(q)(spark, dir).count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
+    val timed = timedIn(graft.queries.DedupQueries.defs) _
     val (tPairs, nPairs) = timed("dedup_minhash_pairs")
     // AQE must keep the pair-join output exchange bounded: 43.9M pairs at
     // 10x scale should coalesce to a modest partition count, not fan out
@@ -74,12 +76,7 @@ object ScaleSmoke {
     val (tNgram, nNgram) = timed("dedup_ngram_pairs")
     val (tContain, nContain) = timed("dedup_containment")
     val (tSpans, nSpans) = timed("dedup_spans")
-    def timedSketch(q: String): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = graft.queries.SketchQueries.defs(q)(spark, dir).count()
-      ((System.nanoTime() - t0) / 1e9, n)
-    }
-    val (tHeavy, nHeavy) = timedSketch("cms_heavy_hitters")
+    val (tHeavy, nHeavy) = timedIn(graft.queries.SketchQueries.defs)("cms_heavy_hitters")
 
     // replicas are structurally identical with disjoint vocabularies, so
     // span duplicates and heavy shingles scale EXACTLY linearly: 10x the

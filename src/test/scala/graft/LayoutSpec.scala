@@ -81,7 +81,6 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("matching bucketed tables join and aggregate with zero exchanges") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val orders = Tables.orders(spark, sf("sf0.01"))
       .select($"o_orderkey", $"o_totalprice")
     val lineitem = Tables.lineitem(spark, sf("sf0.01"))
@@ -92,16 +91,29 @@ class LayoutSpec extends SparkSpec {
     val bl = spark.table("bkt_lineitem")
 
     // hint("merge") pins sort-merge (the small fixture would otherwise
-    // broadcast); bucketing must then elide BOTH shuffle exchanges
+    // broadcast); bucketing must then elide BOTH shuffle exchanges.
+    // Assert on the AQE FINAL plan STRING — collecting typed operators on
+    // executedPlan is vacuous under AQE (AdaptiveSparkPlanExec is a leaf,
+    // so a collect never descends into the real plan and finds 0 shuffles
+    // whether or not one exists)
     val joined = bo.hint("merge")
       .join(bl, $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
-    joined.count() // materialize so AQE finalizes the physical plan
-    val shuffles = joined.queryExecution.executedPlan.collect {
-      case s: ShuffleExchangeLike => s
-    }
-    assert(shuffles.isEmpty,
-      s"bucketed join+agg should be exchange-free, found ${shuffles.size}")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join+agg should be exchange-free:\n$plan")
+    // prove the assertion CAN fail: the same join against a plain
+    // (non-bucketed) copy must shuffle
+    val plainJoin = bo.hint("merge")
+      .join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+    plainJoin.collect()
+    val plainPlan = plainJoin.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plainPlan.contains("Exchange hashpartitioning"),
+      s"control join unexpectedly exchange-free — assertion is vacuous:\n$plainPlan")
 
     // and the co-located plan returns exactly what the plain join does
     val plain = orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
@@ -112,9 +124,24 @@ class LayoutSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
   }
 
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
   private def tmp(name: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft_$name")
-    d.toFile.deleteOnExit()
+    tmpDirs += d
     d.resolve("t").toString
   }
+
+  // deleteOnExit is non-recursive and would silently leak the written
+  // parquet data; walk and delete deepest-first instead
+  override def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    try super.withFixture(test)
+    finally {
+      tmpDirs.foreach { d =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      tmpDirs.clear()
+    }
 }

@@ -257,27 +257,38 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
   }
 
-  test("cms_heavy_hitters: text-only scan, literal sketch prefilter, no join") {
+  test("cms_heavy_hitters: literal sketch prefilter, no join, bounded shuffles") {
+    // the downstream plan starts at the checkpointed shingle frame (Scan
+    // ExistingRDD), so the FileScan shape is pinned on the pre-checkpoint
+    // builder below; here: the sketch rides as a Literal in a map-side
+    // Filter — NO join attaches it, and the only shuffles are the
+    // candidate groupBy + final ORDER BY
     val plan = finalPlan(SketchQueries.cmsHeavyHitters(spark, sf()))
-    // the sketch rides as a Literal in a map-side Filter — NO join attaches
-    // it, and the only shuffles are the candidate groupBy + final ORDER BY
     assert(!plan.contains("Join"), plan)
     assert(plan.contains("cms_query"), plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("cms_heavy_hitters shingle stream: text-only scan, no shuffle") {
+    val plan = finalPlan(SketchQueries.shingleStream(spark, sf()))
+    assert(!plan.contains("Exchange"), plan)
     // the documents scan reads ONLY text (doc_id is not in the output)
     val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
       .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
     assert(scanCols.split(",").map(_.split("#")(0).trim).toSet === Set("text"), plan)
   }
 
-  test("dedup_spans: hash-only shuffles, no cartesian, minimal scan") {
+  test("dedup_spans: hash-only shuffles downstream, minimal scan upstream") {
     val plan = finalPlan(DedupQueries.spans(spark, sf()))
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // scan shape pinned on the pre-checkpoint window builder (see above)
+    val wPlan = finalPlan(DedupQueries.spanWindows(spark, sf()))
+    assert(!wPlan.contains("Exchange"), wPlan)
     val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
-      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+      .findFirstMatchIn(wPlan).map(_.group(1)).getOrElse("")
     assert(scanCols.split(",").map(_.split("#")(0).trim).toSet ===
-      Set("doc_id", "text"), plan)
+      Set("doc_id", "text"), wPlan)
   }
 
   test("layout_zvalue: single aggregation over a two-column scan") {
