@@ -95,47 +95,44 @@ object SketchQueries {
     */
   def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
     Cms.register(s)
-    val sh = shingleStream(s, d)
-      // both passes (sketch build, prefilter+recount) consume this frame;
-      // checkpoint so tokenize+shingle+md5 runs once. At 100 TB the same
-      // choice is a real knob: persist the shingle stream if storage
-      // affords it, or pay the second scan — the sketch pass itself stays
-      // one fixed-size aggregate either way.
-      .localCheckpoint(true)
-    // width scales with the (cheap, post-checkpoint) stream count so the
-    // prefilter stays SELECTIVE as the corpus grows: collision noise is
-    // ~n/width per row, and holding a FIXED absolute threshold t requires
-    // width ∝ n — that memory growth is inherent to exact heavy hitters at
-    // constant t (a production pipeline would instead raise t with scale
-    // and keep the sketch fixed). Correctness never depends on width; only
-    // the size of the candidate slice does. ScaleSmoke re-validates
-    // selectivity at 10x.
-    val n = sh.count()
-    val depth = 4
-    val width = heavyWidth(n)
-    val sk = sh.agg(Cms.sketch(col("shingle"), depth, width).as("sk"))
-      .head().getAs[Array[Byte]]("sk")
     val t = 5L
-    val probeHit = Cms.query(lit(sk), col("shingle")) >= t
-    // cost-based plan choice, MEASURED not guessed: on a key space where
-    // most occurrences belong to genuinely-heavy keys (this fixture's 10x
-    // corpus is ~98% heavy mass) no prefilter can prune, and the probe
-    // pass is pure overhead — while on the Zipf corpora the pattern
-    // exists for (singleton-dominated at 100 TB) it prunes almost
-    // everything. Estimate the candidate fraction on a deterministic
-    // 1%-hash sample of the checkpointed stream and bypass the prefilter
-    // when it would keep most rows anyway. BOTH paths are exact (CMS has
-    // no false negatives; the recount re-verifies), so the choice never
-    // changes a single output row — only where the shuffle bytes go.
-    val sample = sh.filter(pmod(xxhash64(col("shingle")), lit(100L)) === 0L)
-      .agg(count(lit(1)).as("n"), count_if(probeHit).as("hits")).head()
-    val selective = sample.getLong(0) > 0 &&
-      sample.getLong(1).toDouble / sample.getLong(0) <= 0.5
-    val counted = (if (selective) sh.filter(probeHit) else sh)
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
-    counted
-      .filter(col("df") >= t)
-      .orderBy(desc("df"), col("shingle"))
+    // cost-based plan choice, MEASURED not guessed (the ANALYZE-style
+    // stats pass): one cheap (count, approx-distinct) aggregate gives the
+    // mean occurrences per key. When it clears the threshold the key
+    // space is heavy-dominated (this fixture's sf0.1/10x corpora: ~95% of
+    // occurrence mass is in truly-heavy keys) — no prefilter can prune
+    // that, so go STRAIGHT to the exact groupBy and never build a sketch.
+    // When keys are mostly rare (Zipf corpora at 100 TB: singletons
+    // dominate; sf0.01 here), the sketch prefilter drops non-candidate
+    // occurrences map-side and the exchange carries only the thin
+    // candidate slice. BOTH paths are exact (CMS has no false negatives;
+    // the recount re-verifies), so the choice never changes an output
+    // row — only where the shuffle bytes go.
+    val stats = shingleStream(s, d)
+      .agg(count(lit(1)).as("n"),
+           approx_count_distinct(col("shingle"), 0.05).as("d")).head()
+    val (n, dist) = (stats.getLong(0), math.max(stats.getLong(1), 1L))
+    if (n / dist >= t) {
+      shingleStream(s, d)
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= t)
+        .orderBy(desc("df"), col("shingle"))
+    } else {
+      // prefilter path: checkpoint so tokenize+shingle runs once across
+      // the sketch build and the recount; width scales with the stream
+      // (collision noise ~n/width per row must stay below t) — memory
+      // growth that is inherent to exact heavy hitters at a FIXED
+      // absolute threshold; a production pipeline would raise t with
+      // scale instead. Correctness never depends on width, only the
+      // candidate-slice size does.
+      val sh = shingleStream(s, d).localCheckpoint(true)
+      val sk = sh.agg(Cms.sketch(col("shingle"), 4, heavyWidth(n)).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      sh.filter(Cms.query(lit(sk), col("shingle")) >= t)
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= t)
+        .orderBy(desc("df"), col("shingle"))
+    }
   }
 
   /** The doc-distinct 3-gram shingle stream cms_heavy_hitters surveys —
