@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
-  TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming twins of the batch event queries (SURVEY.md §2b/§5):
   * each transform takes a (possibly streaming) DataFrame with the `events`
@@ -126,12 +126,95 @@ object Streams {
       .transformWithState(new UserProfileProcessor, TimeMode.None(),
                           OutputMode.Update())
   }
+
+  /** Timeout-driven session summaries via EVENT-TIME TIMERS — the piece
+    * `session_window` aggregation can't express: arbitrary per-session
+    * state emitted exactly once, when the watermark proves the session
+    * over (no event within `gap` of its end). Each user's state is one
+    * [[SessionSummary]] plus one armed timer at `session_end + gap`;
+    * input rows extend the session and re-arm the timer; the timer firing
+    * (watermark passed it) emits the summary and clears state — so state
+    * is per-ACTIVE-key only, the shape that holds on an unbounded stream.
+    *
+    * Micro-batch semantics note: the watermark a batch's timers see is
+    * the one computed at the END of the PREVIOUS batch, so a session
+    * emits on the first batch that runs after the watermark passed its
+    * timeout — the same one-batch lag every watermark-gated emission in
+    * Structured Streaming has (see the outer interval join spec).
+    */
+  def sessionSummaries(events: DataFrame, gapMs: Long = 30L * 60 * 1000,
+                       watermark: String = "10 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    require(gapMs > 0, s"session gap must be positive, got $gapMs ms")
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+                          TimeMode.EventTime(), OutputMode.Append())
+  }
 }
 
 /** Input/output rows of [[Streams.userProfiles]]. */
 case class UserEvent(user_id: Long, value: Double)
 case class UserProfile(user_id: Long, n_events: Long,
                        total_value: Double, max_value: Double)
+
+/** Input/output rows of [[Streams.sessionSummaries]]. */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp,
+                          session_end: java.sql.Timestamp, n_events: Long)
+
+/** Event-time-timer session processor: state = the open session summary;
+  * one timer armed at session_end + gap, re-armed on every extension;
+  * expiry (the watermark passed the timeout) emits and clears. A key with
+  * no open session holds NO state — eviction is the emission itself.
+  */
+class SessionTimeoutProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, SessionEvent, SessionSummary] {
+
+  @transient private var sess: ValueState[SessionSummary] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[SessionSummary](
+      "session", Encoders.product[SessionSummary], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+                               timers: TimerValues): Iterator[SessionSummary] = {
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    var n = 0L
+    rows.foreach { e =>
+      val t = e.ts.getTime
+      lo = math.min(lo, t); hi = math.max(hi, t); n += 1
+    }
+    if (n > 0) {
+      val merged =
+        if (sess.exists()) {
+          val cur = sess.get()
+          SessionSummary(user,
+            new java.sql.Timestamp(math.min(cur.session_start.getTime, lo)),
+            new java.sql.Timestamp(math.max(cur.session_end.getTime, hi)),
+            cur.n_events + n)
+        } else {
+          SessionSummary(user, new java.sql.Timestamp(lo),
+                         new java.sql.Timestamp(hi), n)
+        }
+      sess.update(merged)
+      // one armed timer per key: re-arm at the new timeout
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(merged.session_end.getTime + gapMs)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[SessionSummary] = {
+    val out = if (sess.exists()) Iterator.single(sess.get()) else Iterator.empty
+    sess.clear()
+    out
+  }
+}
 
 /** Arbitrary-state processor: one [[UserProfile]] ValueState per user,
   * folded over each batch's rows and re-emitted when the user appears.

@@ -88,4 +88,48 @@ class StatefulStreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("event-time timers emit a session exactly once after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    // gap 30 min, watermark delay 10 min
+    val q = graft.streaming.Streams
+      .sessionSummaries(mem.toDF(), gapMs = 30L * 60 * 1000, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("tws_sess").outputMode("append").start()
+    try {
+      def t(min: Long) = new Timestamp(1704067200000L + min * 60000L)
+      // batch 1: user 1 has events at minute 0 and 5; user 2 at minute 3
+      mem.addData(Seq(Ev(0, t(0), 1, "view", 1.0), Ev(1, t(5), 1, "click", 1.0),
+                      Ev(2, t(3), 2, "view", 1.0)))
+      q.processAllAvailable()
+      assert(spark.table("tws_sess").isEmpty, "no watermark has passed any timeout yet")
+      // batch 2: a DIFFERENT user's event at minute 100 pushes the
+      // watermark to 90 — past user 1's timeout (5 + 30 = 35) and user
+      // 2's (33) — but timers see the previous batch's watermark, so...
+      mem.addData(Seq(Ev(3, t(100), 99, "view", 1.0)))
+      q.processAllAvailable()
+      // ...batch 3 (any data) runs with watermark 90 and fires both timers
+      mem.addData(Seq(Ev(4, t(101), 99, "view", 1.0)))
+      q.processAllAvailable()
+      val out = spark.table("tws_sess")
+        .as[graft.streaming.SessionSummary].collect()
+        .map(s => s.user_id -> ((s.session_start.getTime, s.session_end.getTime,
+                                 s.n_events))).toMap
+      assert(out(1L) === ((t(0).getTime, t(5).getTime, 2L)))
+      assert(out(2L) === ((t(3).getTime, t(3).getTime, 1L)))
+      assert(!out.contains(99L), "user 99's session is still open — no emission")
+      // exactly once: state was cleared on emission, so no duplicates
+      assert(spark.table("tws_sess").count() === 2)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
