@@ -328,6 +328,51 @@ object DedupQueries {
       .orderBy("doc_id", "start", "span_md5")
   }
 
+  /** The cut pass [[spans]] feeds: remove every token covered by a
+    * NON-CANONICAL occurrence of a duplicated span (canonical = first by
+    * (doc_id, start) — a `row_number` window over the candidate-sized
+    * duplicated-occurrence set, never the corpus), and report per doc the
+    * token counts plus an md5 of the surviving text. This is the actual
+    * substring-dedup transform: globally, exactly one copy of every
+    * duplicated 8-token span survives.
+    *
+    * Scale shape: the cut-position frame is ~8x the duplicated
+    * occurrences (candidate-sized); the corpus-sized work is one
+    * posexplode of token positions and one (doc_id, p) equi-join against
+    * it, then a per-doc aggregate whose collect_list is bounded by
+    * document length — no corpus-sized window, no cartesian anywhere.
+    */
+  def spansCut(s: SparkSession, d: String): DataFrame = {
+    val W = 8
+    val w = spanWindows(s, d).localCheckpoint(true)
+    val dup = w.groupBy("span_md5")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("span_md5")
+    val cut = w.join(dup, Seq("span_md5"), "left_semi")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("span_md5").orderBy("doc_id", "start")))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+              explode(sequence(col("start"), col("start") + lit(W - 1))).as("p"))
+      .distinct()
+      .withColumn("__cut", lit(1))
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+              col("col").as("tok"))
+    tok.join(cut, Seq("doc_id", "p"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           count(col("__cut")).as("n_cut"),
+           md5(concat_ws(" ", transform(
+             array_sort(collect_list(
+               when(col("__cut").isNull, struct(col("p"), col("tok"))))),
+             x => x.getField("tok")))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** The positioned window-hash stream spans() dedups — exposed
     * pre-checkpoint so PlanAuditSpec can pin the scan shape (a
     * checkpointed frame's plan starts at a Scan ExistingRDD).
@@ -348,6 +393,7 @@ object DedupQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_spans" -> (spans _),
+    "dedup_spans_cut" -> (spansCut _),
     "dedup_exact_keep" -> (exactKeep _),
     "dedup_minhash_sigs" -> (minhashSigs _),
     "dedup_minhash_pairs" -> (minhashPairs _),
@@ -422,6 +468,37 @@ object DedupQueries {
         |SELECT w.doc_id, w.start, w.span_md5
         |FROM w JOIN d USING (span_md5)
         |ORDER BY doc_id, start, span_md5""".stripMargin,
+    "dedup_spans_cut" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+        |         md5(array_to_string(toks[i : i+7], ' ')) AS span_md5
+        |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |dup AS (
+        |  SELECT span_md5 FROM w GROUP BY span_md5
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |occ AS (
+        |  SELECT w.doc_id, w.start,
+        |         row_number() OVER (PARTITION BY w.span_md5
+        |                            ORDER BY w.doc_id, w.start) AS rn
+        |  FROM w JOIN dup USING (span_md5)),
+        |cut AS (
+        |  SELECT DISTINCT doc_id, start + o AS p
+        |  FROM occ, unnest(range(0, 8)) AS v(o) WHERE rn > 1),
+        |tok AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS p, toks[CAST(p AS INT)] AS tok
+        |  FROM t, unnest(range(1, len(toks) + 1)) AS u(p))
+        |SELECT tok.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(cut.p) AS BIGINT) AS n_cut,
+        |       md5(coalesce(array_to_string(
+        |         list(tok.tok ORDER BY tok.p) FILTER (WHERE cut.p IS NULL), ' '),
+        |         '')) AS kept_md5
+        |FROM tok LEFT JOIN cut ON tok.doc_id = cut.doc_id AND tok.p = cut.p
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT text) AS BIGINT) AS n_unique_text,

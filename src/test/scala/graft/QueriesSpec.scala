@@ -94,6 +94,7 @@ class QueriesSpec extends SparkSpec {
     "asof_tolerance_view" -> 201L,
     "cms_heavy_hitters" -> 186L,
     "dedup_spans" -> 2382L,
+    "dedup_spans_cut" -> 500L,
     "layout_zvalue" -> 3L,
   )
 
