@@ -291,6 +291,12 @@ class PlanAuditSpec extends SparkSpec {
       Set("doc_id", "text"), wPlan)
   }
 
+  test("dedup_spans_cut: equi-joins only; cut side never cartesians the corpus") {
+    val plan = finalPlan(DedupQueries.spansCut(spark, sf()))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("layout_zvalue: single aggregation over a two-column scan") {
     val plan = finalPlan(MiscQueries.layoutZvalue(spark, sf()))
     assert(!plan.contains("Join"), plan)
