@@ -36,6 +36,15 @@ class LayoutSpec extends SparkSpec {
     }
     // interleave is a bijection on the grid: distinct inputs, distinct z
     assert(got.map(_._3).distinct.length === probes.length)
+
+    // seeded fuzz across the full grid (one DF, 2000 pairs)
+    val rnd = new scala.util.Random(42)
+    val fuzz = Seq.fill(2000)((rnd.nextInt(1 << Layout.Bits).toLong,
+                               rnd.nextInt(1 << Layout.Bits).toLong))
+    fuzz.toDF("a", "b")
+      .select($"a", $"b", Layout.zvalue($"a", $"b").as("z"))
+      .as[(Long, Long, Long)].collect()
+      .foreach { case (a, b, z) => assert(z === mortonRef(a, b), s"fuzz($a, $b)") }
   }
 
   test("z-order files are pruned on BOTH dimensions; linear sort only on one") {
