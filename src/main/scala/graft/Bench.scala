@@ -76,8 +76,9 @@ object Bench {
     val spread = jmap(perQuery.map(t => (t._1, t._3)))
     val total = perQuery.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
-    // persist the JSON so a truncated log tail can't lose the official
-    // numbers (round 2's BENCH json was cut mid-line by the log capture)
+    // persist the FULL-precision JSON (all queries + spreads) so a
+    // truncated log tail can't lose the official numbers (round 2's BENCH
+    // json was cut mid-line by the log capture)
     val outPath = args.sliding(2).collectFirst { case Array("--out", p) => p }
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse("bench_out.json")
@@ -85,10 +86,40 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // The driver keeps only the LAST ~2000 chars of the run's output, and
+    // sbt appends a "[success] Total time ..." line after main returns —
+    // rounds 2 and 3 both lost the official JSON to that window (the
+    // full-precision line is ~5.6 KB; the tail started mid-JSON and
+    // "parsed" came back null). So stdout gets a COMPACT line fitted to
+    // the window: 2-3 significant digits per median, slowest queries
+    // first, and if the full map still can't fit, the cheapest entries are
+    // dropped with an explicit "omitted" count. bench_out.json always
+    // carries every query at full precision with spreads.
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else if (v >= 10) f"$v%.1f"
+      else if (v >= 1) f"$v%.2f"
+      else f"$v%.3f"
+    val budget = 1750 // line budget < 2000-char tail minus sbt's trailer
+    val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
+    def line(entries: Seq[(String, Double)], omitted: Int): String = {
+      val m = entries.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
+        s""""nq":${perQuery.size},"omitted":$omitted,"queries":$m,""" +
+        s""""sf":"$sfShort","full":"$outPath"}"""
+    }
+    val byCost = perQuery.map(t => (t._1, t._2)).sortBy(-_._2)
+    var keep = byCost.size
+    var compact = line(byCost, 0)
+    while (compact.length > budget && keep > 1) {
+      keep -= 1
+      compact = line(byCost.take(keep), byCost.size - keep)
+    }
     // stop Spark BEFORE printing so its shutdown chatter can't trail (and a
     // tail-capture truncate) the one machine-readable line; flush explicitly
     spark.stop()
-    println(json)
+    println(compact)
     System.out.flush()
   }
 }

@@ -15,4 +15,9 @@ object Sessions {
       // reads as raw longs under this legacy flag; Tables.events converts
       // the longs to µs timestamps explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // catalog tables (DedupState's bucketed corpus state) go to a
+      // per-process temp warehouse: entry points stay hermetic and never
+      // litter the working directory with spark-warehouse/
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
 }

@@ -313,7 +313,10 @@ case class BloomContains(left: Expression, right: Expression)
   // can be shared by every task thread of a stage (CodegenFallback holds
   // the object in the generated code's references): two separate fields
   // could tear under concurrent misses, pairing one filter's ref with
-  // another filter's decoded words.
+  // another filter's decoded words. Soundness rests on the same invariant
+  // documented at CmsQuery's cache: no Spark accessor re-presents one
+  // Array[Byte] reference with mutated contents (Literals are immutable,
+  // row accessors allocate fresh copies).
   @transient private lazy val probeTc = BloomFilterBits.typeClass(right.dataType)
   @transient @volatile private var cache: (AnyRef, (Int, Int, Int, Array[Long])) = _
 

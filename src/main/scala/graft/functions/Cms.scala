@@ -256,6 +256,14 @@ case class CmsQuery(left: Expression, right: Expression) extends BinaryExpressio
   // single Literal whose byte array keeps one stable reference across every
   // probe of a task — and a single atomic pair can't tear when the
   // expression instance is shared across task threads.
+  //
+  // INVARIANT (shared with BloomContains): reference-identity caching is
+  // sound only because no Spark code path re-presents the SAME Array[Byte]
+  // reference with mutated contents — a Literal's value is immutable by
+  // contract, and column-sourced arrays are fresh copies per row
+  // (UnsafeRow.getBinary allocates). If a future accessor ever hands out a
+  // reused mutable buffer, this cache would serve stale counters; any such
+  // change must switch the key to a content hash.
   @transient @volatile private var cache: (AnyRef, (Int, Int, Array[Long])) = _
 
   /** Per-row probe shared by interpreted eval and generated code. */

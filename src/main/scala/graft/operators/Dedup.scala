@@ -121,6 +121,31 @@ object Dedup {
       .select(col(s"a_$idCol").as("a"), col(s"b_$idCol").as("b"))
   }
 
+  /** Wide band table exploded to long form
+    * `(idCol, band0..band{n-1}, band_idx, band_val, band_key)` — one row
+    * per (doc, band), null band values dropped. The wide columns ride
+    * along because the first-matching-band rule needs every band value on
+    * both join sides. `band_key` fuses (band_idx, band_val) into ONE
+    * column: probe joins cluster on it alone, which is what lets a table
+    * bucketed on `band_key` feed the join with no exchange — Spark's
+    * co-partitioning requires the bucket columns to be exactly the equi
+    * keys (a two-key join over a one-column bucketing is rejected by the
+    * planner). This is the PERSISTABLE shape of LSH dedup state
+    * ([[Layout.writeBucketed]] on `band_key`).
+    */
+  def longBands(bands: DataFrame, idCol: String, nBands: Int): DataFrame = {
+    val bandCols = (0 until nBands).map(j => col(s"band$j"))
+    val entries = array((0 until nBands).map(j =>
+      struct(lit(j).as("bi"), col(s"band$j").as("bv"))): _*)
+    bands
+      .select(col(idCol) +: bandCols :+ explode(entries).as("e"): _*)
+      .select(col(idCol) +: bandCols :+ col("e.bi").as("band_idx") :+ col("e.bv").as("band_val"): _*)
+      .filter(col("band_val").isNotNull)
+      // ':' is unambiguous (band_idx is an int, band_val 32 hex chars), so
+      // band_key equality IS (band_idx, band_val) equality
+      .withColumn("band_key", concat_ws(":", col("band_idx"), col("band_val")))
+  }
+
   /** Cross-set candidate pairs `(a, b)`: a from `bandsA`, b from `bandsB`,
     * sharing at least one LSH band — the INCREMENTAL form of
     * [[lshCandidatePairs]] for matching an incoming batch against a
@@ -130,25 +155,28 @@ object Dedup {
     * is paid.
     */
   def lshCrossCandidatePairs(bandsA: DataFrame, bandsB: DataFrame,
-                             idCol: String, nBands: Int): DataFrame = {
-    val bandCols = (0 until nBands).map(j => col(s"band$j"))
-    val entries = array((0 until nBands).map(j =>
-      struct(lit(j).as("bi"), col(s"band$j").as("bv"))): _*)
-    def long(df: DataFrame) = df
-      .select(col(idCol) +: bandCols :+ explode(entries).as("e"): _*)
-      .select(col(idCol) +: bandCols :+ col("e.bi").as("band_idx") :+ col("e.bv").as("band_val"): _*)
-      .filter(col("band_val").isNotNull)
+                             idCol: String, nBands: Int): DataFrame =
+    lshCrossCandidatePairsLong(longBands(bandsA, idCol, nBands),
+                               longBands(bandsB, idCol, nBands), idCol, nBands)
+
+  /** [[lshCrossCandidatePairs]] over ALREADY-long band frames (the stored
+    * form [[longBands]] produces) — the rolling-ingest entry point: the
+    * equi key is the single fused `band_key`, so the corpus side coming
+    * off a `band_key`-bucketed table satisfies the join's clustering
+    * exactly and the (huge) corpus never shuffles; only the (small)
+    * incoming batch does.
+    */
+  def lshCrossCandidatePairsLong(longA: DataFrame, longB: DataFrame,
+                                 idCol: String, nBands: Int): DataFrame = {
     def pfx(df: DataFrame, p: String) = df.toDF(df.columns.map(c => s"$p$c").toIndexedSeq: _*)
-    val a = pfx(long(bandsA), "a_")
-    val b = pfx(long(bandsB), "b_")
+    val a = pfx(longA, "a_")
+    val b = pfx(longB, "b_")
     val firstMatchOnly = (0 until nBands).map { i =>
       (col("a_band_idx") <= lit(i)) ||
         col(s"a_band$i").isNull || col(s"b_band$i").isNull ||
         (col(s"a_band$i") =!= col(s"b_band$i"))
     }.reduce(_ && _)
-    a.join(b,
-        col("a_band_idx") === col("b_band_idx") &&
-        col("a_band_val") === col("b_band_val") && firstMatchOnly)
+    a.join(b, col("a_band_key") === col("b_band_key") && firstMatchOnly)
       .select(col(s"a_$idCol").as("a"), col(s"b_$idCol").as("b"))
   }
 

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted standing-corpus dedup state — the piece that turns
+  * incremental near-dup detection from "recompute the corpus" into "scan
+  * pre-bucketed state", which is the actual rolling-ingest contract at
+  * 100 TB: the corpus's MinHash band table and distinct-token rows are
+  * written ONCE as bucketed tables, and every incoming batch probes them
+  * by reading — never rebuilding — them.
+  *
+  * Two tables per corpus:
+  *  - `<prefix>_bands_<dir>`: [[Dedup.longBands]] rows, bucketed + sorted
+  *    on the fused `band_key` — exactly the probe join's one equi key, so
+  *    the corpus side of the band join needs NO exchange (Spark requires
+  *    bucket columns == join keys for co-partitioning); only the (small)
+  *    incoming batch shuffles to match the bucket layout.
+  *  - `<prefix>_toks_<dir>`: distinct (id, token) rows, bucketed + sorted
+  *    on the id. The verify stage's participant semi-join clusters on the
+  *    id, so the corpus-side token scan is exchange-free too.
+  *
+  * Bucket count is fixed at write time — size it for the TARGET corpus
+  * (buckets ≈ corpus / healthy-partition-size), exactly like
+  * [[Layout.writeBucketed]] documents.
+  */
+object DedupState {
+
+  /** Catalog table names for one corpus state. */
+  final case class Names(bands: String, toks: String)
+
+  /** Deterministic, catalog-safe names derived from the corpus dir. */
+  def names(prefix: String, dir: String): Names = {
+    val sfx = dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+    Names(s"${prefix}_bands_$sfx", s"${prefix}_toks_$sfx")
+  }
+
+  /** Build and persist the corpus state: distinct-token rows plus the
+    * long-form LSH band table, both bucketed for exchange-free probes.
+    * Overwrites any previous state under the same names (idempotent).
+    */
+  def write(corpus: DataFrame, idCol: String, textCol: String,
+            k: Int, r: Int, n: Names, buckets: Int): Unit = {
+    // the token rows feed BOTH writes (band derivation + their own table);
+    // checkpoint so the corpus tokenize runs once in this setup step
+    val toks = Dedup.distinctTokenRows(corpus, idCol, textCol).localCheckpoint(true)
+    val bands = Dedup.minhashBands(
+      Dedup.minhashSignatures(toks, idCol, k), idCol, k, r)
+    Layout.writeBucketed(Dedup.longBands(bands, idCol, k / r), "band_key", n.bands, buckets)
+    Layout.writeBucketed(toks, idCol, n.toks, buckets)
+  }
+
+  /** The stored long-form band table (bucketed scan on `band_val`). */
+  def bands(s: SparkSession, n: Names): DataFrame = s.table(n.bands)
+
+  /** The stored distinct-token rows (bucketed scan on the id). */
+  def toks(s: SparkSession, n: Names): DataFrame = s.table(n.toks)
+
+  /** Whether both state tables exist in the session catalog. */
+  def exists(s: SparkSession, n: Names): Boolean =
+    s.catalog.tableExists(n.bands) && s.catalog.tableExists(n.toks)
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, DedupState, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -242,6 +242,69 @@ object DedupQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** [[incremental]] against PERSISTED corpus state — the honest form of
+    * the rolling-ingest query: the standing corpus's band table and token
+    * rows are bucketed catalog tables ([[DedupState]]), written once per
+    * (session, corpus) and then only READ. The band probe join clusters on
+    * the fused `band_key`; the stored table is bucketed on exactly that
+    * key, so the corpus side joins with NO exchange
+    * (PlanAuditSpec pins it) — at 100 TB the whole per-batch cost is the
+    * batch's own signatures plus a co-located probe, never a corpus
+    * recompute. Output is row-identical to [[incremental]] (same oracle).
+    */
+  def incrementalStored(s: SparkSession, d: String): DataFrame = {
+    val st = corpusState(s, d)
+    // candidate pairs are consumed twice (participant set + verify join);
+    // the frame is candidate-sized, so checkpoint rather than re-probe
+    val cand = storedCandidateJoin(s, d, st).localCheckpoint(true)
+    val parts = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val newToks = newBatchToks(s, d)
+    val tokenRows = newToks.join(parts, Seq("doc_id"), "left_semi")
+      .unionByName(DedupState.toks(s, st).join(parts, Seq("doc_id"), "left_semi"))
+    Dedup.jaccardVerifyBitset(cand, tokenRows, "doc_id")
+      .filter(col("jaccard") >= 0.7)
+      .select(col("a").as("new_id"), col("b").as("corpus_id"),
+              round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** Ensure the fixture corpus's (doc_id < 400) state tables exist — built
+    * once per (session, dir), then reused by every rep/consumer.
+    */
+  private val stateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DedupState.Names]()
+
+  private[graft] def corpusState(s: SparkSession, d: String): DedupState.Names =
+    memo(stateCache, (s, d), () => {
+      val n = DedupState.names("graft_corpus", d)
+      DedupState.write(Tables.documents(s, d).filter(col("doc_id") < 400),
+        "doc_id", "text", K, R, n, buckets = 16)
+      n
+    })
+
+  /** The incoming batch's distinct-token rows (docs >= 400). */
+  private def newBatchToks(s: SparkSession, d: String): DataFrame =
+    Dedup.distinctTokenRows(
+      Tables.documents(s, d).filter(col("doc_id") >= 400), "doc_id", "text")
+
+  /** The new-batch × stored-corpus band probe join — exposed so
+    * PlanAuditSpec can pin the bucketed, corpus-side-exchange-free shape
+    * (optionally pinned to sort-merge via `merge` so the broadcast the
+    * small fixture would pick can't mask a missing bucketing).
+    */
+  private[graft] def storedCandidateJoin(s: SparkSession, d: String,
+                                         st: DedupState.Names,
+                                         merge: Boolean = false): DataFrame = {
+    val newBands = Dedup.longBands(
+      Dedup.minhashBands(
+        Dedup.minhashSignatures(newBatchToks(s, d), "doc_id", K), "doc_id", K, R),
+      "doc_id", K / R)
+    val corpus = DedupState.bands(s, st)
+    Dedup.lshCrossCandidatePairsLong(
+      newBands, if (merge) corpus.hint("merge") else corpus, "doc_id", K / R)
+  }
+
   /** SemDeDup-style semantic dedup: k-means clusters as the blocking
     * structure, then within-cluster cosine pairs decide drops — a vector is
     * dropped when an EARLIER cluster-mate (smaller vec_id, the deterministic
@@ -403,6 +466,7 @@ object DedupQueries {
     "dedup_ngram_pairs" -> (ngramPairs _),
     "dedup_containment" -> (containment _),
     "dedup_incremental" -> (incremental _),
+    "dedup_incremental_stored" -> (incrementalStored _),
     "dedup_embedding" -> (embeddingPairs _),
     "dedup_semantic" -> (semantic _),
   )
@@ -451,6 +515,37 @@ object DedupQueries {
        |  SELECT doc_id,
        |  $bandCols
        |  FROM sig)""".stripMargin
+
+  /** Shared by `dedup_incremental` and `dedup_incremental_stored`: the two
+    * queries differ only in WHERE the corpus bands/tokens come from
+    * (recompute vs bucketed state), never in what they emit.
+    */
+  private val incrementalSql: String =
+    s"""WITH $sigBandsCtes,
+       |bl AS (
+       |  SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM bands
+       |  UNION ALL SELECT doc_id, 1, band1 FROM bands
+       |  UNION ALL SELECT doc_id, 2, band2 FROM bands
+       |  UNION ALL SELECT doc_id, 3, band3 FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bl x JOIN bl y
+       |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |  WHERE x.doc_id >= 400 AND y.doc_id < 400),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM cand c
+       |  JOIN tok ta ON c.a = ta.doc_id
+       |  JOIN tok tb ON c.b = tb.doc_id AND ta.token = tb.token
+       |  GROUP BY c.a, c.b)
+       |SELECT i.a AS new_id, i.b AS corpus_id,
+       |  round(CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 4) AS jaccard
+       |FROM inter i
+       |JOIN sz sa ON i.a = sa.doc_id
+       |JOIN sz sb ON i.b = sb.doc_id
+       |WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.7
+       |ORDER BY new_id, corpus_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_spans" ->
@@ -570,32 +665,10 @@ object DedupQueries {
          |SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS comp,
          |       (id = min(root)) AS keeper
          |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
-    "dedup_incremental" ->
-      s"""WITH $sigBandsCtes,
-         |bl AS (
-         |  SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM bands
-         |  UNION ALL SELECT doc_id, 1, band1 FROM bands
-         |  UNION ALL SELECT doc_id, 2, band2 FROM bands
-         |  UNION ALL SELECT doc_id, 3, band3 FROM bands),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bl x JOIN bl y
-         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-         |  WHERE x.doc_id >= 400 AND y.doc_id < 400),
-         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
-         |  FROM cand c
-         |  JOIN tok ta ON c.a = ta.doc_id
-         |  JOIN tok tb ON c.b = tb.doc_id AND ta.token = tb.token
-         |  GROUP BY c.a, c.b)
-         |SELECT i.a AS new_id, i.b AS corpus_id,
-         |  round(CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 4) AS jaccard
-         |FROM inter i
-         |JOIN sz sa ON i.a = sa.doc_id
-         |JOIN sz sb ON i.b = sb.doc_id
-         |WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.7
-         |ORDER BY new_id, corpus_id""".stripMargin,
+    "dedup_incremental" -> incrementalSql,
+    // the stored variant must be ROW-IDENTICAL to the recomputing one —
+    // same oracle, so any drift in the persisted state breaks the hash
+    "dedup_incremental_stored" -> incrementalSql,
     "dedup_simhash" ->
       s"""WITH $simhashCtes
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,

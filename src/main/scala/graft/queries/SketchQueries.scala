@@ -108,24 +108,27 @@ object SketchQueries {
     // candidate slice. BOTH paths are exact (CMS has no false negatives;
     // the recount re-verifies), so the choice never changes an output
     // row — only where the shuffle bytes go.
-    val stats = shingleStream(s, d)
+    // ONE materialization serves the stats pass AND whichever plan it
+    // picks: the checkpoint sits ABOVE the stats aggregate, so tokenize +
+    // shingle runs exactly once per query on both paths (previously the
+    // bypass path re-scanned: stats + groupBy = 2 passes where 1.5 would
+    // do). The checkpointed stream is doc-distinct shingle OCCURRENCES —
+    // the same rows every consumer needs.
+    val sh = shingleStream(s, d).localCheckpoint(true)
+    val stats = sh
       .agg(count(lit(1)).as("n"),
            approx_count_distinct(col("shingle"), 0.05).as("d")).head()
     val (n, dist) = (stats.getLong(0), math.max(stats.getLong(1), 1L))
     if (n / dist >= t) {
-      shingleStream(s, d)
-        .groupBy("shingle").agg(count(lit(1)).as("df"))
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") >= t)
         .orderBy(desc("df"), col("shingle"))
     } else {
-      // prefilter path: checkpoint so tokenize+shingle runs once across
-      // the sketch build and the recount; width scales with the stream
-      // (collision noise ~n/width per row must stay below t) — memory
-      // growth that is inherent to exact heavy hitters at a FIXED
-      // absolute threshold; a production pipeline would raise t with
-      // scale instead. Correctness never depends on width, only the
-      // candidate-slice size does.
-      val sh = shingleStream(s, d).localCheckpoint(true)
+      // prefilter path: width scales with the stream (collision noise
+      // ~n/width per row must stay below t) — memory growth that is
+      // inherent to exact heavy hitters at a FIXED absolute threshold; a
+      // production pipeline would raise t with scale instead. Correctness
+      // never depends on width, only the candidate-slice size does.
       val sk = sh.agg(Cms.sketch(col("shingle"), 4, heavyWidth(n)).as("sk"))
         .head().getAs[Array[Byte]]("sk")
       sh.filter(Cms.query(lit(sk), col("shingle")) >= t)

@@ -201,8 +201,12 @@ class SessionTimeoutProcessor(gapMs: Long)
                          new java.sql.Timestamp(hi), n)
         }
       sess.update(merged)
-      // one armed timer per key: re-arm at the new timeout
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // one armed timer per key: re-arm at the new timeout. Materialize
+      // the timer list BEFORE deleting — delete-during-scan would lean on
+      // the state store's iterator snapshot semantics, which are
+      // provider-specific.
+      getHandle.listTimers().map(_.asInstanceOf[Long]).toSeq
+        .foreach(getHandle.deleteTimer)
       getHandle.registerTimer(merged.session_end.getTime + gapMs)
     }
     Iterator.empty

@@ -99,6 +99,9 @@ class LayoutSpec extends SparkSpec {
     val bo = spark.table("bkt_orders")
     val bl = spark.table("bkt_lineitem")
 
+    // drop the catalog tables even when an assertion fails mid-test — a
+    // leaked table would poison later suites sharing the session
+    try {
     // hint("merge") pins sort-merge (the small fixture would otherwise
     // broadcast); bucketing must then elide BOTH shuffle exchanges.
     // Assert on the AQE FINAL plan STRING — collecting typed operators on
@@ -128,9 +131,10 @@ class LayoutSpec extends SparkSpec {
     val plain = orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
     assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
-
-    spark.sql("DROP TABLE IF EXISTS bkt_orders")
-    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
   }
 
   private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
@@ -148,8 +152,12 @@ class LayoutSpec extends SparkSpec {
     finally {
       tmpDirs.foreach { d =>
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        // Files.walk returns a Stream holding a directory handle — close it
+        // (Using) after collecting, or every test leaks one descriptor
+        scala.util.Using.resource(java.nio.file.Files.walk(d)) { st =>
+          st.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       }
       tmpDirs.clear()
     }

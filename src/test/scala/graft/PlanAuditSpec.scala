@@ -307,6 +307,24 @@ class PlanAuditSpec extends SparkSpec {
       Set("o_orderkey", "o_custkey"), plan)
   }
 
+  test("dedup_incremental_stored: corpus band probe reads bucketed state, no corpus-side exchange") {
+    val st = DedupQueries.corpusState(spark, sf())
+    // pin the sort-merge shape (the tiny fixture would broadcast, which
+    // trivially has no exchange and would mask a missing bucketing)
+    val cand = DedupQueries.storedCandidateJoin(spark, sf(), st, merge = true)
+    val plan = finalPlan(cand)
+    // the corpus side is a bucketed scan ...
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    // ... and NO exchange touches the corpus (b_-prefixed) side: the only
+    // shuffles are the new batch's signature groupBy + its move into the
+    // corpus's bucket layout — the corpus never moves
+    assert(!plan.contains("Exchange hashpartitioning(b_band_key"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("sim_kmeans assignment is a narrow projection: no exchange before the cluster agg") {
     import org.apache.spark.sql.functions.col
     val vecs = graft.operators.Similarity.prepared(Tables.embeddings(spark, sf()))

@@ -90,6 +90,7 @@ class QueriesSpec extends SparkSpec {
     "sample_mix_plan" -> 5L,
     "c19_active_users" -> 30L,
     "dedup_incremental" -> 14664L,
+    "dedup_incremental_stored" -> 14664L,
     "asof_next_view" -> 201L,
     "asof_tolerance_view" -> 201L,
     "cms_heavy_hitters" -> 186L,
@@ -116,6 +117,13 @@ class QueriesSpec extends SparkSpec {
         case None => assert(n > 0L, s"$name returned no rows")
       }
     }
+  }
+
+  test("dedup_incremental_stored is row-identical to the recomputing query") {
+    val stored = queries.DedupQueries.incrementalStored(spark, sf())
+    val recomputed = queries.DedupQueries.incremental(spark, sf())
+    assert(stored.exceptAll(recomputed).isEmpty &&
+           recomputed.exceptAll(stored).isEmpty)
   }
 
   test("entry returns rows (driver smoke contract)") {
