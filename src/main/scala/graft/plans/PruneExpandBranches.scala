@@ -101,6 +101,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("bitset_intersect"),
       info("bitset_intersect", classOf[graft.functions.BitsetIntersectCount]),
       graft.functions.BitsetFunctions.intersectBuilder))
+    e.injectFunction((FunctionIdentifier("winnow_spans"),
+      info("winnow_spans", classOf[graft.functions.WinnowSpans]),
+      graft.functions.WinnowFunctions.winnowBuilder))
     e.injectFunction((FunctionIdentifier("hll_sketch"),
       info("hll_sketch", classOf[graft.functions.HllSketchAgg]),
       graft.functions.Hll.sketchBuilder))

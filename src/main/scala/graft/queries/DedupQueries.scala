@@ -436,6 +436,64 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Winnowed span dedup — [[spans]] at sub-linear emitted-row cost. The
+    * stride-1 stream emits one row per token; winnowing (the public
+    * scheme from Schleimer–Wilkerson–Aiken's MOSS paper, a.k.a. minimizer
+    * sampling) instead SELECTS a window hash only when it is the minimum
+    * of at least one group of [[WinnowW]] consecutive window hashes. Two
+    * guarantees make the sample safe for dedup:
+    *
+    *  - any duplicated span of >= SpanW + WinnowW - 1 (= 15) tokens fully
+    *    contains a selection group, whose minimum depends ONLY on the
+    *    span's own hashes — so both copies select the same fingerprint
+    *    and the duplicate is still caught;
+    *  - expected selection density is 2/(WinnowW+1) of positions, so the
+    *    exploded stream (and the groupBy exchange it feeds) carries
+    *    ~2·tokens/w rows, not tokens rows — the difference between a
+    *    pass that fits the cluster at 100 TB and one that doesn't.
+    *
+    * Selection runs entirely in ARRAY-LAND inside one native expression
+    * ([[graft.functions.WinnowSpans]]), so unselected windows are dropped
+    * before the explode: no per-doc window-function shuffle, no
+    * corpus-sized row stream anywhere — the exchange sees only the
+    * winnowed sample. (Chained array HOFs cannot express this safely:
+    * projection collapse inlines each stage's array into the next
+    * lambda, re-evaluating it per ELEMENT — O(n²·w) md5 work per doc.)
+    */
+  def spansMinimized(s: SparkSession, d: String): DataFrame = {
+    // consumed twice (duplicate-set groupBy, occurrence semi-join)
+    val w = winnowedWindows(s, d).localCheckpoint(true)
+    val dup = w.groupBy("span_md5")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("span_md5")
+    w.join(dup, Seq("span_md5"), "left_semi")
+      .select("doc_id", "start", "span_md5")
+      .orderBy("doc_id", "start", "span_md5")
+  }
+
+  private[graft] val SpanW = 8   // tokens per span window
+  private[graft] val WinnowW = 8 // window hashes per winnowing group
+
+  /** The winnowed (selected) positioned fingerprints — exposed
+    * pre-checkpoint for PlanAuditSpec and the density/guarantee specs.
+    */
+  private[graft] def winnowedWindows(s: SparkSession, d: String): DataFrame =
+    winnowSelect(Tables.documents(s, d), SpanW, WinnowW)
+
+  /** Winnowing over any (doc_id, text) frame — one native-expression pass
+    * per document, zero exchanges (pinned by PlanAuditSpec).
+    */
+  private[graft] def winnowSelect(docs: DataFrame, spanW: Int, winW: Int): DataFrame = {
+    graft.functions.WinnowFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= spanW)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFunctions.winnowSpans(col("toks"), spanW, winW)).as("sp"))
+      .select(col("doc_id"), col("sp.start"), col("sp.span_md5"))
+  }
+
   /** The positioned window-hash stream spans() dedups — exposed
     * pre-checkpoint so PlanAuditSpec can pin the scan shape (a
     * checkpointed frame's plan starts at a Scan ExistingRDD).
@@ -457,6 +515,7 @@ object DedupQueries {
     "dedup_exact" -> (exact _),
     "dedup_spans" -> (spans _),
     "dedup_spans_cut" -> (spansCut _),
+    "dedup_spans_minimized" -> (spansMinimized _),
     "dedup_exact_keep" -> (exactKeep _),
     "dedup_minhash_sigs" -> (minhashSigs _),
     "dedup_minhash_pairs" -> (minhashPairs _),
@@ -594,6 +653,42 @@ object DedupQueries {
         |         '')) AS kept_md5
         |FROM tok LEFT JOIN cut ON tok.doc_id = cut.doc_id AND tok.p = cut.p
         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+    // the oracle restates winnowing in window-function form: group-min via
+    // a CURRENT..7 FOLLOWING frame (NULLed beyond the clamped last group),
+    // selection via max-of-group-minima over the 7 PRECEDING..CURRENT
+    // frame reaching the position's own hash — provably the same rule as
+    // the Spark array-land formulation
+    "dedup_spans_minimized" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+        |         md5(array_to_string(toks[i : i+7], ' ')) AS span_md5
+        |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY doc_id),
+        |wm0 AS (
+        |  SELECT w.doc_id, w.start, w.span_md5, nw.n,
+        |         min(w.span_md5) OVER (PARTITION BY w.doc_id ORDER BY w.start
+        |                               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin_raw
+        |  FROM w JOIN nw USING (doc_id)),
+        |wm AS (
+        |  SELECT doc_id, start, span_md5,
+        |         CASE WHEN start <= greatest(n - 7, 1) THEN wmin_raw END AS wmin
+        |  FROM wm0),
+        |sel AS (
+        |  SELECT doc_id, start, span_md5 FROM (
+        |    SELECT doc_id, start, span_md5,
+        |           max(wmin) OVER (PARTITION BY doc_id ORDER BY start
+        |                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mx
+        |    FROM wm) WHERE mx = span_md5),
+        |dup AS (
+        |  SELECT span_md5 FROM sel GROUP BY span_md5
+        |  HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT sel.doc_id, sel.start, sel.span_md5
+        |FROM sel JOIN dup USING (span_md5)
+        |ORDER BY doc_id, start, span_md5""".stripMargin,
     "dedup_exact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT text) AS BIGINT) AS n_unique_text,

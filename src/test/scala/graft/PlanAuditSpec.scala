@@ -291,6 +291,22 @@ class PlanAuditSpec extends SparkSpec {
       Set("doc_id", "text"), wPlan)
   }
 
+  test("dedup_spans_minimized: selection is exchange-free; shuffles see only the winnowed sample") {
+    // the whole point of winnowing: the per-doc native-expression pass
+    // emits the sampled fingerprints BEFORE any exchange, so the only
+    // shuffles in the full query are over the ~2/(w+1)-density stream
+    val wPlan = finalPlan(DedupQueries.winnowedWindows(spark, sf()))
+    assert(!wPlan.contains("Exchange"), wPlan)
+    assert(wPlan.contains("winnow_spans"), wPlan)
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(wPlan).map(_.group(1)).getOrElse("")
+    assert(scanCols.split(",").map(_.split("#")(0).trim).toSet ===
+      Set("doc_id", "text"), wPlan)
+    val plan = finalPlan(DedupQueries.spansMinimized(spark, sf()))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("dedup_spans_cut: equi-joins only; cut side never cartesians the corpus") {
     val plan = finalPlan(DedupQueries.spansCut(spark, sf()))
     assert(!plan.contains("CartesianProduct"), plan)

@@ -96,6 +96,7 @@ class QueriesSpec extends SparkSpec {
     "cms_heavy_hitters" -> 186L,
     "dedup_spans" -> 2382L,
     "dedup_spans_cut" -> 500L,
+    "dedup_spans_minimized" -> 506L,
     "layout_zvalue" -> 3L,
   )
 

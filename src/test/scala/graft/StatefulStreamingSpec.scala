@@ -132,4 +132,55 @@ class StatefulStreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("foreachBatch probe of the PERSISTED corpus state equals dedup_incremental_stored") {
+    // the full rolling-ingest deployment: the standing corpus's band/token
+    // state lives in BUCKETED CATALOG TABLES (DedupState — written once,
+    // never rebuilt), and each micro-batch of incoming docs signs only its
+    // own rows and probes the stored bands. Split the incoming docs across
+    // two micro-batches: new×corpus pairs are per-batch disjoint, so the
+    // union over batches must equal the batch-mode stored query exactly.
+    import graft.operators.{Dedup, DedupState}
+    import graft.queries.DedupQueries
+    implicit val sqlCtx = spark.sqlContext
+    val (k, r) = (16, 4)
+    val d = sf()
+    val st = DedupQueries.corpusState(spark, d) // memoized bucketed-table write
+    val corpusToks = DedupState.toks(spark, st)
+    val incoming = Tables.documents(spark, d).filter($"doc_id" >= 400)
+      .select("doc_id", "text").as[Doc].collect().sortBy(_.doc_id)
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val mem = MemoryStream[Doc]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val toksNew = Dedup.distinctTokenRows(batch, "doc_id", "text")
+        val newBands = Dedup.longBands(
+          Dedup.minhashBands(
+            Dedup.minhashSignatures(toksNew, "doc_id", k), "doc_id", k, r),
+          "doc_id", k / r)
+        val cand = Dedup.lshCrossCandidatePairsLong(
+          newBands, DedupState.bands(spark, st), "doc_id", k / r)
+        val parts = cand.select($"a".as("doc_id"))
+          .union(cand.select($"b".as("doc_id"))).distinct()
+        val toks = toksNew.unionByName(corpusToks)
+          .join(parts, Seq("doc_id"), "left_semi")
+        val pairs = Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
+          .filter($"jaccard" >= 0.7)
+          .select($"a", $"b", round($"jaccard", 4).as("j"))
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+        got.synchronized { got ++= pairs }
+        ()
+      }
+      .start()
+    try {
+      val (first, second) = incoming.splitAt(incoming.length / 2)
+      mem.addData(first); q.processAllAvailable()
+      mem.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val expected = DedupQueries.defs("dedup_incremental_stored")(spark, d)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got.toSet === expected,
+      s"streaming pairs ${got.size} != stored batch pairs ${expected.size}")
+  }
 }
