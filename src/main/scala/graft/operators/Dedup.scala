@@ -22,6 +22,61 @@ object Dedup {
   def distinctTokenRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token")).distinct()
 
+  /** Substring-span cut over any (id, text) frame: find every `w`-token
+    * window duplicated across documents, keep its FIRST occurrence
+    * (min id, min start), and delete the tokens of every later copy —
+    * the RefinedWeb-style exact-substring pass as a reusable operator.
+    *
+    * Returns (idCol, n_tokens, n_cut, kept_text) where `kept_text` is the
+    * surviving tokens rejoined with single spaces (whitespace-normalizing
+    * for docs whose original text had runs of spaces). Docs with fewer
+    * than `w` tokens pass through uncut; docs with ZERO tokens fall out
+    * of the token stream entirely — callers keeping such docs must
+    * left-join and coalesce back to the original text.
+    *
+    * Scale shape: window hashes are built in array-land so the exploded
+    * stream carries 40-byte rows; the cut set is candidate-sized (only
+    * duplicated windows explode to positions); the rebuild is one
+    * groupBy over the corpus token stream.
+    */
+  def spanCut(docs: DataFrame, idCol: String, textCol: String, w: Int = 8): DataFrame = {
+    // consumed twice (duplicate-set groupBy, occurrence semi-join)
+    val wins = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("toks")) - w + 1),
+        i => struct(i.cast("long").as("start"),
+                    md5(concat_ws(" ", slice(col("toks"), i, lit(w)))).as("span_md5"))))
+        .as("sp"))
+      .select(col(idCol), col("sp.start"), col("sp.span_md5"))
+      .localCheckpoint(true)
+    val dup = wins.groupBy("span_md5")
+      .agg(countDistinct(idCol).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("span_md5")
+    val cut = wins.join(dup, Seq("span_md5"), "left_semi")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("span_md5").orderBy(idCol, "start")))
+      .filter(col("rn") > 1)
+      .select(col(idCol),
+              explode(sequence(col("start"), col("start") + lit(w - 1))).as("p"))
+      .distinct()
+      .withColumn("__cut", lit(1))
+    val tok = docs
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("p"),
+              col("col").as("tok"))
+    tok.join(cut, Seq(idCol, "p"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+           count(col("__cut")).as("n_cut"),
+           concat_ws(" ", transform(
+             array_sort(collect_list(
+               when(col("__cut").isNull, struct(col("p"), col("tok"))))),
+             x => x.getField("tok"))).as("kept_text"))
+  }
+
   /** MinHash signatures: k permutations realized as md5("<i>:" + token);
     * signature element i = MIN of that keyed hash over the doc's token set.
     * Returns (idCol, m0..m{k-1}).
@@ -303,6 +358,27 @@ object Dedup {
     * @param nodes single-column frame of all node ids (isolated nodes keep
     *              their own id as comp)
     */
+  /** m(x) = min(x, min neighbour) over the current contracted graph — a
+    * forest of parent pointers, compressed to its roots by the pointer
+    * jumping in [[connectedComponents]].
+    *
+    * Hub skew (a pathological mega-component funnelling every member
+    * through one reduce key) is bounded by construction: `min` is an
+    * algebraic aggregate, so Spark plans it partial+final — each map task
+    * combines its slice of the hub's rows to ONE row before the exchange,
+    * which therefore carries at most one row per key per map partition
+    * regardless of component size. That IS the salted two-phase min, with
+    * the physical partition id as the salt; an explicit salt column would
+    * add a second exchange on the node-sized frame every round without
+    * improving the bound. ScaleOpsSpec pins both the partial_min-below-
+    * Exchange plan shape and a generated mega-star completing flat.
+    */
+  private[graft] def neighbourMin(g: DataFrame): DataFrame =
+    g.select(col("src").as("__n"), col("dst").as("__nb"))
+      .unionByName(g.select(col("dst").as("__n"), col("src").as("__nb")))
+      .groupBy(col("__n")).agg(min(col("__nb")).as("__mn"))
+      .select(col("__n").as("__mid"), least(col("__n"), col("__mn")).as("__mv"))
+
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
                           maxIter: Int = 20): DataFrame = {
     // materialize the (expensive, LSH+jaccard-derived) pair list once, as
@@ -318,13 +394,7 @@ object Dedup {
     var i = 0
     var done = g.isEmpty
     while (!done && i < maxIter) {
-      // m(x) = min(x, min neighbour) over the current contracted graph —
-      // a forest of parent pointers, compressed to its roots below
-      var m = g.select(col("src").as("__n"), col("dst").as("__nb"))
-        .unionByName(g.select(col("dst").as("__n"), col("src").as("__nb")))
-        .groupBy(col("__n")).agg(min(col("__nb")).as("__mn"))
-        .select(col("__n").as("__mid"), least(col("__n"), col("__mn")).as("__mv"))
-        .localCheckpoint(true)
+      var m = neighbourMin(g).localCheckpoint(true)
       // pointer jumping on the map alone: squaring halves the forest depth
       // per pass, each pass a self-join of the node-sized (never
       // edge-sized) frame; dense graphs stabilize after one pass

@@ -21,8 +21,15 @@ import org.apache.spark.sql.functions._
   *  3. decontamination — drop training docs whose exact text hash appears
   *     in the eval blocklist (doc_id % 10 = 0), bloom-prefiltered so only
   *     probe hits pay the anti-join;
+  *  3b. substring-span cut — delete every later copy of a cross-doc
+  *     duplicated 8-token span ([[graft.operators.Dedup.spanCut]]): docs
+  *     survive, redundant tokens don't;
   *  4. quality screens — minimum token count and distinct-token ratio
   *     (the Gopher-style repetition gate);
+  *  4b. language-mix sampling — per-language deterministic down-sampling
+  *     to the configured target shares (the sample_mix_plan rates);
+  *  4c. context-window packing — each doc is assigned its (lang, bin)
+  *     2048-token context-window bin (the text_pack_bins rule);
   *  5. deterministic split — disjoint, exhaustive train/val/test hash
   *     ranges, stable across reruns and engines;
   *  6. idempotent write — a STATIC overwrite of the whole output path
@@ -35,14 +42,29 @@ import org.apache.spark.sql.functions._
   */
 object CorpusJob {
 
+  /** `mix` are per-language TARGET corpus shares (the sample_mix_plan
+    * contract): language L is down-sampled at rate
+    * min(1, share_L · total / n_L); languages absent from the map are
+    * dropped. Empty map = no mix stage. `binTokens` is the context-window
+    * packing budget.
+    */
   final case class Config(
       input: String = "",
       out: String = "",
       minTokens: Int = 10,
       minDistinctRatio: Double = 0.3,
-      salt: String = "corpus-v1")
+      salt: String = "corpus-v1",
+      mix: Map[String, Double] = Map(
+        "en" -> 0.50, "de" -> 0.20, "fr" -> 0.15, "es" -> 0.10, "it" -> 0.05),
+      binTokens: Long = 2048L)
 
   def parse(args: Array[String]): Config = {
+    def parseMix(v: String): Map[String, Double] =
+      if (v.isEmpty) Map.empty
+      else v.split(",").map { kv =>
+        val Array(k, f) = kv.split(":")
+        k -> f.toDouble
+      }.toMap
     def loop(rest: List[String], cfg: Config): Config = rest match {
       case "--input" :: v :: t       => loop(t, cfg.copy(input = v))
       case "--out" :: v :: t         => loop(t, cfg.copy(out = v))
@@ -50,21 +72,27 @@ object CorpusJob {
       case "--min-distinct-ratio" :: v :: t =>
         loop(t, cfg.copy(minDistinctRatio = v.toDouble))
       case "--salt" :: v :: t        => loop(t, cfg.copy(salt = v))
+      case "--mix" :: v :: t         => loop(t, cfg.copy(mix = parseMix(v)))
+      case "--bin-tokens" :: v :: t  => loop(t, cfg.copy(binTokens = v.toLong))
       case Nil                       => cfg
       case bad :: _ => throw new IllegalArgumentException(
         s"unknown argument '$bad'; expected --input --out " +
-          "[--min-tokens n] [--min-distinct-ratio r] [--salt s]")
+          "[--min-tokens n] [--min-distinct-ratio r] [--salt s] " +
+          "[--mix lang:share,...] [--bin-tokens n]")
     }
     val cfg = loop(args.toList, Config())
     require(cfg.input.nonEmpty && cfg.out.nonEmpty, "--input and --out are required")
     require(cfg.minTokens >= 0 && cfg.minDistinctRatio >= 0.0 && cfg.minDistinctRatio <= 1.0,
       "thresholds out of range")
+    require(cfg.mix.values.forall(v => v >= 0.0 && v <= 1.0), "--mix shares out of [0,1]")
+    require(cfg.binTokens > 0, "--bin-tokens must be positive")
     cfg
   }
 
   final case class Funnel(
-      input: Long, exactKept: Long, nearKept: Long, cleanKept: Long,
-      qualityKept: Long, perSplit: Map[String, Long])
+      input: Long, exactKept: Long, nearKept: Long, spanCutDocs: Long,
+      cleanKept: Long, qualityKept: Long, mixKept: Long, nBins: Long,
+      perSplit: Map[String, Long])
 
   /** Run the curation; writes the corpus partitioned by split and returns
     * (curated frame, stage funnel).
@@ -95,11 +123,31 @@ object CorpusJob {
     val nNear = near.count()
 
     // 3. decontamination vs the eval blocklist (doc_id % 10 = 0), via the
-    // shared bloom-split anti-join
+    // shared bloom-split anti-join. Runs BEFORE the span cut: the
+    // blocklist hashes ORIGINAL eval text (exact dedup may have removed
+    // the eval twin from the frame, so hashes come from the raw input),
+    // and only pre-cut text can match those hashes byte-for-byte.
     val blocklist = docs.filter(col("doc_id") % 10 === 0)
       .select(md5(col("text")).as("h"))
-    val clean = Bloom.decontaminate(
+    val clean0 = Bloom.decontaminate(
       near.filter(col("doc_id") % 10 =!= 0), md5(col("text")), blocklist)
+
+    // 3b. substring-span cut (the RefinedWeb-style exact-substring pass):
+    // delete every later copy of a cross-doc duplicated 8-token span,
+    // keeping the first. Document COUNT is unchanged (texts shrink, docs
+    // stay) — the funnel reports how many docs lost tokens instead. Runs
+    // on the decontaminated corpus, so eval docs never act as a span's
+    // kept first occurrence. Zero-token docs fall out of the operator's
+    // token stream; the left join + coalesce keeps them with their
+    // original text.
+    val kept = Dedup.spanCut(clean0, "doc_id", "text", w = 8)
+      .select(col("doc_id"), col("n_cut"), col("kept_text"))
+    val cutAll = clean0.join(kept, Seq("doc_id"), "left_outer")
+      .withColumn("text", coalesce(col("kept_text"), col("text")))
+      .drop("kept_text")
+      .localCheckpoint(true)
+    val nSpanCutDocs = cutAll.filter(col("n_cut") > 0).count()
+    val clean = cutAll.drop("n_cut")
     val nClean = clean.count()
 
     // 4. quality screens on materialized tokens (never inline in a HOF)
@@ -109,15 +157,51 @@ object CorpusJob {
       .filter(size(array_distinct(col("toks"))).cast("double") >=
         size(col("toks")).cast("double") * cfg.minDistinctRatio)
       .drop("toks")
+      .localCheckpoint(true)
     val nQuality = quality.count()
+    require(nQuality > 0,
+      s"curation emptied the corpus (input=$nInput): relax --min-tokens/--min-distinct-ratio")
+
+    // 4b. language-mix sampling (the sample_mix_plan contract applied):
+    // per-language keep rate = min(1, target_share · total / n_lang),
+    // realized as the DETERMINISTIC stratified hash sample so reruns and
+    // retries keep the same docs. The per-lang frame is #languages rows —
+    // the one collect a mix plan is allowed.
+    val mixed =
+      if (cfg.mix.isEmpty) quality
+      else {
+        val rates = quality.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+          .map { r =>
+            val lang = r.getString(0)
+            val share = cfg.mix.getOrElse(lang, 0.0)
+            lang -> math.min(1.0, share * nQuality / r.getLong(1).toDouble)
+          }.toMap
+        Sampling.stratified(quality, col("lang"), rates, col("doc_id"), cfg.salt)
+          .localCheckpoint(true)
+      }
+    val nMixed = mixed.count()
+    require(nMixed > 0, "mix sampling emptied the corpus: check --mix shares")
+
+    // 4c. context-window packing (the text_pack_bins contract applied):
+    // per-language running token sum, a doc belongs to the bin its FIRST
+    // token lands in. Each doc carries its (lang, bin) assignment into
+    // the output; partitioning by shard (lang) keeps the window scalable.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    val packed = mixed
+      .withColumn("n_toks", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .withColumn("bin",
+        floor((sum("n_toks").over(w) - col("n_toks")) / lit(cfg.binTokens)))
+      .drop("n_toks")
+    val nBins = packed.select("lang", "bin").distinct().count()
 
     // 5. deterministic split + 6. idempotent write. The overwrite is
     // STATIC (whole path), not dynamic-per-split: a curation is one atomic
     // corpus, and a re-run with stricter screens must not leave a stale
     // split directory from the previous run visible in the output
-    require(nQuality > 0,
-      s"curation emptied the corpus (input=$nInput): relax --min-tokens/--min-distinct-ratio")
-    val curated = Sampling.splitAssign(quality, col("doc_id"),
+    val curated = Sampling.splitAssign(packed, col("doc_id"),
       Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01), cfg.salt)
     curated.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("split").parquet(cfg.out)
@@ -125,7 +209,8 @@ object CorpusJob {
     val out = spark.read.parquet(cfg.out)
     val perSplit = out.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (out, Funnel(nInput, nExact, nNear, nClean, nQuality, perSplit))
+    (out, Funnel(nInput, nExact, nNear, nSpanCutDocs, nClean, nQuality,
+                 nMixed, nBins, perSplit))
   }
 
   def main(args: Array[String]): Unit = {
@@ -140,7 +225,8 @@ object CorpusJob {
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"corpus_funnel","input":${f.input},"exact_kept":${f.exactKept},""" +
-      s""""near_kept":${f.nearKept},"clean_kept":${f.cleanKept},""" +
-      s""""quality_kept":${f.qualityKept},"splits":$splits,"out":"${cfg.out}"}""")
+      s""""near_kept":${f.nearKept},"span_cut_docs":${f.spanCutDocs},""" +
+      s""""clean_kept":${f.cleanKept},"quality_kept":${f.qualityKept},""" +
+      s""""mix_kept":${f.mixKept},"n_bins":${f.nBins},"splits":$splits,"out":"${cfg.out}"}""")
   }
 }

@@ -405,36 +405,13 @@ object DedupQueries {
     * it, then a per-doc aggregate whose collect_list is bounded by
     * document length — no corpus-sized window, no cartesian anywhere.
     */
-  def spansCut(s: SparkSession, d: String): DataFrame = {
-    val W = 8
-    val w = spanWindows(s, d).localCheckpoint(true)
-    val dup = w.groupBy("span_md5")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= 2)
-      .select("span_md5")
-    val cut = w.join(dup, Seq("span_md5"), "left_semi")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("span_md5").orderBy("doc_id", "start")))
-      .filter(col("rn") > 1)
-      .select(col("doc_id"),
-              explode(sequence(col("start"), col("start") + lit(W - 1))).as("p"))
-      .distinct()
-      .withColumn("__cut", lit(1))
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
-              col("col").as("tok"))
-    tok.join(cut, Seq("doc_id", "p"), "left_outer")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-           count(col("__cut")).as("n_cut"),
-           md5(concat_ws(" ", transform(
-             array_sort(collect_list(
-               when(col("__cut").isNull, struct(col("p"), col("tok"))))),
-             x => x.getField("tok")))).as("kept_md5"))
+  def spansCut(s: SparkSession, d: String): DataFrame =
+    // the shared operator CorpusJob composes; kept_md5 = md5(kept_text)
+    // keeps this query's oracle hash byte-identical to the inline form
+    Dedup.spanCut(Tables.documents(s, d), "doc_id", "text", w = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_cut"),
+              md5(col("kept_text")).as("kept_md5"))
       .orderBy("doc_id")
-  }
 
   /** Winnowed span dedup — [[spans]] at sub-linear emitted-row cost. The
     * stride-1 stream emits one row per token; winnowing (the public

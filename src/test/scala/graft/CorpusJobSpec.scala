@@ -22,9 +22,67 @@ class CorpusJobSpec extends SparkSpec {
     assert(f.exactKept >= f.nearKept)
     assert(f.nearKept >= f.cleanKept)
     assert(f.cleanKept >= f.qualityKept)
-    assert(f.qualityKept > 0, "curation must not empty the corpus")
-    assert(f.perSplit.values.sum === f.qualityKept,
+    assert(f.qualityKept >= f.mixKept)
+    assert(f.mixKept > 0, "curation must not empty the corpus")
+    assert(f.spanCutDocs <= f.cleanKept, "span cut touches only surviving docs")
+    assert(f.perSplit.values.sum === f.mixKept,
       "splits must partition the curated corpus exactly")
+  }
+
+  test("span cut leaves no cross-doc duplicated 8-token span in the output") {
+    val (out, f) = result
+    assert(f.spanCutDocs > 0, "fixture must exercise the span cut")
+    val survivors = graft.operators.Dedup.spanCut(out, "doc_id", "text", w = 8)
+      .filter($"n_cut" > 0).count()
+    assert(survivors === 0L, s"$survivors docs still carry duplicated spans")
+  }
+
+  test("mix sampling applies the plan rates: zero-target langs dropped, budgets respected") {
+    val (out, f) = result
+    // the fixture has zh but the default mix gives it no share — the mix
+    // stage must drop it entirely (rate 0), and must actually sample
+    // (mixKept strictly below qualityKept)
+    assert(out.filter($"lang" === "zh").count() === 0L)
+    assert(f.mixKept < f.qualityKept)
+    // each surviving language's kept count is bounded by its absolute
+    // planned budget: kept ≈ min(n_lang, target·qualityKept), so kept can
+    // never exceed target·qualityKept beyond hash-sampling granularity
+    val byLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, kept) =>
+      val target = cfg.mix.getOrElse(lang, 0.0)
+      assert(target > 0.0, s"language $lang survived with zero target share")
+      assert(kept > 0L, s"language $lang was emptied by mix sampling")
+      val budget = target * f.qualityKept
+      assert(kept <= budget + math.max(5.0, 0.15 * budget),
+        s"$lang kept $kept docs against a planned budget of $budget")
+    }
+  }
+
+  test("packing respects the bin token budget (overflow only from a bin's last doc)") {
+    val (out, _) = result
+    // reconstruct each bin's token count and its boundary rule: a doc
+    // belongs to the bin its FIRST token lands in, so every bin's
+    // pre-last-doc token mass must sit strictly under the budget
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = out
+      .withColumn("n_toks",
+        size(graft.operators.TextAnalysis.tokens($"text")).cast("long"))
+      .withColumn("first_tok", sum("n_toks").over(w) - $"n_toks")
+    // assignment rule holds for every doc
+    val misassigned = packed
+      .filter($"bin" =!= floor($"first_tok" / cfg.binTokens)).count()
+    assert(misassigned === 0L)
+    // budget: all but the last doc of a bin start AND end inside it
+    val overflow = packed
+      .withColumn("last_start",
+        max("first_tok").over(Window.partitionBy("lang", "bin")))
+      .filter($"first_tok" < $"last_start") // every non-last doc in the bin
+      .filter($"first_tok" + $"n_toks" > ($"bin" + 1) * cfg.binTokens)
+      .count()
+    assert(overflow === 0L, "a non-final doc crossed its bin boundary")
   }
 
   test("output carries no exact duplicates and no eval contamination") {
@@ -61,9 +119,16 @@ class CorpusJobSpec extends SparkSpec {
 
   test("config parsing validates and round-trips") {
     val c = CorpusJob.parse(Array("--input", "/in", "--out", "/out",
-      "--min-tokens", "5", "--min-distinct-ratio", "0.5", "--salt", "v2"))
-    assert(c === CorpusJob.Config("/in", "/out", 5, 0.5, "v2"))
+      "--min-tokens", "5", "--min-distinct-ratio", "0.5", "--salt", "v2",
+      "--mix", "en:0.7,de:0.3", "--bin-tokens", "1024"))
+    assert(c === CorpusJob.Config("/in", "/out", 5, 0.5, "v2",
+      Map("en" -> 0.7, "de" -> 0.3), 1024L))
+    // --mix "" disables the mix stage
+    assert(CorpusJob.parse(Array("--input", "/in", "--out", "/out",
+      "--mix", "")).mix === Map.empty)
     intercept[IllegalArgumentException] { CorpusJob.parse(Array("--bogus", "x")) }
     intercept[IllegalArgumentException] { CorpusJob.parse(Array("--input", "/in")) }
+    intercept[IllegalArgumentException] { CorpusJob.parse(Array("--input", "/in",
+      "--out", "/out", "--mix", "en:1.5")) }
   }
 }
