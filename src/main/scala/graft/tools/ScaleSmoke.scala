@@ -76,6 +76,7 @@ object ScaleSmoke {
     val (tNgram, nNgram) = timed("dedup_ngram_pairs")
     val (tContain, nContain) = timed("dedup_containment")
     val (tSpans, nSpans) = timed("dedup_spans")
+    val (tSpansMin, nSpansMin) = timed("dedup_spans_minimized")
     val (tHeavy, nHeavy) = timedIn(graft.queries.SketchQueries.defs)("cms_heavy_hitters")
 
     // replicas are structurally identical with disjoint vocabularies, so
@@ -88,6 +89,13 @@ object ScaleSmoke {
     val nHeavyBase = graft.queries.SketchQueries.defs("cms_heavy_hitters")(spark, base).count()
     require(nHeavy == nHeavyBase * copies,
       s"heavy shingles must scale linearly: $nHeavy != $nHeavyBase x $copies")
+    // winnowed duplicated occurrences are a strict sample of the stride-1
+    // ones (selection can't invent a duplicate) — and the whole point is
+    // the sample being MUCH smaller than rows=tokens. Exact linearity
+    // doesn't hold here: replica-suffixed tokens re-roll every window
+    // hash, so each replica winnows its own (valid) selection.
+    require(nSpansMin > 0 && nSpansMin < nSpans / 2,
+      s"winnowed spans not sub-linear: $nSpansMin vs $nSpans stride-1 rows")
 
     // every verified pair must be within one replica (vocabularies are
     // disjoint, so a cross-replica pair means the pipeline is broken)
@@ -104,19 +112,20 @@ object ScaleSmoke {
       graft.pipeline.CorpusJob.Config(input = dir,
         out = java.nio.file.Files.createTempDirectory("graft-sf1-corpus").toString))
     val tCorpus = (System.nanoTime() - t0Corpus) / 1e9
-    require(funnel.input == nDocs && funnel.qualityKept > 0 &&
+    require(funnel.input == nDocs && funnel.mixKept > 0 &&
       funnel.input >= funnel.exactKept && funnel.exactKept >= funnel.nearKept &&
-      funnel.nearKept >= funnel.cleanKept && funnel.cleanKept >= funnel.qualityKept,
+      funnel.nearKept >= funnel.cleanKept && funnel.cleanKept >= funnel.qualityKept &&
+      funnel.qualityKept >= funnel.mixKept && funnel.spanCutDocs <= funnel.cleanKept,
       s"corpus funnel broken at 10x: $funnel")
 
-    val total = tPairs + tClusters + tNgram + tContain + tSpans + tHeavy + tCorpus
+    val total = tPairs + tClusters + tNgram + tContain + tSpans + tSpansMin + tHeavy + tCorpus
     require(total <= budgetSec,
       f"budget blown: pairs $tPairs%.1f + clusters $tClusters%.1f + ngram $tNgram%.1f + " +
-        f"containment $tContain%.1f + spans $tSpans%.1f + heavy $tHeavy%.1f + " +
-        f"corpus $tCorpus%.1f > ${budgetSec}s")
+        f"containment $tContain%.1f + spans $tSpans%.1f + spans_min $tSpansMin%.1f + " +
+        f"heavy $tHeavy%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
 
     val json =
-      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"heavy_sec":$tHeavy%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.qualityKept},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"heavy":$nHeavy,"budget_sec":$budgetSec}"""
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"budget_sec":$budgetSec}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
