@@ -235,6 +235,29 @@ object Dedup {
       .select(col(s"a_$idCol").as("a"), col(s"b_$idCol").as("b"))
   }
 
+  /** WITHIN-set candidate pairs (a < b) over one ALREADY-long band frame —
+    * [[lshCandidatePairs]] for a corpus whose band table is persisted
+    * state ([[longBands]] written via `Layout.writeBucketed` on
+    * `band_key`). Self-joining a table bucketed on exactly the equi key
+    * means NEITHER side shuffles: full-corpus re-clustering reads the
+    * stored state twice and pays zero exchanges before the verify stage.
+    * Same first-matching-band rule as the recomputing form, so the pair
+    * set is bit-identical and no `distinct()` exchange is ever paid.
+    */
+  def lshSelfCandidatePairsLong(long: DataFrame, idCol: String,
+                                nBands: Int): DataFrame = {
+    def pfx(p: String) = long.toDF(long.columns.map(c => s"$p$c").toIndexedSeq: _*)
+    val firstMatchOnly = (0 until nBands).map { i =>
+      (col("a_band_idx") <= lit(i)) ||
+        col(s"a_band$i").isNull || col(s"b_band$i").isNull ||
+        (col(s"a_band$i") =!= col(s"b_band$i"))
+    }.reduce(_ && _)
+    pfx("a_").join(pfx("b_"),
+        col("a_band_key") === col("b_band_key") &&
+        col(s"a_$idCol") < col(s"b_$idCol") && firstMatchOnly)
+      .select(col(s"a_$idCol").as("a"), col(s"b_$idCol").as("b"))
+  }
+
   /** Exact set-overlap statistics `(a, b, n_inter, sz_a, sz_b)` for
     * candidate pairs via packed 64-bit token bitmasks: tokens get dense ids
     * from a distributed vocabulary numbering, each doc's set becomes a map

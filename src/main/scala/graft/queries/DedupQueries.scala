@@ -283,6 +283,59 @@ object DedupQueries {
       n
     })
 
+  /** Full-corpus state tables (every doc) — the persisted form a periodic
+    * re-clustering job reads; distinct from [[corpusState]], whose fixture
+    * corpus is the doc_id < 400 standing half.
+    */
+  private val fullStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DedupState.Names]()
+
+  private[graft] def fullCorpusState(s: SparkSession, d: String): DedupState.Names =
+    memo(fullStateCache, (s, d), () => {
+      val n = DedupState.names("graft_all", d)
+      DedupState.write(Tables.documents(s, d), "doc_id", "text", K, R, n, buckets = 16)
+      n
+    })
+
+  /** [[clusters]] from PERSISTED state — the periodic full re-clustering a
+    * rolling corpus runs (incremental probes catch new×corpus duplicates
+    * as they arrive; re-clustering repairs the global component structure,
+    * e.g. when a new doc bridges two standing clusters). The stored long
+    * band table self-joins on its own bucket key, so candidate formation
+    * reads pre-bucketed state with NO exchange on either side
+    * (PlanAuditSpec pins it); the token masks for the verify stage come
+    * off the doc_id-bucketed token table, participant-pruned. Output is
+    * row-identical to [[clusters]] (same oracle).
+    */
+  def clustersStored(s: SparkSession, d: String): DataFrame = {
+    val st = fullCorpusState(s, d)
+    // candidate pairs feed both the participant set and the verify join;
+    // candidate-sized, so checkpoint rather than re-probe the state
+    val cand = Dedup.lshSelfCandidatePairsLong(
+      DedupState.bands(s, st), "doc_id", K / R).localCheckpoint(true)
+    val parts = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val toks = DedupState.toks(s, st).join(parts, Seq("doc_id"), "left_semi")
+    val edges = Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
+      .filter(col("jaccard") >= 0.7).select("a", "b")
+    Dedup.connectedComponents(edges, Tables.documents(s, d).select("doc_id"), "doc_id")
+      .withColumn("keeper", col("doc_id") === col("comp"))
+      .orderBy("doc_id")
+  }
+
+  /** The stored-state candidate self-join — exposed so PlanAuditSpec can
+    * pin the zero-exchange shape (optionally forced to sort-merge so the
+    * broadcast the small fixture would pick can't mask a missing
+    * bucketing; with both sides bucketed, SMJ needs no exchange AND no
+    * per-side sort beyond the bucket sort order).
+    */
+  private[graft] def storedSelfJoin(s: SparkSession, d: String,
+                                    merge: Boolean = false): DataFrame = {
+    val bands = DedupState.bands(s, fullCorpusState(s, d))
+    Dedup.lshSelfCandidatePairsLong(
+      if (merge) bands.hint("merge") else bands, "doc_id", K / R)
+  }
+
   /** The incoming batch's distinct-token rows (docs >= 400). */
   private def newBatchToks(s: SparkSession, d: String): DataFrame =
     Dedup.distinctTokenRows(
@@ -497,6 +550,7 @@ object DedupQueries {
     "dedup_minhash_sigs" -> (minhashSigs _),
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_clusters" -> (clusters _),
+    "dedup_clusters_stored" -> (clustersStored _),
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_ngram_pairs" -> (ngramPairs _),
@@ -556,6 +610,44 @@ object DedupQueries {
     * queries differ only in WHERE the corpus bands/tokens come from
     * (recompute vs bucketed state), never in what they emit.
     */
+  /** Shared by `dedup_clusters` and `dedup_clusters_stored`: the pair
+    * pipeline restated band-by-band, then the transitive closure as a
+    * recursive CTE.
+    */
+  private val clustersSql: String =
+    s"""WITH RECURSIVE $sigBandsCtes,
+       |bl AS (
+       |  SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM bands
+       |  UNION ALL SELECT doc_id, 1, band1 FROM bands
+       |  UNION ALL SELECT doc_id, 2, band2 FROM bands
+       |  UNION ALL SELECT doc_id, 3, band3 FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bl x JOIN bl y
+       |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |   AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM cand c
+       |  JOIN tok ta ON c.a = ta.doc_id
+       |  JOIN tok tb ON c.b = tb.doc_id AND ta.token = tb.token
+       |  GROUP BY c.a, c.b),
+       |pairs AS (
+       |  SELECT i.a AS doc_a, i.b AS doc_b
+       |  FROM inter i JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id
+       |  WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.7),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |cc AS (
+       |  SELECT doc_id AS id, doc_id AS root FROM documents
+       |  UNION
+       |  SELECT e.dst, cc.root FROM cc JOIN edges e ON cc.id = e.src)
+       |SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS comp,
+       |       (id = min(root)) AS keeper
+       |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
+
   private val incrementalSql: String =
     s"""WITH $sigBandsCtes,
        |bl AS (
@@ -704,39 +796,10 @@ object DedupQueries {
          |JOIN sz sb ON i.b = sb.doc_id
          |WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $sigBandsCtes,
-         |bl AS (
-         |  SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM bands
-         |  UNION ALL SELECT doc_id, 1, band1 FROM bands
-         |  UNION ALL SELECT doc_id, 2, band2 FROM bands
-         |  UNION ALL SELECT doc_id, 3, band3 FROM bands),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bl x JOIN bl y
-         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-         |   AND x.doc_id < y.doc_id),
-         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
-         |  FROM cand c
-         |  JOIN tok ta ON c.a = ta.doc_id
-         |  JOIN tok tb ON c.b = tb.doc_id AND ta.token = tb.token
-         |  GROUP BY c.a, c.b),
-         |pairs AS (
-         |  SELECT i.a AS doc_a, i.b AS doc_b
-         |  FROM inter i JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id
-         |  WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.7),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |cc AS (
-         |  SELECT doc_id AS id, doc_id AS root FROM documents
-         |  UNION
-         |  SELECT e.dst, cc.root FROM cc JOIN edges e ON cc.id = e.src)
-         |SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS comp,
-         |       (id = min(root)) AS keeper
-         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> clustersSql,
+    // periodic re-clustering from stored state must be ROW-IDENTICAL to
+    // the recomputing form — same oracle, so state drift breaks the hash
+    "dedup_clusters_stored" -> clustersSql,
     "dedup_incremental" -> incrementalSql,
     // the stored variant must be ROW-IDENTICAL to the recomputing one —
     // same oracle, so any drift in the persisted state breaks the hash

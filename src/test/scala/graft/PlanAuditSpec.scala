@@ -341,6 +341,18 @@ class PlanAuditSpec extends SparkSpec {
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("dedup_clusters_stored: band self-join reads bucketed state with ZERO exchanges") {
+    // both sides of the candidate self-join are the same band_key-bucketed
+    // table — co-partitioned by construction, so unlike the incremental
+    // probe (whose new batch must shuffle into the bucket layout) the
+    // full re-clustering pair formation is entirely exchange-free
+    val plan = finalPlan(DedupQueries.storedSelfJoin(spark, sf(), merge = true))
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("sim_kmeans assignment is a narrow projection: no exchange before the cluster agg") {
     import org.apache.spark.sql.functions.col
     val vecs = graft.operators.Similarity.prepared(Tables.embeddings(spark, sf()))

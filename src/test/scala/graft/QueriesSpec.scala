@@ -47,6 +47,7 @@ class QueriesSpec extends SparkSpec {
     "dedup_ngram_pairs" -> 20L,
     "dedup_minhash_pairs" -> 47265L,
     "dedup_clusters" -> 500L,
+    "dedup_clusters_stored" -> 500L,
     "dedup_embedding" -> 20L,
     "dedup_semantic" -> 31L,
     "c14_pivot" -> 15L,
@@ -123,6 +124,13 @@ class QueriesSpec extends SparkSpec {
   test("dedup_incremental_stored is row-identical to the recomputing query") {
     val stored = queries.DedupQueries.incrementalStored(spark, sf())
     val recomputed = queries.DedupQueries.incremental(spark, sf())
+    assert(stored.exceptAll(recomputed).isEmpty &&
+           recomputed.exceptAll(stored).isEmpty)
+  }
+
+  test("dedup_clusters_stored is row-identical to the recomputing query") {
+    val stored = queries.DedupQueries.clustersStored(spark, sf())
+    val recomputed = queries.DedupQueries.clusters(spark, sf())
     assert(stored.exceptAll(recomputed).isEmpty &&
            recomputed.exceptAll(stored).isEmpty)
   }
