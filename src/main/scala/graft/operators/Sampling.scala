@@ -93,6 +93,23 @@ object Sampling {
     splits.map(_._1).zip(bounds.map(b => threshold(math.min(b, 1.0))))
   }
 
+  /** Efraimidis–Spirakis priority for WEIGHTED sampling without
+    * replacement: rank rows by `ln(u) / w` (u uniform on (0,1] from the
+    * deterministic 60-bit hash, w the row's weight) and keep the top-k —
+    * each row's inclusion probability is proportional to its weight, the
+    * standard A-ES scheme. The log form needs ONE elementary function per
+    * row (vs two roundings for u^(1/w)) and orders identically; u is
+    * `(hash60+1)/2^60`, the +1 applied in INTEGER space before the cast so
+    * both engines round the same value once (u=0 is excluded, so ln is
+    * total). Weight must be strictly positive — callers filter first.
+    */
+  def esPriority(key: Column, weight: Column, salt: String = ""): Column =
+    log((hash60(key, salt) + lit(1L)).cast("double") / lit(HashSpace.toDouble)) /
+      weight.cast("double")
+
+  /** The hash-space size as the double both engines divide by. */
+  def hashSpaceDouble: Double = HashSpace.toDouble
+
   /** Deterministic EXACT-SIZE sample: the k rows per group with the
     * smallest hash — a fixed per-source budget ("give me exactly 40 docs
     * per language, the same 40 every run"). Hash order is uniform, so this

@@ -28,6 +28,29 @@ object DedupQueries {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("h")
 
+  /** Bag-of-words exact dedup: docs whose token MULTISETS match — the
+    * reordered-content duplicate class exact text-hash dedup misses (e.g.
+    * shuffled list items, re-sorted concatenations) and near-dup pipelines
+    * pay a full MinHash pass to approximate. The canonical key is the md5
+    * of the doc's sorted token sequence (duplicates preserved, so it is
+    * the multiset, not the set); one window over the key assigns each
+    * group its min-doc_id canon — a single hash-partition pass, no join.
+    * Per-row sort cost is bounded by doc length, the classic
+    * sorted-neighborhood/token-sort signature from record-linkage.
+    */
+  def bow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bow_md5")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", sort_array(TextAnalysis.tokens(col("text"))))).as("bow_md5"))
+      .withColumn("canon_id", min("doc_id").over(w))
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .select(col("doc_id"), col("bow_md5"), col("canon_id"), col("n_docs"),
+              (col("doc_id") === col("canon_id")).as("keeper"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash signatures folded to LSH band keys, one row per doc. */
   def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val (_, bands) = tokensAndBands(s, d)
@@ -543,6 +566,7 @@ object DedupQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
+    "dedup_bow" -> (bow _),
     "dedup_spans" -> (spans _),
     "dedup_spans_cut" -> (spansCut _),
     "dedup_spans_minimized" -> (spansMinimized _),
@@ -767,6 +791,18 @@ object DedupQueries {
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "dedup_bow" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(
+        |      list_sort(list_filter(string_split(text, ' '), x -> x <> '')), ' '))
+        |      AS bow_md5
+        |  FROM documents)
+        |SELECT doc_id, bow_md5,
+        |  CAST(min(doc_id) OVER (PARTITION BY bow_md5) AS BIGINT) AS canon_id,
+        |  CAST(count(*) OVER (PARTITION BY bow_md5) AS BIGINT) AS n_docs,
+        |  doc_id = min(doc_id) OVER (PARTITION BY bow_md5) AS keeper
+        |FROM b ORDER BY doc_id""".stripMargin,
     "dedup_minhash_sigs" ->
       s"""WITH $sigBandsCtes
          |SELECT doc_id, band0, band1, band2, band3 FROM bands ORDER BY doc_id""".stripMargin,

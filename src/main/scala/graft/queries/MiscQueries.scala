@@ -226,7 +226,31 @@ object MiscQueries {
            max("z").cast("long").as("max_z"))
       .orderBy("cell")
 
+  /** Exact per-group value quantiles (p25/p50/p90/p99 of order totals by
+    * status) — the column-distribution half of profiling, next to
+    * [[profileOrders]]'s min/max/distinct and [[skewProfile]]'s key sizes.
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the type-7
+    * definition (index p·(n−1), linear interpolation), so the oracle
+    * reproduces every value. EXACT percentile buffers each group's values
+    * (TypedImperativeAggregate) — right for bounded group counts like
+    * this 3-status frame; at 100 TB with big groups, swap in
+    * `approx_percentile` (t-digest, mergeable, no buffering) and keep the
+    * same query shape — the sketch trade documented in SketchQueries.
+    */
+  def profileQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+           expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.9D, 0.99D))").as("q"))
+      .select(col("o_orderstatus"), col("n"),
+        round(element_at(col("q"), 1), 4).as("p25"),
+        round(element_at(col("q"), 2), 4).as("p50"),
+        round(element_at(col("q"), 3), 4).as("p90"),
+        round(element_at(col("q"), 4), 4).as("p99"))
+      .orderBy("o_orderstatus")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_quantiles" -> (profileQuantiles _),
     "profile_orders" -> (profileOrders _),
     "layout_zvalue" -> (layoutZvalue _),
     "profile_skew" -> (skewProfile _),
@@ -242,6 +266,13 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "profile_quantiles" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "layout_zvalue" -> {
       // the same 12-bit interleave as Layout.zvalue, spelled in portable
       // integer bit arithmetic

@@ -47,6 +47,21 @@ object SamplingQueries {
       .select("lang", "doc_id", "n_chars")
       .orderBy("lang", "doc_id")
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis), weight =
+    * n_chars: longer docs proportionally likelier, every run and engine
+    * picking the SAME 50 docs. The top-k by priority is a
+    * TakeOrderedAndProject — per-partition top-k merged on the driver, no
+    * global sort — so the selection is one narrow pass at any scale.
+    */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .withColumn("__p", Sampling.esPriority(col("doc_id"), col("n_chars"), salt = "w1"))
+      .orderBy(desc("__p"), asc("doc_id"))
+      .limit(50)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
   private val Targets = Seq("en" -> 0.50, "de" -> 0.20, "fr" -> 0.15,
                             "es" -> 0.10, "it" -> 0.05)
 
@@ -79,6 +94,7 @@ object SamplingQueries {
     "sample_strata" -> (strataSample _),
     "sample_split" -> (splitSample _),
     "sample_topk" -> (topkSample _),
+    "sample_weighted" -> (weightedSample _),
   )
 
   private def h60(salt: String, key: String): String =
@@ -124,6 +140,15 @@ object SamplingQueries {
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
     },
+    "sample_weighted" ->
+      s"""SELECT doc_id, lang, n_chars FROM (
+         |  SELECT doc_id, lang, n_chars,
+         |    row_number() OVER (
+         |      ORDER BY ln(CAST(${h60("w1", "doc_id")} + 1 AS DOUBLE)
+         |                  / 1152921504606846976.0)
+         |               / CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rk
+         |  FROM documents WHERE n_chars > 0) t
+         |WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
     "sample_topk" ->
       s"""SELECT lang, doc_id, n_chars FROM (
          |  SELECT lang, doc_id, n_chars,

@@ -228,7 +228,63 @@ object TextQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Token-distribution entropy per doc, in nats: H = ln(n) − (1/n)·Σ c·ln(c)
+    * over within-doc type counts c — the degenerate-generation screen that
+    * catches what repetition ratios miss (many distinct tokens, skewed
+    * distribution). Cross-engine float determinism: doubles summed across
+    * rows in engine-chosen order would drift, so each type's ln(c) is
+    * QUANTIZED to integer micronats (`floor(ln(c)·1e6)`) and the cross-row
+    * sum runs in exact 64-bit integer space; only per-row elementary calls
+    * and one final division/subtraction remain, which both engines compute
+    * identically. One explode + two map-side-combined aggregates — the
+    * text_repetition shape.
+    */
+  def entropy(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenRows(Tables.documents(s, d), "doc_id", "text")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_toks"),
+           count(lit(1)).as("n_types"),
+           sum(col("tf") * floor(log(col("tf").cast("double")) * lit(1e6)).cast("long"))
+             .as("micro"))
+      .select(col("doc_id"), col("n_toks"), col("n_types"),
+        round(log(col("n_toks").cast("double"))
+          - (col("micro").cast("double") / lit(1e6)) / col("n_toks").cast("double"), 4)
+          .as("entropy_nats"))
+      .orderBy("doc_id")
+
+  /** Corpus-unigram-LM quality score per doc: avg token log-probability
+    * under p(t) = corpus_count(t)/total — the cheap stand-in for the
+    * KenLM-perplexity filter CCNet-style pipelines run (docs whose tokens
+    * are corpus-atypical score low and get culled/downweighted). The vocab
+    * relation is types-sized; per-type log-probs are quantized to integer
+    * micronats (see [[entropy]]) so the per-doc weighted sum is exact and
+    * partitioning-independent. tf is materialized once and reused for the
+    * corpus counts and the per-doc score (the text_tfidf trick — df and
+    * corpus counts fall out of tf without re-tokenizing).
+    */
+  def unigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val tf = TextAnalysis.tokenRows(Tables.documents(s, d), "doc_id", "text")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val corpus = tf.groupBy("token").agg(sum("tf").as("cnt"))
+    val total = corpus.agg(sum("cnt").as("tot"))
+    val lp = corpus.crossJoin(broadcast(total))
+      .select(col("token"),
+        floor(log(col("cnt").cast("double") / col("tot").cast("double")) * lit(1e6))
+          .cast("long").as("lp_micro"))
+    tf.join(lp, "token")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_toks"), sum(col("tf") * col("lp_micro")).as("micro"))
+      .select(col("doc_id"), col("n_toks"),
+        round((col("micro").cast("double") / lit(1e6)) / col("n_toks").cast("double"), 4)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (entropy _),
+    "text_unigram_logprob" -> (unigramLogprob _),
     "text_repetition" -> (repetition _),
     "text_chunks" -> (chunks _),
     "text_pii_mask" -> (piiMask _),
@@ -244,6 +300,35 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tk WHERE token <> '' GROUP BY doc_id, token),
+        |a AS (SELECT doc_id, sum(tf) AS n_toks, CAST(count(*) AS BIGINT) AS n_types,
+        |        sum(tf * CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000.0) AS BIGINT)) AS micro
+        |      FROM tf GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, n_types,
+        |  round(ln(CAST(n_toks AS DOUBLE))
+        |    - (CAST(micro AS DOUBLE) / 1000000.0) / CAST(n_toks AS DOUBLE), 4)
+        |    AS entropy_nats
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tk WHERE token <> '' GROUP BY doc_id, token),
+        |c AS (SELECT token, sum(tf) AS cnt FROM tf GROUP BY token),
+        |t AS (SELECT sum(cnt) AS tot FROM c),
+        |lp AS (SELECT token,
+        |         CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000.0)
+        |              AS BIGINT) AS lp_micro
+        |       FROM c, t),
+        |a AS (SELECT tf.doc_id, sum(tf.tf) AS n_toks, sum(tf.tf * lp.lp_micro) AS micro
+        |      FROM tf JOIN lp USING (token) GROUP BY tf.doc_id)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  round((CAST(micro AS DOUBLE) / 1000000.0) / CAST(n_toks AS DOUBLE), 4) AS avg_logp
+        |FROM a ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

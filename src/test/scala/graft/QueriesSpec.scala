@@ -48,6 +48,11 @@ class QueriesSpec extends SparkSpec {
     "dedup_minhash_pairs" -> 47265L,
     "dedup_clusters" -> 500L,
     "dedup_clusters_stored" -> 500L,
+    "dedup_bow" -> 500L,
+    "sample_weighted" -> 50L,
+    "text_entropy" -> 500L,
+    "text_unigram_logprob" -> 500L,
+    "profile_quantiles" -> 3L,
     "dedup_embedding" -> 20L,
     "dedup_semantic" -> 31L,
     "c14_pivot" -> 15L,

@@ -75,6 +75,33 @@ class SamplingSpec extends SparkSpec {
     assert(a !== c)
   }
 
+  test("esPriority matches an independent plain-Scala A-ES reference and favors weight") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val spark50 = docs.filter($"n_chars" > 0)
+      .withColumn("__p", Sampling.esPriority($"doc_id", $"n_chars", "w1"))
+      .orderBy(desc("__p"), asc("doc_id")).limit(50)
+      .select("doc_id").as[Long].collect().toSet
+    // independent reference: md5 via MessageDigest, same ln(u)/w priority
+    val ref = docs.select("doc_id", "n_chars").as[(Long, Long)].collect()
+      .filter(_._2 > 0)
+      .map { case (id, w) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"w1:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / (1L << 60).toDouble
+        (id, math.log(u) / w.toDouble)
+      }
+      .sortBy { case (id, p) => (-p, id) }.take(50).map(_._1).toSet
+    assert(spark50 === ref, "Spark selection must equal the plain-Scala A-ES reference")
+    // weighting works: the sample's mean weight exceeds the corpus mean
+    // (with 500 docs and weight spread this holds by a wide margin)
+    val sampleMean = docs.filter($"doc_id".isin(spark50.toSeq: _*))
+      .agg(avg("n_chars")).as[Double].head()
+    val corpusMean = docs.agg(avg("n_chars")).as[Double].head()
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("stratified drops strata absent from the fraction map") {
     val docs = Tables.documents(spark, sf())
     val out = Sampling.stratified(docs, $"lang", Map("en" -> 1.0), $"doc_id")
