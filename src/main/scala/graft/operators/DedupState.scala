@@ -25,14 +25,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DedupState {
 
-  /** Catalog table names for one corpus state. */
-  final case class Names(bands: String, toks: String)
+  /** Catalog table names for one corpus state. `comps` is the standing
+    * component-assignment table ([[writeComps]]) — written only by corpora
+    * that maintain cluster state incrementally.
+    */
+  final case class Names(bands: String, toks: String, comps: String)
 
   /** Deterministic, catalog-safe names derived from the corpus dir. */
   def names(prefix: String, dir: String): Names = {
     val sfx = dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
       .stripPrefix("_").stripSuffix("_")
-    Names(s"${prefix}_bands_$sfx", s"${prefix}_toks_$sfx")
+    Names(s"${prefix}_bands_$sfx", s"${prefix}_toks_$sfx", s"${prefix}_comps_$sfx")
   }
 
   /** Build and persist the corpus state: distinct-token rows plus the
@@ -49,6 +52,19 @@ object DedupState {
     Layout.writeBucketed(Dedup.longBands(bands, idCol, k / r), "band_key", n.bands, buckets)
     Layout.writeBucketed(toks, idCol, n.toks, buckets)
   }
+
+  /** Persist the standing component assignments `(id, comp)` — the third
+    * state table, maintained by corpora that merge new batches into their
+    * cluster structure incrementally ([[graft.queries.DedupQueries
+    * .clustersIncremental]]): contracting corpus endpoints through these
+    * assignments lets a batch merge touch only comp-ids + batch-ids, never
+    * the corpus row set. Bucketed on the id — the expansion join's key.
+    */
+  def writeComps(comps: DataFrame, idCol: String, n: Names, buckets: Int): Unit =
+    Layout.writeBucketed(comps, idCol, n.comps, buckets)
+
+  /** The stored component assignments (bucketed scan on the id). */
+  def comps(s: SparkSession, n: Names): DataFrame = s.table(n.comps)
 
   /** The stored long-form band table (bucketed scan on `band_val`). */
   def bands(s: SparkSession, n: Names): DataFrame = s.table(n.bands)

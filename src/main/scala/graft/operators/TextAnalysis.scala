@@ -40,6 +40,35 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 31 + tokenHash(t), lit(mod)))
 
+  /** Per-doc corpus-unigram-LM score `(id, n_toks, avg_logp)`: p(t) =
+    * corpus_count(t)/total over the given corpus, avg_logp = mean token
+    * log-probability — the CCNet-style perplexity-filter stand-in (docs
+    * whose tokens are corpus-atypical score low). Per-type log-probs are
+    * quantized to integer micronats (`floor(ln·1e6)`) so the cross-row
+    * weighted sum runs in exact 64-bit integer space — the result is
+    * bit-stable under any partitioning and reproducible by the SQL oracle.
+    * The tf frame is materialized once (corpus counts and per-doc score
+    * both consume it); the vocab relation is types-sized. Docs with zero
+    * tokens have no tf rows and are absent from the output.
+    */
+  def unigramLogprob(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = tokenRows(docs, idCol, textCol)
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val corpus = tf.groupBy("token").agg(sum("tf").as("cnt"))
+    val total = corpus.agg(sum("cnt").as("tot"))
+    val lp = corpus.crossJoin(broadcast(total))
+      .select(col("token"),
+        floor(log(col("cnt").cast("double") / col("tot").cast("double")) * lit(1e6))
+          .cast("long").as("lp_micro"))
+    tf.join(lp, "token")
+      .groupBy(idCol)
+      .agg(sum("tf").as("n_toks"), sum(col("tf") * col("lp_micro")).as("micro"))
+      .select(col(idCol), col("n_toks"),
+        ((col("micro").cast("double") / lit(1e6)) / col("n_toks").cast("double"))
+          .as("avg_logp"))
+  }
+
   val DefaultStopwords: Seq[String] = Seq("the", "a")
 
   /** Heuristic language score: ratio of stopword occurrences over a

@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   * expensive near-dup machinery sees the smallest possible corpus.
   *
   *  1. exact dedup — keep the min-doc_id representative per md5(text);
+  *  1b. bag-of-words dedup — keep the min-doc_id representative per
+  *     sorted-token-multiset hash (reordered-content duplicates);
   *  2. near-dup dedup — 60-bit SimHash, pigeonhole-banded candidate pairs
   *     at Hamming ≤ 3, connected components, keep each cluster's minimum
   *     (the cheapest near-dup pass; MinHash+jaccard is the heavier
@@ -26,6 +28,9 @@ import org.apache.spark.sql.functions._
   *     survive, redundant tokens don't;
   *  4. quality screens — minimum token count and distinct-token ratio
   *     (the Gopher-style repetition gate);
+  *  4a. corpus-LM screen — unigram avg log-prob fit on the survivors,
+  *     corpus-atypical docs below `--min-avg-logp` dropped (the
+  *     CCNet-perplexity-filter stand-in);
   *  4b. language-mix sampling — per-language deterministic down-sampling
   *     to the configured target shares (the sample_mix_plan rates);
   *  4c. context-window packing — each doc is assigned its (lang, bin)
@@ -53,6 +58,7 @@ object CorpusJob {
       out: String = "",
       minTokens: Int = 10,
       minDistinctRatio: Double = 0.3,
+      minAvgLogp: Double = -10.0,
       salt: String = "corpus-v1",
       mix: Map[String, Double] = Map(
         "en" -> 0.50, "de" -> 0.20, "fr" -> 0.15, "es" -> 0.10, "it" -> 0.05),
@@ -71,14 +77,16 @@ object CorpusJob {
       case "--min-tokens" :: v :: t  => loop(t, cfg.copy(minTokens = v.toInt))
       case "--min-distinct-ratio" :: v :: t =>
         loop(t, cfg.copy(minDistinctRatio = v.toDouble))
+      case "--min-avg-logp" :: v :: t =>
+        loop(t, cfg.copy(minAvgLogp = v.toDouble))
       case "--salt" :: v :: t        => loop(t, cfg.copy(salt = v))
       case "--mix" :: v :: t         => loop(t, cfg.copy(mix = parseMix(v)))
       case "--bin-tokens" :: v :: t  => loop(t, cfg.copy(binTokens = v.toLong))
       case Nil                       => cfg
       case bad :: _ => throw new IllegalArgumentException(
         s"unknown argument '$bad'; expected --input --out " +
-          "[--min-tokens n] [--min-distinct-ratio r] [--salt s] " +
-          "[--mix lang:share,...] [--bin-tokens n]")
+          "[--min-tokens n] [--min-distinct-ratio r] [--min-avg-logp x] " +
+          "[--salt s] [--mix lang:share,...] [--bin-tokens n]")
     }
     val cfg = loop(args.toList, Config())
     require(cfg.input.nonEmpty && cfg.out.nonEmpty, "--input and --out are required")
@@ -90,8 +98,9 @@ object CorpusJob {
   }
 
   final case class Funnel(
-      input: Long, exactKept: Long, nearKept: Long, spanCutDocs: Long,
-      cleanKept: Long, qualityKept: Long, mixKept: Long, nBins: Long,
+      input: Long, exactKept: Long, bowKept: Long, nearKept: Long,
+      spanCutDocs: Long, cleanKept: Long, screenedKept: Long,
+      qualityKept: Long, mixKept: Long, nBins: Long,
       perSplit: Map[String, Long])
 
   /** Run the curation; writes the corpus partitioned by split and returns
@@ -111,12 +120,25 @@ object CorpusJob {
       .localCheckpoint(true)
     val nExact = exact.count()
 
+    // 1b. bag-of-words dedup: min doc_id per sorted-token-multiset hash —
+    // catches reordered-content duplicates the text hash misses, still a
+    // per-row map + one hash agg (far cheaper than the near-dup machinery
+    // it shields)
+    val bowKeep = exact
+      .select(col("doc_id"),
+        md5(concat_ws(" ", sort_array(TextAnalysis.tokens(col("text"))))).as("bh"))
+      .groupBy("bh").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val bow = exact.join(bowKeep, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val nBow = bow.count()
+
     // 2. near-dup: simhash Hamming<=3 pairs (the shared Dedup.simhashPairs
     // definition) -> components -> keep each component's minimum doc
-    val pairs = Dedup.simhashPairs(exact, "doc_id", "text", maxHamming = 3)
+    val pairs = Dedup.simhashPairs(bow, "doc_id", "text", maxHamming = 3)
       .select("a", "b")
-    val comps = Dedup.connectedComponents(pairs, exact.select("doc_id"), "doc_id")
-    val near = exact.join(
+    val comps = Dedup.connectedComponents(pairs, bow.select("doc_id"), "doc_id")
+    val near = bow.join(
         comps.filter(col("doc_id") === col("comp")).select("doc_id"),
         Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
@@ -151,16 +173,34 @@ object CorpusJob {
     val nClean = clean.count()
 
     // 4. quality screens on materialized tokens (never inline in a HOF)
-    val quality = clean
+    val screened = clean
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .filter(size(col("toks")) >= cfg.minTokens)
       .filter(size(array_distinct(col("toks"))).cast("double") >=
         size(col("toks")).cast("double") * cfg.minDistinctRatio)
       .drop("toks")
       .localCheckpoint(true)
+    val nScreened = screened.count()
+    require(nScreened > 0,
+      s"curation emptied the corpus (input=$nInput): relax --min-tokens/--min-distinct-ratio")
+
+    // 4a. corpus-LM screen: unigram avg log-prob estimated on the screened
+    // survivors themselves (the standard self-referential fit), docs below
+    // the threshold dropped as corpus-atypical — the CCNet-perplexity-
+    // filter stand-in. Token-free docs have no LM rows and would fall to
+    // the semi-join, so the screen is skipped entirely when disabled
+    // (threshold = -Infinity).
+    val quality =
+      if (cfg.minAvgLogp == Double.NegativeInfinity) screened
+      else {
+        val ok = TextAnalysis.unigramLogprob(screened, "doc_id", "text")
+          .filter(col("avg_logp") >= cfg.minAvgLogp)
+          .select("doc_id")
+        screened.join(ok, Seq("doc_id"), "left_semi").localCheckpoint(true)
+      }
     val nQuality = quality.count()
     require(nQuality > 0,
-      s"curation emptied the corpus (input=$nInput): relax --min-tokens/--min-distinct-ratio")
+      s"LM screen emptied the corpus (screened=$nScreened): relax --min-avg-logp")
 
     // 4b. language-mix sampling (the sample_mix_plan contract applied):
     // per-language keep rate = min(1, target_share · total / n_lang),
@@ -209,8 +249,8 @@ object CorpusJob {
     val out = spark.read.parquet(cfg.out)
     val perSplit = out.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (out, Funnel(nInput, nExact, nNear, nSpanCutDocs, nClean, nQuality,
-                 nMixed, nBins, perSplit))
+    (out, Funnel(nInput, nExact, nBow, nNear, nSpanCutDocs, nClean,
+                 nScreened, nQuality, nMixed, nBins, perSplit))
   }
 
   def main(args: Array[String]): Unit = {
@@ -225,8 +265,9 @@ object CorpusJob {
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"corpus_funnel","input":${f.input},"exact_kept":${f.exactKept},""" +
-      s""""near_kept":${f.nearKept},"span_cut_docs":${f.spanCutDocs},""" +
-      s""""clean_kept":${f.cleanKept},"quality_kept":${f.qualityKept},""" +
+      s""""bow_kept":${f.bowKept},"near_kept":${f.nearKept},""" +
+      s""""span_cut_docs":${f.spanCutDocs},"clean_kept":${f.cleanKept},""" +
+      s""""screened_kept":${f.screenedKept},"quality_kept":${f.qualityKept},""" +
       s""""mix_kept":${f.mixKept},"n_bins":${f.nBins},"splits":$splits,"out":"${cfg.out}"}""")
   }
 }

@@ -303,8 +303,74 @@ object DedupQueries {
       val n = DedupState.names("graft_corpus", d)
       DedupState.write(Tables.documents(s, d).filter(col("doc_id") < 400),
         "doc_id", "text", K, R, n, buckets = 16)
+      // the standing component assignments: corpus-only pairs off the
+      // just-written state, verified, clustered — [[clustersIncremental]]
+      // contracts corpus endpoints through this table so a batch merge
+      // never touches the corpus row set
+      val cand = Dedup.lshSelfCandidatePairsLong(
+        DedupState.bands(s, n), "doc_id", K / R).localCheckpoint(true)
+      val parts = cand.select(col("a").as("doc_id"))
+        .union(cand.select(col("b").as("doc_id"))).distinct()
+      val toks = DedupState.toks(s, n).join(parts, Seq("doc_id"), "left_semi")
+      val edges = Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
+        .filter(col("jaccard") >= 0.7).select("a", "b")
+      val comps = Dedup.connectedComponents(edges,
+        Tables.documents(s, d).filter(col("doc_id") < 400).select("doc_id"), "doc_id")
+      DedupState.writeComps(comps, "doc_id", n, buckets = 16)
       n
     })
+
+  /** Incremental cluster maintenance — the third leg of the rolling-corpus
+    * contract next to [[incrementalStored]] (pair detection) and
+    * [[clustersStored]] (periodic full re-cluster): merge ONE incoming
+    * batch into the standing component structure using only
+    * batch-self pairs, batch×corpus probe pairs, and the persisted
+    * `(doc_id, comp)` assignments. Corpus endpoints are CONTRACTED through
+    * their stored comp id (sound because corpus-internal connectivity is
+    * exactly what the stored assignments encode — adding nodes/edges never
+    * splits an existing component), so the merge's CC runs on a graph of
+    * comp-ids + batch-ids: at 100 TB that is batch-sized, not
+    * corpus-sized, and component ids stay the min member doc_id because a
+    * corpus comp id IS its min member and every batch id is newer. Output
+    * is row-identical to [[clusters]] — same oracle — which is the
+    * correctness proof that contraction loses nothing.
+    */
+  def clustersIncremental(s: SparkSession, d: String): DataFrame = {
+    val st = corpusState(s, d)
+    val batchBands = batchToksAndBands(s, d)._2
+    val candNN = Dedup.lshSelfCandidatePairsLong(batchBands, "doc_id", K / R)
+    val candNC = Dedup.lshCrossCandidatePairsLong(
+      batchBands, DedupState.bands(s, st), "doc_id", K / R)
+    // NN pairs (both ids >= 400) and NC pairs (exactly one corpus side)
+    // are disjoint by construction — no distinct() needed
+    val cand = candNN.unionByName(candNC).localCheckpoint(true)
+    val parts = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val tokenRows = newBatchToks(s, d).join(parts, Seq("doc_id"), "left_semi")
+      .unionByName(DedupState.toks(s, st).join(parts, Seq("doc_id"), "left_semi"))
+    val edges = Dedup.jaccardVerifyBitset(cand, tokenRows, "doc_id")
+      .filter(col("jaccard") >= 0.7).select("a", "b")
+    val cmap = DedupState.comps(s, st)
+      .select(col("doc_id").as("cdoc"), col("comp").as("cid"))
+    val contracted = edges
+      .join(cmap.withColumnRenamed("cdoc", "a").withColumnRenamed("cid", "ca"),
+            Seq("a"), "left")
+      .join(cmap.withColumnRenamed("cdoc", "b").withColumnRenamed("cid", "cb"),
+            Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+              coalesce(col("cb"), col("b")).as("b"))
+    val batchIds = Tables.documents(s, d).filter(col("doc_id") >= 400).select("doc_id")
+    val verts = cmap.select(col("cid").as("doc_id")).distinct().unionByName(batchIds)
+    val cc = Dedup.connectedComponents(contracted, verts, "doc_id")
+      .select(col("doc_id").as("vert"), col("comp").as("root"))
+    val corpusOut = cmap.join(cc, col("cid") === col("vert"))
+      .select(col("cdoc").as("doc_id"), col("root").as("comp"))
+    val batchOut = batchIds.join(cc, col("doc_id") === col("vert"))
+      .select(col("doc_id"), col("root").as("comp"))
+    corpusOut.unionByName(batchOut)
+      .withColumn("keeper", col("doc_id") === col("comp"))
+      .orderBy("doc_id")
+  }
 
   /** Full-corpus state tables (every doc) — the persisted form a periodic
     * re-clustering job reads; distinct from [[corpusState]], whose fixture
@@ -619,6 +685,7 @@ object DedupQueries {
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_clusters" -> (clusters _),
     "dedup_clusters_stored" -> (clustersStored _),
+    "dedup_clusters_incremental" -> (clustersIncremental _),
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_ngram_pairs" -> (ngramPairs _),
@@ -880,6 +947,9 @@ object DedupQueries {
     // periodic re-clustering from stored state must be ROW-IDENTICAL to
     // the recomputing form — same oracle, so state drift breaks the hash
     "dedup_clusters_stored" -> clustersSql,
+    // incremental batch-merge via contracted components must also be
+    // ROW-IDENTICAL to full clustering — the contraction-soundness proof
+    "dedup_clusters_incremental" -> clustersSql,
     "dedup_incremental" -> incrementalSql,
     // the stored variant must be ROW-IDENTICAL to the recomputing one —
     // same oracle, so any drift in the persisted state breaks the hash

@@ -253,34 +253,15 @@ object TextQueries {
           .as("entropy_nats"))
       .orderBy("doc_id")
 
-  /** Corpus-unigram-LM quality score per doc: avg token log-probability
-    * under p(t) = corpus_count(t)/total — the cheap stand-in for the
-    * KenLM-perplexity filter CCNet-style pipelines run (docs whose tokens
-    * are corpus-atypical score low and get culled/downweighted). The vocab
-    * relation is types-sized; per-type log-probs are quantized to integer
-    * micronats (see [[entropy]]) so the per-doc weighted sum is exact and
-    * partitioning-independent. tf is materialized once and reused for the
-    * corpus counts and the per-doc score (the text_tfidf trick — df and
-    * corpus counts fall out of tf without re-tokenizing).
+  /** Corpus-unigram-LM quality score per doc — the shared
+    * [[TextAnalysis.unigramLogprob]] operator (micronat-quantized, so the
+    * score is partitioning-independent; also the CorpusJob LM screen),
+    * rounded for the oracle.
     */
-  def unigramLogprob(s: SparkSession, d: String): DataFrame = {
-    val tf = TextAnalysis.tokenRows(Tables.documents(s, d), "doc_id", "text")
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
-    val corpus = tf.groupBy("token").agg(sum("tf").as("cnt"))
-    val total = corpus.agg(sum("cnt").as("tot"))
-    val lp = corpus.crossJoin(broadcast(total))
-      .select(col("token"),
-        floor(log(col("cnt").cast("double") / col("tot").cast("double")) * lit(1e6))
-          .cast("long").as("lp_micro"))
-    tf.join(lp, "token")
-      .groupBy("doc_id")
-      .agg(sum("tf").as("n_toks"), sum(col("tf") * col("lp_micro")).as("micro"))
-      .select(col("doc_id"), col("n_toks"),
-        round((col("micro").cast("double") / lit(1e6)) / col("n_toks").cast("double"), 4)
-          .as("avg_logp"))
+  def unigramLogprob(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.unigramLogprob(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("n_toks"), round(col("avg_logp"), 4).as("avg_logp"))
       .orderBy("doc_id")
-  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_entropy" -> (entropy _),

@@ -113,8 +113,10 @@ object ScaleSmoke {
         out = java.nio.file.Files.createTempDirectory("graft-sf1-corpus").toString))
     val tCorpus = (System.nanoTime() - t0Corpus) / 1e9
     require(funnel.input == nDocs && funnel.mixKept > 0 &&
-      funnel.input >= funnel.exactKept && funnel.exactKept >= funnel.nearKept &&
-      funnel.nearKept >= funnel.cleanKept && funnel.cleanKept >= funnel.qualityKept &&
+      funnel.input >= funnel.exactKept && funnel.exactKept >= funnel.bowKept &&
+      funnel.bowKept >= funnel.nearKept &&
+      funnel.nearKept >= funnel.cleanKept && funnel.cleanKept >= funnel.screenedKept &&
+      funnel.screenedKept >= funnel.qualityKept &&
       funnel.qualityKept >= funnel.mixKept && funnel.spanCutDocs <= funnel.cleanKept,
       s"corpus funnel broken at 10x: $funnel")
 

@@ -19,9 +19,11 @@ class CorpusJobSpec extends SparkSpec {
   test("funnel narrows monotonically and ends non-empty") {
     val (_, f) = result
     assert(f.input >= f.exactKept)
-    assert(f.exactKept >= f.nearKept)
+    assert(f.exactKept >= f.bowKept)
+    assert(f.bowKept >= f.nearKept)
     assert(f.nearKept >= f.cleanKept)
-    assert(f.cleanKept >= f.qualityKept)
+    assert(f.cleanKept >= f.screenedKept)
+    assert(f.screenedKept >= f.qualityKept)
     assert(f.qualityKept >= f.mixKept)
     assert(f.mixKept > 0, "curation must not empty the corpus")
     assert(f.spanCutDocs <= f.cleanKept, "span cut touches only surviving docs")
@@ -89,6 +91,10 @@ class CorpusJobSpec extends SparkSpec {
     val (out, _) = result
     assert(out.select(md5($"text")).distinct().count() === out.count(),
       "exact duplicates survived")
+    // bag-of-words level too: no two docs share a token multiset
+    val bow = out.select(md5(concat_ws(" ",
+      sort_array(graft.operators.TextAnalysis.tokens($"text")))).as("bh"))
+    assert(bow.distinct().count() === out.count(), "BoW duplicates survived")
     val evalHashes = Tables.documents(spark, cfg.input)
       .filter($"doc_id" % 10 === 0).select(md5($"text").as("h"))
     val contaminated = out.select(md5($"text").as("h")).join(evalHashes, "h").count()
@@ -119,9 +125,9 @@ class CorpusJobSpec extends SparkSpec {
 
   test("config parsing validates and round-trips") {
     val c = CorpusJob.parse(Array("--input", "/in", "--out", "/out",
-      "--min-tokens", "5", "--min-distinct-ratio", "0.5", "--salt", "v2",
-      "--mix", "en:0.7,de:0.3", "--bin-tokens", "1024"))
-    assert(c === CorpusJob.Config("/in", "/out", 5, 0.5, "v2",
+      "--min-tokens", "5", "--min-distinct-ratio", "0.5", "--min-avg-logp", "-7.5",
+      "--salt", "v2", "--mix", "en:0.7,de:0.3", "--bin-tokens", "1024"))
+    assert(c === CorpusJob.Config("/in", "/out", 5, 0.5, -7.5, "v2",
       Map("en" -> 0.7, "de" -> 0.3), 1024L))
     // --mix "" disables the mix stage
     assert(CorpusJob.parse(Array("--input", "/in", "--out", "/out",

@@ -48,6 +48,7 @@ class QueriesSpec extends SparkSpec {
     "dedup_minhash_pairs" -> 47265L,
     "dedup_clusters" -> 500L,
     "dedup_clusters_stored" -> 500L,
+    "dedup_clusters_incremental" -> 500L,
     "dedup_bow" -> 500L,
     "sample_weighted" -> 50L,
     "text_entropy" -> 500L,
@@ -138,6 +139,12 @@ class QueriesSpec extends SparkSpec {
     val recomputed = queries.DedupQueries.clusters(spark, sf())
     assert(stored.exceptAll(recomputed).isEmpty &&
            recomputed.exceptAll(stored).isEmpty)
+  }
+
+  test("dedup_clusters_incremental (contracted batch merge) equals full clustering") {
+    val inc = queries.DedupQueries.clustersIncremental(spark, sf())
+    val full = queries.DedupQueries.clusters(spark, sf())
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
   }
 
   test("entry returns rows (driver smoke contract)") {
