@@ -47,19 +47,27 @@ object JoinQueries {
   def mergeUpsert(s: SparkSession, d: String): DataFrame = {
     val cur = Tables.orders(s, d)
       .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    // the price bump runs in DECIMAL, not double: round(double·1.1, 2) is
+    // engine-divergent exactly at .xx5 boundaries (Spark rounds the
+    // shortest decimal repr half-up, DuckDB rounds the binary double,
+    // which sits just BELOW .xx5) — one sf0.1 row hit it. Decimal
+    // arithmetic is exact, so both engines round the same .915.
+    val dec = col("o_totalprice").cast("decimal(18,2)")
     val updates = cur.filter(col("o_orderkey") % 10 === 3)
       .select(col("o_orderkey"),
-              round(col("o_totalprice") * 1.1, 2).as("u_totalprice"),
+              round(dec * lit(new java.math.BigDecimal("1.1")), 2)
+                .cast("decimal(18,2)").as("u_totalprice"),
               lit("U").as("u_orderstatus"))
     val inserts = cur.filter(col("o_orderkey") % 10 === 7)
       .select((-col("o_orderkey")).as("o_orderkey"),
-              round(col("o_totalprice"), 2).as("u_totalprice"),
+              dec.as("u_totalprice"),
               lit("N").as("u_orderstatus"))
     val changes = updates.unionByName(inserts)
     cur.join(changes, Seq("o_orderkey"), "full_outer")
       .select(
         col("o_orderkey"),
-        round(coalesce(col("u_totalprice"), col("o_totalprice")), 2).as("price"),
+        coalesce(col("u_totalprice"),
+                 col("o_totalprice").cast("decimal(18,2)")).as("price"),
         coalesce(col("u_orderstatus"), col("o_orderstatus")).as("status"),
         when(col("u_totalprice").isNotNull && col("o_totalprice").isNotNull, "update")
           .when(col("o_totalprice").isNull, "insert")
@@ -112,15 +120,18 @@ object JoinQueries {
   val oracle: Map[String, String] = Map(
     "c20_merge_upsert" ->
       """WITH cur AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
-        |upd AS (SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS u_totalprice,
+        |upd AS (SELECT o_orderkey,
+        |               CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2)
+        |                    AS DECIMAL(18,2)) AS u_totalprice,
         |               'U' AS u_orderstatus
         |        FROM cur WHERE o_orderkey % 10 = 3),
-        |ins AS (SELECT -o_orderkey AS o_orderkey, round(o_totalprice, 2) AS u_totalprice,
+        |ins AS (SELECT -o_orderkey AS o_orderkey,
+        |               CAST(o_totalprice AS DECIMAL(18,2)) AS u_totalprice,
         |               'N' AS u_orderstatus
         |        FROM cur WHERE o_orderkey % 10 = 7),
         |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
         |SELECT coalesce(cur.o_orderkey, ch.o_orderkey) AS o_orderkey,
-        |  round(coalesce(ch.u_totalprice, cur.o_totalprice), 2) AS price,
+        |  coalesce(ch.u_totalprice, CAST(cur.o_totalprice AS DECIMAL(18,2))) AS price,
         |  coalesce(ch.u_orderstatus, cur.o_orderstatus) AS status,
         |  CASE WHEN ch.u_totalprice IS NOT NULL AND cur.o_totalprice IS NOT NULL
         |         THEN 'update'

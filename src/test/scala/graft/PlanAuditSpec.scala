@@ -341,6 +341,14 @@ class PlanAuditSpec extends SparkSpec {
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("sample_weighted selects its top-k as TakeOrderedAndProject, not a global sort") {
+    // A-ES selection must be the per-partition-top-k + driver-merge
+    // operator: a full Sort would shuffle the whole corpus to rank 50 rows
+    val plan = finalPlan(
+      graft.queries.SamplingQueries.weightedSample(spark, sf()))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("dedup_clusters_stored: band self-join reads bucketed state with ZERO exchanges") {
     // both sides of the candidate self-join are the same band_key-bucketed
     // table — co-partitioned by construction, so unlike the incremental

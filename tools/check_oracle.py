@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate (dev tool only).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--exclude a,b,c]
 
 Loads each <verifyOutDir>/<name> parquet (Spark output), runs the matching
 oracle SQL from oracle_sql.json in DuckDB with the sf parquet tables
 registered as views, and compares row count, sorted column names, and a
 row-wise hash of values (columns sorted by name — mirroring the driver).
+
+--exclude skips the DuckDB oracle for the named queries (the cluster
+queries' recursive-CTE closure effectively never finishes at sf0.1).
+Excluded dedup_clusters* queries are instead checked by an independent
+python union-find over the Spark-emitted dedup_minhash_pairs parquet:
+every doc's comp must be the min id of its connected component and
+keeper must equal (doc_id == comp).
 """
 import json
 import sys
@@ -36,14 +43,60 @@ def table_hash(rows, cols):
     return h.hexdigest()
 
 
+def unionfind_check(con, out_dir, name):
+    """Independent closure check for a dedup_clusters* output: union-find
+    over Spark's own verified pair list, then comp == min(component) and
+    keeper == (doc_id == comp) for every doc."""
+    pairs = con.sql(
+        f"SELECT doc_a, doc_b FROM '{out_dir}/dedup_minhash_pairs/*.parquet'").fetchall()
+    rows = con.sql(
+        f"SELECT doc_id, comp, keeper FROM '{out_dir}/{name}/*.parquet'").fetchall()
+    parent = {d: d for d, _, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for d in parent:
+        r = find(d)
+        expected[r] = min(expected.get(r, r), d)
+    bad = sum(1 for d, comp, keeper in rows
+              if comp != expected[find(d)] or keeper != (d == comp))
+    return len(rows), bad
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    exclude = set()
+    for arg in sys.argv[3:]:
+        if arg.startswith("--exclude"):
+            v = arg.split("=", 1)[1] if "=" in arg else sys.argv[sys.argv.index(arg) + 1]
+            exclude = set(x for x in v.split(",") if x)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in exclude:
+            if name.startswith("dedup_clusters"):
+                n, bad = unionfind_check(con, out_dir, name)
+                if bad:
+                    print(f"FAIL {name}: union-find check, {bad}/{n} rows wrong")
+                    fail += 1
+                else:
+                    print(f"OK   {name} ({n} rows, python union-find)")
+                    ok += 1
+            else:
+                print(f"SKIP {name} (excluded)")
+            continue
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             spark_cols = list(spark_rel.columns)
