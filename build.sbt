@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains are tail-parsed by an external harness: forked
+// run output must pass straight through (sbt's default LoggedOutput wraps
+// every stdout line in "[info] " and stderr in "[error] ", which is
+// exactly what kept BENCH_r02–r04 unparseable) and the "[success] Total
+// time" trailer is disabled so the LAST line a `sbt "runMain graft.Bench"`
+// process emits is Bench's own machine-readable JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -294,9 +294,14 @@ object Dedup {
       .withColumn("__bk", pmod(xxhash64(col("token")), lit(buckets.toLong)))
     val local = vocabBase.withColumn("__rn",
       row_number().over(Window.partitionBy("__bk").orderBy("token")).cast("long") - 1)
+    // the cumulative sum is over ≤ `buckets` rows by construction; the
+    // literal partition key keeps WindowExec from logging its
+    // single-partition WARN on every recompute (1000+ lines per bench run
+    // — enough to drown the run's machine-readable tail) while changing
+    // nothing about the plan's actual (bounded) shape
     val offsets = vocabBase.groupBy("__bk").agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(
-        sum("__n").over(Window.orderBy("__bk")
+        sum("__n").over(Window.partitionBy(lit(0)).orderBy("__bk")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__bk", "__off")
     val vocab = local.join(broadcast(offsets), "__bk")

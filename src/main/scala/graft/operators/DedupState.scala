@@ -27,15 +27,25 @@ object DedupState {
 
   /** Catalog table names for one corpus state. `comps` is the standing
     * component-assignment table ([[writeComps]]) — written only by corpora
-    * that maintain cluster state incrementally.
+    * that maintain cluster state incrementally. `spans` is the standing
+    * winnowed span-fingerprint table ([[writeSpans]]) — written only by
+    * corpora that run incremental span-level dedup.
     */
-  final case class Names(bands: String, toks: String, comps: String)
+  final case class Names(bands: String, toks: String, comps: String,
+                         spans: String)
 
-  /** Deterministic, catalog-safe names derived from the corpus dir. */
+  /** Deterministic, catalog-safe names derived from the corpus dir. The
+    * md5 tag keeps the mapping injective: sanitizing alone would collapse
+    * distinct dirs like `/data/sf0.1` and `/data/sf0_1` onto one name and
+    * silently share state between different corpora.
+    */
   def names(prefix: String, dir: String): Names = {
     val sfx = dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
       .stripPrefix("_").stripSuffix("_")
-    Names(s"${prefix}_bands_$sfx", s"${prefix}_toks_$sfx", s"${prefix}_comps_$sfx")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Names(s"${prefix}_bands_${sfx}_$tag", s"${prefix}_toks_${sfx}_$tag",
+          s"${prefix}_comps_${sfx}_$tag", s"${prefix}_spans_${sfx}_$tag")
   }
 
   /** Build and persist the corpus state: distinct-token rows plus the
@@ -66,7 +76,21 @@ object DedupState {
   /** The stored component assignments (bucketed scan on the id). */
   def comps(s: SparkSession, n: Names): DataFrame = s.table(n.comps)
 
-  /** The stored long-form band table (bucketed scan on `band_val`). */
+  /** Persist the standing winnowed span fingerprints
+    * `(doc_id, start, span_md5)` — the span-level analogue of the band
+    * table: an incoming batch's winnowed windows probe this table on
+    * `span_md5` to find cross-corpus duplicated spans, so it is bucketed
+    * + sorted on exactly that key and the corpus side of the probe join
+    * needs NO exchange. Same rolling-ingest shape as [[write]]: written
+    * once per ingest epoch, then only read.
+    */
+  def writeSpans(spans: DataFrame, n: Names, buckets: Int): Unit =
+    Layout.writeBucketed(spans, "span_md5", n.spans, buckets)
+
+  /** The stored winnowed span fingerprints (bucketed scan on `span_md5`). */
+  def spans(s: SparkSession, n: Names): DataFrame = s.table(n.spans)
+
+  /** The stored long-form band table (bucketed scan on `band_key`). */
   def bands(s: SparkSession, n: Names): DataFrame = s.table(n.bands)
 
   /** The stored distinct-token rows (bucketed scan on the id). */

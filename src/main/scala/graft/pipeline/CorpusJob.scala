@@ -62,14 +62,26 @@ object CorpusJob {
       salt: String = "corpus-v1",
       mix: Map[String, Double] = Map(
         "en" -> 0.50, "de" -> 0.20, "fr" -> 0.15, "es" -> 0.10, "it" -> 0.05),
-      binTokens: Long = 2048L)
+      binTokens: Long = 2048L,
+      spanState: Boolean = false)
 
   def parse(args: Array[String]): Config = {
     def parseMix(v: String): Map[String, Double] =
       if (v.isEmpty) Map.empty
       else v.split(",").map { kv =>
-        val Array(k, f) = kv.split(":")
-        k -> f.toDouble
+        // explicit validation: a bare "en" or "en:0.5:x" must surface as
+        // the parser's usage-message contract (IllegalArgumentException),
+        // not a MatchError/NumberFormatException from the destructure
+        kv.split(":") match {
+          case Array(k, f) if k.nonEmpty =>
+            val share = try f.toDouble catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"--mix entry '$kv': share '$f' is not a number; expected lang:share,...")
+            }
+            k -> share
+          case _ => throw new IllegalArgumentException(
+            s"--mix entry '$kv' malformed; expected lang:share,...")
+        }
       }.toMap
     def loop(rest: List[String], cfg: Config): Config = rest match {
       case "--input" :: v :: t       => loop(t, cfg.copy(input = v))
@@ -82,11 +94,12 @@ object CorpusJob {
       case "--salt" :: v :: t        => loop(t, cfg.copy(salt = v))
       case "--mix" :: v :: t         => loop(t, cfg.copy(mix = parseMix(v)))
       case "--bin-tokens" :: v :: t  => loop(t, cfg.copy(binTokens = v.toLong))
+      case "--span-state" :: t       => loop(t, cfg.copy(spanState = true))
       case Nil                       => cfg
       case bad :: _ => throw new IllegalArgumentException(
         s"unknown argument '$bad'; expected --input --out " +
           "[--min-tokens n] [--min-distinct-ratio r] [--min-avg-logp x] " +
-          "[--salt s] [--mix lang:share,...] [--bin-tokens n]")
+          "[--salt s] [--mix lang:share,...] [--bin-tokens n] [--span-state]")
     }
     val cfg = loop(args.toList, Config())
     require(cfg.input.nonEmpty && cfg.out.nonEmpty, "--input and --out are required")
@@ -187,16 +200,18 @@ object CorpusJob {
     // 4a. corpus-LM screen: unigram avg log-prob estimated on the screened
     // survivors themselves (the standard self-referential fit), docs below
     // the threshold dropped as corpus-atypical — the CCNet-perplexity-
-    // filter stand-in. Token-free docs have no LM rows and would fall to
-    // the semi-join, so the screen is skipped entirely when disabled
-    // (threshold = -Infinity).
+    // filter stand-in. Token-free docs (reachable when --min-tokens 0)
+    // have no LM rows at all; they are KEPT via the left join's null
+    // branch — the screen judges corpus-typicality, and "no evidence" must
+    // not silently count as atypical.
     val quality =
       if (cfg.minAvgLogp == Double.NegativeInfinity) screened
       else {
-        val ok = TextAnalysis.unigramLogprob(screened, "doc_id", "text")
-          .filter(col("avg_logp") >= cfg.minAvgLogp)
-          .select("doc_id")
-        screened.join(ok, Seq("doc_id"), "left_semi").localCheckpoint(true)
+        val lm = TextAnalysis.unigramLogprob(screened, "doc_id", "text")
+          .select("doc_id", "avg_logp")
+        screened.join(lm, Seq("doc_id"), "left")
+          .filter(col("avg_logp").isNull || col("avg_logp") >= cfg.minAvgLogp)
+          .drop("avg_logp").localCheckpoint(true)
       }
     val nQuality = quality.count()
     require(nQuality > 0,
@@ -247,6 +262,19 @@ object CorpusJob {
       .partitionBy("split").parquet(cfg.out)
 
     val out = spark.read.parquet(cfg.out)
+    // --span-state: persist the curated corpus's winnowed span
+    // fingerprints as the bucketed standing table the NEXT ingest epoch's
+    // incremental span dedup probes ([[graft.queries.DedupQueries
+    // .spansIncremental]] / [[graft.operators.DedupState.writeSpans]]) —
+    // curation hands the rolling pipeline its dedup state instead of
+    // forcing the next batch to re-winnow this corpus
+    if (cfg.spanState) {
+      import graft.queries.DedupQueries
+      graft.operators.DedupState.writeSpans(
+        DedupQueries.winnowSelect(out.select("doc_id", "text"),
+          DedupQueries.SpanW, DedupQueries.WinnowW),
+        graft.operators.DedupState.names("corpus_job", cfg.out), buckets = 16)
+    }
     val perSplit = out.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     (out, Funnel(nInput, nExact, nBow, nNear, nSpanCutDocs, nClean,

@@ -317,8 +317,34 @@ object DedupQueries {
       val comps = Dedup.connectedComponents(edges,
         Tables.documents(s, d).filter(col("doc_id") < 400).select("doc_id"), "doc_id")
       DedupState.writeComps(comps, "doc_id", n, buckets = 16)
+      // the span-level state: the standing corpus's winnowed window
+      // fingerprints, bucketed on span_md5 — [[spansIncremental]] probes
+      // this table instead of re-winnowing the corpus per batch
+      DedupState.writeSpans(
+        winnowSelect(Tables.documents(s, d).filter(col("doc_id") < 400),
+          SpanW, WinnowW), n, buckets = 16)
       n
     })
+
+  /** Bench-only warmup: materialize the one-time persisted state tables
+    * (and, under the `sharePairs` flag, the sanctioned cross-query memos)
+    * BEFORE any query is timed, so the stored/incremental medians measure
+    * the per-batch probe/merge — the number the rolling-ingest contract
+    * actually makes a claim about — and not the corpus state writes that a
+    * real deployment pays once per ingest epoch, not once per query.
+    * Verify never calls this: the correctness gate always pays full
+    * construction from scratch.
+    */
+  private[graft] def warmupStoredState(s: SparkSession, d: String): Unit = {
+    corpusState(s, d)
+    fullCorpusState(s, d)
+    if (s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) {
+      tokensAndBands(s, d)
+      batchToksAndBands(s, d)
+      minhashPairsRaw(s, d).count()
+      storedVerifiedEdges(s, d).count()
+    }
+  }
 
   /** Incremental cluster maintenance — the third leg of the rolling-corpus
     * contract next to [[incrementalStored]] (pair detection) and
@@ -635,6 +661,42 @@ object DedupQueries {
       .orderBy("doc_id", "start", "span_md5")
   }
 
+  /** Incremental span dedup against PERSISTED winnowed-window state — the
+    * span-level leg of the rolling-ingest contract next to
+    * [[incrementalStored]] (document pairs) and [[clustersIncremental]]
+    * (cluster maintenance): the standing corpus's winnowed fingerprints
+    * are a bucketed catalog table written once per ingest epoch
+    * ([[DedupState.writeSpans]]); each incoming batch winnows only ITSELF
+    * and probes the table on `span_md5` — the corpus is never re-winnowed
+    * and, because the table is bucketed on exactly the probe key, its side
+    * of the semi-join moves through NO exchange (PlanAuditSpec pins it).
+    * Output: every batch window occurrence whose fingerprint already
+    * exists in the corpus — the positions a span-cut pass would excise as
+    * cross-corpus duplicated text. Winnowing is per-document, so
+    * batch-filter-then-winnow ≡ winnow-then-filter and the oracle can
+    * restate both sides from the same full-corpus selection.
+    */
+  def spansIncremental(s: SparkSession, d: String): DataFrame = {
+    val st = corpusState(s, d)
+    storedSpanJoin(s, d, st)
+      .select("doc_id", "start", "span_md5")
+      .orderBy("doc_id", "start", "span_md5")
+  }
+
+  /** The stored-span probe semi-join — exposed so PlanAuditSpec can pin
+    * the exchange-free corpus side (forced to sort-merge so the broadcast
+    * the small fixture would pick can't mask a missing bucketing).
+    */
+  private[graft] def storedSpanJoin(s: SparkSession, d: String,
+                                    st: DedupState.Names,
+                                    merge: Boolean = false): DataFrame = {
+    val batch = winnowSelect(
+      Tables.documents(s, d).filter(col("doc_id") >= 400), SpanW, WinnowW)
+    val corpus = DedupState.spans(s, st).select("span_md5")
+    batch.join(if (merge) corpus.hint("merge") else corpus,
+               Seq("span_md5"), "left_semi")
+  }
+
   private[graft] val SpanW = 8   // tokens per span window
   private[graft] val WinnowW = 8 // window hashes per winnowing group
 
@@ -680,6 +742,7 @@ object DedupQueries {
     "dedup_spans" -> (spans _),
     "dedup_spans_cut" -> (spansCut _),
     "dedup_spans_minimized" -> (spansMinimized _),
+    "dedup_spans_incremental" -> (spansIncremental _),
     "dedup_exact_keep" -> (exactKeep _),
     "dedup_minhash_sigs" -> (minhashSigs _),
     "dedup_minhash_pairs" -> (minhashPairs _),
@@ -703,6 +766,35 @@ object DedupQueries {
       |  SELECT DISTINCT doc_id, token FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
       |  WHERE token <> '')""".stripMargin
+
+  // the winnowing selection restated in DuckDB window-function form —
+  // shared verbatim by the minimized and incremental span oracles so the
+  // two can never drift apart
+  private val winnowSelCtes =
+    """t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+      |         md5(array_to_string(toks[i : i+7], ' ')) AS span_md5
+      |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+      |  WHERE len(toks) >= 8),
+      |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY doc_id),
+      |wm0 AS (
+      |  SELECT w.doc_id, w.start, w.span_md5, nw.n,
+      |         min(w.span_md5) OVER (PARTITION BY w.doc_id ORDER BY w.start
+      |                               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin_raw
+      |  FROM w JOIN nw USING (doc_id)),
+      |wm AS (
+      |  SELECT doc_id, start, span_md5,
+      |         CASE WHEN start <= greatest(n - 7, 1) THEN wmin_raw END AS wmin
+      |  FROM wm0),
+      |sel AS (
+      |  SELECT doc_id, start, span_md5 FROM (
+      |    SELECT doc_id, start, span_md5,
+      |           max(wmin) OVER (PARTITION BY doc_id ORDER BY start
+      |                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mx
+      |    FROM wm) WHERE mx = span_md5)""".stripMargin
 
   private val sigCols = (0 until K)
     .map(i => s"min(md5('$i:' || token)) AS m$i").mkString(",\n    ")
@@ -863,35 +955,22 @@ object DedupQueries {
     // frame reaching the position's own hash — provably the same rule as
     // the Spark array-land formulation
     "dedup_spans_minimized" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS start,
-        |         md5(array_to_string(toks[i : i+7], ' ')) AS span_md5
-        |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
-        |  WHERE len(toks) >= 8),
-        |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY doc_id),
-        |wm0 AS (
-        |  SELECT w.doc_id, w.start, w.span_md5, nw.n,
-        |         min(w.span_md5) OVER (PARTITION BY w.doc_id ORDER BY w.start
-        |                               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin_raw
-        |  FROM w JOIN nw USING (doc_id)),
-        |wm AS (
-        |  SELECT doc_id, start, span_md5,
-        |         CASE WHEN start <= greatest(n - 7, 1) THEN wmin_raw END AS wmin
-        |  FROM wm0),
-        |sel AS (
-        |  SELECT doc_id, start, span_md5 FROM (
-        |    SELECT doc_id, start, span_md5,
-        |           max(wmin) OVER (PARTITION BY doc_id ORDER BY start
-        |                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mx
-        |    FROM wm) WHERE mx = span_md5),
+      s"""WITH $winnowSelCtes,
         |dup AS (
         |  SELECT span_md5 FROM sel GROUP BY span_md5
         |  HAVING count(DISTINCT doc_id) >= 2)
         |SELECT sel.doc_id, sel.start, sel.span_md5
         |FROM sel JOIN dup USING (span_md5)
+        |ORDER BY doc_id, start, span_md5""".stripMargin,
+    // winnowing is per-document, so the full-corpus selection filtered to
+    // each side restates exactly what the Spark path computes (stored
+    // corpus spans + freshly winnowed batch)
+    "dedup_spans_incremental" ->
+      s"""WITH $winnowSelCtes
+        |SELECT b.doc_id, b.start, b.span_md5
+        |FROM sel b
+        |WHERE b.doc_id >= 400 AND EXISTS (
+        |  SELECT 1 FROM sel c WHERE c.doc_id < 400 AND c.span_md5 = b.span_md5)
         |ORDER BY doc_id, start, span_md5""".stripMargin,
     "dedup_exact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -66,8 +66,13 @@ object JoinQueries {
     cur.join(changes, Seq("o_orderkey"), "full_outer")
       .select(
         col("o_orderkey"),
+        // arithmetic stays decimal (exact .xx5 rounding in both engines);
+        // the OUTPUT goes back to double — decimal(18,2) at these
+        // magnitudes converts exactly, and a double column hashes the same
+        // across every reader, where a decimal's textual repr may not.
         coalesce(col("u_totalprice"),
-                 col("o_totalprice").cast("decimal(18,2)")).as("price"),
+                 col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("price"),
         coalesce(col("u_orderstatus"), col("o_orderstatus")).as("status"),
         when(col("u_totalprice").isNotNull && col("o_totalprice").isNotNull, "update")
           .when(col("o_totalprice").isNull, "insert")
@@ -131,7 +136,8 @@ object JoinQueries {
         |        FROM cur WHERE o_orderkey % 10 = 7),
         |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
         |SELECT coalesce(cur.o_orderkey, ch.o_orderkey) AS o_orderkey,
-        |  coalesce(ch.u_totalprice, CAST(cur.o_totalprice AS DECIMAL(18,2))) AS price,
+        |  CAST(coalesce(ch.u_totalprice,
+        |                CAST(cur.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
         |  coalesce(ch.u_orderstatus, cur.o_orderstatus) AS status,
         |  CASE WHEN ch.u_totalprice IS NOT NULL AND cur.o_totalprice IS NOT NULL
         |         THEN 'update'

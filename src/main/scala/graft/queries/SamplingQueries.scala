@@ -88,8 +88,77 @@ object SamplingQueries {
       .orderBy("lang")
   }
 
+  private val Alpha = 0.3
+
+  /** Temperature-scaled language mixing plan (the mT5/XLM-R balancing
+    * rule): sampling weight per language ∝ (natural share)^α with α < 1,
+    * boosting low-resource languages relative to their natural share. The
+    * plan reports, per language, the temperature share and the Bernoulli
+    * rate that realizes it (clipped at 1 — hash thinning cannot
+    * upsample). Determinism across engines: the single per-row `pow` is
+    * quantized to integer nano-units BEFORE the cross-language
+    * normalization sum, so the denominator is an exact integer sum and no
+    * float-addition-order can drift between Spark and the oracle.
+    *
+    * Scale shape: everything after the one corpus-sized groupBy(lang) runs
+    * on the language relation (dozens of rows); the two-level aggregate is
+    * a broadcast crossJoin, never a shuffle of the corpus.
+    */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val perLang = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+    val weighted = perLang.crossJoin(broadcast(total))
+      .withColumn("__w", floor(
+        pow(col("n_docs").cast("double") / col("n_total").cast("double"), Alpha)
+          * 1e9).cast("long"))
+    val denom = weighted.agg(sum(col("__w")).as("__wsum"))
+    weighted.crossJoin(broadcast(denom))
+      .withColumn("temp_share",
+        round(col("__w").cast("double") / col("__wsum").cast("double"), 4))
+      .withColumn("rate", least(lit(1.0),
+        col("__w").cast("double") / col("__wsum").cast("double")
+          * col("n_total").cast("double") / col("n_docs").cast("double")))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total").cast("double"), 4)
+          .as("natural_share"),
+        col("temp_share"),
+        round(col("rate"), 4).as("rate"),
+        floor(col("rate") * col("n_docs").cast("double")).cast("long").as("planned_docs"))
+      .orderBy("lang")
+  }
+
+  private val Shards = 8L
+
+  /** Deterministic global shuffle + sharding — the "shuffle and shard"
+    * step that fixes a training corpus's read order: every doc gets a
+    * pseudo-random but reproducible coordinate (hash60 of its id), a shard
+    * (hash mod #shards), and a position within its shard (rank by hash).
+    * Reruns, backfills, and both engines produce the identical order —
+    * `rand()`-based shuffles can't survive a task retry, let alone an
+    * engine swap.
+    *
+    * Scale shape: the position window is PARTITIONED by shard, and a real
+    * deployment sizes #shards so one shard ≈ one output file (10⁴–10⁵
+    * shards at 100 TB) — each window task sorts file-sized slices, and the
+    * physical write is `repartition(shard).sortWithinPartitions(hash)`,
+    * one exchange end to end. No global sort anywhere.
+    */
+  def shuffleShard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Sampling.hash60(col("doc_id"), "sh1")
+    Tables.documents(s, d)
+      .withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(Shards)))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("shard").orderBy("__h", "doc_id")).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos", "doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_mix_plan" -> (mixPlan _),
+    "sample_temperature" -> (temperatureMix _),
+    "sample_shuffle_shard" -> (shuffleShard _),
     "sample_det" -> (detSample _),
     "sample_strata" -> (strataSample _),
     "sample_split" -> (splitSample _),
@@ -119,6 +188,38 @@ object SamplingQueries {
          |  CAST(floor(rate * CAST(n_docs AS DOUBLE)) AS BIGINT) AS planned_docs
          |FROM r ORDER BY lang""".stripMargin
     },
+    "sample_temperature" ->
+      s"""WITH p AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         |           FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         |w AS (
+         |  SELECT p.lang, p.n_docs, t.n_total,
+         |    CAST(floor(pow(CAST(p.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE),
+         |                   $Alpha) * 1e9) AS BIGINT) AS w
+         |  FROM p, t),
+         |r AS (
+         |  SELECT lang, n_docs, n_total, w,
+         |    CAST(sum(w) OVER () AS BIGINT) AS wsum
+         |  FROM w)
+         |SELECT lang, n_docs,
+         |  round(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 4) AS natural_share,
+         |  round(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 4) AS temp_share,
+         |  round(least(1.0, CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE)
+         |                   * CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE)),
+         |        4) AS rate,
+         |  CAST(floor(least(1.0, CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE)
+         |                        * CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |             * CAST(n_docs AS DOUBLE)) AS BIGINT) AS planned_docs
+         |FROM r ORDER BY lang""".stripMargin,
+    "sample_shuffle_shard" ->
+      s"""SELECT doc_id, shard, pos FROM (
+         |  SELECT doc_id,
+         |    ${h60("sh1", "doc_id")} % $Shards AS shard,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY ${h60("sh1", "doc_id")} % $Shards
+         |      ORDER BY ${h60("sh1", "doc_id")}, doc_id) AS BIGINT) AS pos
+         |  FROM documents) t
+         |ORDER BY shard, pos, doc_id""".stripMargin,
     "sample_det" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${h60("s1", "doc_id")} < ${Sampling.threshold(0.10)}

@@ -22,28 +22,31 @@ object TextQueries {
     * the corpus do the top-N types cover?". Global type frequencies, ranked,
     * with the cumulative share of all token occurrences; top-20 reported.
     *
-    * Scale shape: the corpus-sized work is ONE explode + map-side-combined
-    * groupBy(token); everything after runs on the VOCAB relation, which is
-    * orders of magnitude smaller than the corpus (types, not tokens). The
-    * unpartitioned ranking window single-partitions only that small frame —
-    * the same deliberate trade as every global top-k here. Frames are ROWS,
-    * not the default RANGE, so the running sum is per-row even if two types
-    * ever tied on (freq, token).
+    * Scale shape: the corpus-sized work is the explode + map-side-combined
+    * groupBy(token); the top-20 comes off it as TakeOrderedAndProject
+    * (per-partition heaps, never a vocab sort) and the denominator is a
+    * scalar aggregate of the SAME grouped subtree — Spark's exchange reuse
+    * collapses the two consumers onto one shuffle. Nothing ever pulls the
+    * vocab relation through a single task: a web corpus has 10⁸–10⁹ types,
+    * and the earlier unpartitioned ranking window would have routed all of
+    * them through one partition. The only window left runs over the 20
+    * surviving rows (partitioned by a literal so WindowExec's
+    * single-partition WARN can't fire — the frame is 20 rows by
+    * construction). Frames are ROWS, not RANGE, so the running sum is
+    * per-row even on (freq, token) ties.
     */
   def vocabCoverage(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = TextAnalysis.tokenRows(Tables.documents(s, d), "doc_id", "text")
       .groupBy("token").agg(count(lit(1)).as("freq"))
-    val order = Window.orderBy(desc("freq"), asc("token"))
+    val top = counts.orderBy(desc("freq"), asc("token")).limit(20)
+    val total = counts.agg(sum(col("freq")).as("__tot"))
+    val order = Window.partitionBy(lit(0)).orderBy(desc("freq"), asc("token"))
     val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    counts
+    top.crossJoin(broadcast(total))
       .withColumn("rnk", row_number().over(order))
       .withColumn("cum_share",
-        round(sum(col("freq")).over(running).cast("double")
-          / sum(col("freq")).over(whole), 4))
-      .filter(col("rnk") <= 20)
+        round(sum(col("freq")).over(running).cast("double") / col("__tot"), 4))
       .select("rnk", "token", "freq", "cum_share")
       .orderBy("rnk")
   }

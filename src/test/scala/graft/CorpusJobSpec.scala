@@ -123,6 +123,23 @@ class CorpusJobSpec extends SparkSpec {
     assert(f2.perSplit === result._2.perSplit)
   }
 
+  test("--span-state persists the curated corpus's winnowed span fingerprints") {
+    val cfg2 = cfg.copy(spanState = true)
+    val (out, _) = CorpusJob.execute(spark, cfg2)
+    val n = graft.operators.DedupState.names("corpus_job", cfg2.out)
+    assert(spark.catalog.tableExists(n.spans), s"span state table ${n.spans} missing")
+    val stored = spark.table(n.spans)
+    val fresh = graft.queries.DedupQueries.winnowSelect(
+      out.select("doc_id", "text"),
+      graft.queries.DedupQueries.SpanW, graft.queries.DedupQueries.WinnowW)
+    assert(stored.exceptAll(fresh).isEmpty && fresh.exceptAll(stored).isEmpty,
+      "stored span state must be row-identical to winnowing the output")
+    // bucketed on the probe key, so the next epoch's semi-join reads the
+    // corpus side exchange-free (same layout contract DedupState documents)
+    val ddl = spark.sql(s"DESCRIBE EXTENDED ${n.spans}").collect().mkString("\n")
+    assert(ddl.contains("span_md5"), ddl)
+  }
+
   test("config parsing validates and round-trips") {
     val c = CorpusJob.parse(Array("--input", "/in", "--out", "/out",
       "--min-tokens", "5", "--min-distinct-ratio", "0.5", "--min-avg-logp", "-7.5",
@@ -136,5 +153,15 @@ class CorpusJobSpec extends SparkSpec {
     intercept[IllegalArgumentException] { CorpusJob.parse(Array("--input", "/in")) }
     intercept[IllegalArgumentException] { CorpusJob.parse(Array("--input", "/in",
       "--out", "/out", "--mix", "en:1.5")) }
+    // malformed --mix entries surface as the usage contract, not a
+    // MatchError / NumberFormatException from the destructure
+    intercept[IllegalArgumentException] { CorpusJob.parse(Array("--input", "/in",
+      "--out", "/out", "--mix", "en")) }
+    intercept[IllegalArgumentException] { CorpusJob.parse(Array("--input", "/in",
+      "--out", "/out", "--mix", "en:0.5:x")) }
+    intercept[IllegalArgumentException] { CorpusJob.parse(Array("--input", "/in",
+      "--out", "/out", "--mix", "en:zz")) }
+    assert(CorpusJob.parse(Array("--input", "/in", "--out", "/out",
+      "--span-state")).spanState)
   }
 }

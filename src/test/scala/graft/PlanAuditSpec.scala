@@ -349,6 +349,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("dedup_spans_incremental: span probe reads bucketed state, no corpus-side exchange") {
+    val st = DedupQueries.corpusState(spark, sf())
+    // forced sort-merge for the same reason as the band probe pin: the
+    // tiny fixture would broadcast, which has no exchange regardless of
+    // bucketing and would make the assertion vacuous
+    val plan = finalPlan(DedupQueries.storedSpanJoin(spark, sf(), st, merge = true))
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(plan.contains("SortMergeJoin") && plan.contains("LeftSemi"), plan)
+    // exactly ONE exchange: the batch's own winnowed rows shuffling into
+    // the corpus's bucket layout — a second would mean the stored table
+    // is being re-partitioned, i.e. the bucketing is not being used
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("dedup_clusters_stored: band self-join reads bucketed state with ZERO exchanges") {
     // both sides of the candidate self-join are the same band_key-bucketed
     // table — co-partitioned by construction, so unlike the incremental

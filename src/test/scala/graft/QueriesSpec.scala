@@ -51,6 +51,8 @@ class QueriesSpec extends SparkSpec {
     "dedup_clusters_incremental" -> 500L,
     "dedup_bow" -> 500L,
     "sample_weighted" -> 50L,
+    "sample_temperature" -> 5L,
+    "sample_shuffle_shard" -> 500L,
     "text_entropy" -> 500L,
     "text_unigram_logprob" -> 500L,
     "profile_quantiles" -> 3L,
@@ -104,6 +106,7 @@ class QueriesSpec extends SparkSpec {
     "dedup_spans" -> 2382L,
     "dedup_spans_cut" -> 500L,
     "dedup_spans_minimized" -> 506L,
+    "dedup_spans_incremental" -> 89L,
     "layout_zvalue" -> 3L,
   )
 

@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate (dev tool only).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--exclude a,b,c]
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+           [--exclude a,b,c] [--only a,b,c]
+
+--only restricts the check to the named queries (for Verify runs that used
+the query-filter argument and so wrote only a subset of outputs).
 
 Loads each <verifyOutDir>/<name> parquet (Spark output), runs the matching
 oracle SQL from oracle_sql.json in DuckDB with the sf parquet tables
@@ -46,12 +50,20 @@ def table_hash(rows, cols):
 def unionfind_check(con, out_dir, name):
     """Independent closure check for a dedup_clusters* output: union-find
     over Spark's own verified pair list, then comp == min(component) and
-    keeper == (doc_id == comp) for every doc."""
+    keeper == (doc_id == comp) for every doc. Requires the
+    dedup_minhash_pairs parquet next to the clusters output, and every pair
+    endpoint to appear in the clusters rows — violations raise ValueError
+    (reported as a clean FAIL by the caller)."""
     pairs = con.sql(
         f"SELECT doc_a, doc_b FROM '{out_dir}/dedup_minhash_pairs/*.parquet'").fetchall()
     rows = con.sql(
         f"SELECT doc_id, comp, keeper FROM '{out_dir}/{name}/*.parquet'").fetchall()
     parent = {d: d for d, _, _ in rows}
+    for a, b in pairs:
+        for e in (a, b):
+            if e not in parent:
+                raise ValueError(
+                    f"pair endpoint {e} missing from {name} output")
 
     def find(x):
         while parent[x] != x:
@@ -75,19 +87,37 @@ def unionfind_check(con, out_dir, name):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     exclude = set()
+    only = None
+
+    def flag_value(arg):
+        if "=" in arg:
+            return arg.split("=", 1)[1]
+        i = sys.argv.index(arg) + 1
+        if i >= len(sys.argv):
+            sys.exit(f"error: {arg} needs a value (comma-separated query names)")
+        return sys.argv[i]
+
     for arg in sys.argv[3:]:
         if arg.startswith("--exclude"):
-            v = arg.split("=", 1)[1] if "=" in arg else sys.argv[sys.argv.index(arg) + 1]
-            exclude = set(x for x in v.split(",") if x)
+            exclude = set(x for x in flag_value(arg).split(",") if x)
+        elif arg.startswith("--only"):
+            only = set(x for x in flag_value(arg).split(",") if x)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         if name in exclude:
             if name.startswith("dedup_clusters"):
-                n, bad = unionfind_check(con, out_dir, name)
+                try:
+                    n, bad = unionfind_check(con, out_dir, name)
+                except Exception as e:
+                    print(f"FAIL {name}: union-find check errored: {e}")
+                    fail += 1
+                    continue
                 if bad:
                     print(f"FAIL {name}: union-find check, {bad}/{n} rows wrong")
                     fail += 1
