@@ -18,7 +18,8 @@ object SparkEntry {
     RefQueries.defs ++ CoreQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++ DedupQueries.defs ++
       MiscQueries.defs ++ AnalyticsQueries.defs ++ JoinQueries.defs ++
-      MultimodalQueries.defs ++ SamplingQueries.defs ++ SketchQueries.defs
+      MultimodalQueries.defs ++ SamplingQueries.defs ++ SketchQueries.defs ++
+      GraphQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables.
@@ -27,5 +28,6 @@ object SparkEntry {
     RefQueries.oracle ++ CoreQueries.oracle ++ EventQueries.oracle ++
       TextQueries.oracle ++ SimilarityQueries.oracle ++ DedupQueries.oracle ++
       MiscQueries.oracle ++ AnalyticsQueries.oracle ++ JoinQueries.oracle ++
-      MultimodalQueries.oracle ++ SamplingQueries.oracle ++ SketchQueries.oracle
+      MultimodalQueries.oracle ++ SamplingQueries.oracle ++ SketchQueries.oracle ++
+      GraphQueries.oracle
 }

@@ -295,13 +295,15 @@ object Dedup {
     val local = vocabBase.withColumn("__rn",
       row_number().over(Window.partitionBy("__bk").orderBy("token")).cast("long") - 1)
     // the cumulative sum is over ≤ `buckets` rows by construction; the
-    // literal partition key keeps WindowExec from logging its
-    // single-partition WARN on every recompute (1000+ lines per bench run
-    // — enough to drown the run's machine-readable tail) while changing
-    // nothing about the plan's actual (bounded) shape
+    // constant-but-NON-FOLDABLE partition key (pmod(__bk, 1) ≡ 0) keeps
+    // WindowExec from logging its single-partition WARN on every recompute
+    // (1000+ lines per bench run — enough to drown the run's
+    // machine-readable tail) while changing nothing about the plan's
+    // actual (bounded) shape; a plain literal would be constant-folded out
+    // of the partition spec and the WARN would return
     val offsets = vocabBase.groupBy("__bk").agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(
-        sum("__n").over(Window.partitionBy(lit(0)).orderBy("__bk")
+        sum("__n").over(Window.partitionBy(pmod(col("__bk"), lit(1L))).orderBy("__bk")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__bk", "__off")
     val vocab = local.join(broadcast(offsets), "__bk")

@@ -109,7 +109,7 @@ object DedupQueries {
     else memo(bandsCache, (s, d), () => build(true))
   }
 
-  private def minhashPairsRaw(s: SparkSession, d: String): DataFrame = {
+  private[queries] def minhashPairsRaw(s: SparkSession, d: String): DataFrame = {
     def build(): DataFrame = {
       val (toks, bands) = tokensAndBands(s, d)
       val cand = Dedup.lshCandidatePairs(bands, "doc_id", K / R)
@@ -833,6 +833,39 @@ object DedupQueries {
        |  $bandCols
        |  FROM sig)""".stripMargin
 
+  /** The full verified-pair pipeline (LSH banding → candidate pairs →
+    * exact Jaccard ≥ 0.7) as a CTE chain ending in `vp(a, b, jac)` —
+    * shared verbatim by `dedup_minhash_pairs` and the
+    * [[GraphQueries.domainRank]] edge derivation, so the graph oracle's
+    * notion of "near-duplicate pair" can never drift from the dedup one.
+    */
+  private[queries] val verifiedPairsCtes: String =
+    s"""$sigBandsCtes,
+       |bl AS (
+       |  SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM bands
+       |  UNION ALL SELECT doc_id, 1, band1 FROM bands
+       |  UNION ALL SELECT doc_id, 2, band2 FROM bands
+       |  UNION ALL SELECT doc_id, 3, band3 FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bl x JOIN bl y
+       |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |   AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM cand c
+       |  JOIN tok ta ON c.a = ta.doc_id
+       |  JOIN tok tb ON c.b = tb.doc_id AND ta.token = tb.token
+       |  GROUP BY c.a, c.b),
+       |vp AS (
+       |  SELECT i.a, i.b,
+       |    CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) AS jac
+       |  FROM inter i
+       |  JOIN sz sa ON i.a = sa.doc_id
+       |  JOIN sz sb ON i.b = sb.doc_id
+       |  WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.7)""".stripMargin
+
   /** Shared by `dedup_incremental` and `dedup_incremental_stored`: the two
     * queries differ only in WHERE the corpus bands/tokens come from
     * (recompute vs bucketed state), never in what they emit.
@@ -997,31 +1030,9 @@ object DedupQueries {
       s"""WITH $sigBandsCtes
          |SELECT doc_id, band0, band1, band2, band3 FROM bands ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" ->
-      s"""WITH $sigBandsCtes,
-         |bl AS (
-         |  SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM bands
-         |  UNION ALL SELECT doc_id, 1, band1 FROM bands
-         |  UNION ALL SELECT doc_id, 2, band2 FROM bands
-         |  UNION ALL SELECT doc_id, 3, band3 FROM bands),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bl x JOIN bl y
-         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-         |   AND x.doc_id < y.doc_id),
-         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
-         |  FROM cand c
-         |  JOIN tok ta ON c.a = ta.doc_id
-         |  JOIN tok tb ON c.b = tb.doc_id AND ta.token = tb.token
-         |  GROUP BY c.a, c.b)
-         |SELECT i.a AS doc_a, i.b AS doc_b,
-         |  round(CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 4) AS jaccard
-         |FROM inter i
-         |JOIN sz sa ON i.a = sa.doc_id
-         |JOIN sz sb ON i.b = sb.doc_id
-         |WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.7
-         |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $verifiedPairsCtes
+         |SELECT a AS doc_a, b AS doc_b, round(jac, 4) AS jaccard
+         |FROM vp ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_clusters" -> clustersSql,
     // periodic re-clustering from stored state must be ROW-IDENTICAL to
     // the recomputing form — same oracle, so state drift breaks the hash

@@ -124,7 +124,43 @@ object EventQueries {
     dau.join(wau, "day").orderBy("day")
   }
 
+  /** C21 — SCD Type-2 dimension build from a change stream: per user, the
+    * history of `event_type` states as versioned validity intervals —
+    * collapse consecutive repeats (a state is one row no matter how many
+    * events re-assert it), then `valid_to` = the next state's
+    * `valid_from`, open interval (NULL) on the current state. The
+    * warehouse-maintenance twin of `c20_merge_upsert`: c20 folds a
+    * changeset into the latest snapshot, this keeps every version — the
+    * reference's BigQuery-table-maintenance family taken one step further.
+    *
+    * Determinism: interval bounds are emitted as epoch MICROSECONDS
+    * (`unix_micros` ≡ DuckDB `epoch_us`) — exact integers, no timestamp
+    * formatting/precision drift; ties on `ts` break by `event_id`.
+    *
+    * Scale shape: both windows share one (user_id) hash partitioning and
+    * one (ts, event_id) sort — Spark plans a single exchange + sort, and
+    * the second window runs on the collapsed (transitions-only) rows.
+    * 100 TB of events shuffles once, on the natural key.
+    */
+  def c21(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val transitions = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    transitions
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_ts", lead("ts", 1).over(w))
+      .select(col("user_id"), col("event_type"), col("version"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(col("valid_to_ts")).as("valid_to_us"),
+        col("valid_to_ts").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c21_scd2" -> (c21 _),
     "c19_active_users" -> (c19 _),
     "c17_retention" -> (c17 _),
     "c18_funnel" -> (c18 _),
@@ -137,6 +173,23 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "c21_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_type, ts, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |g AS (
+        |  SELECT user_id, event_type,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    epoch_us(ts) AS valid_from_us,
+        |    epoch_us(lead(ts) OVER w) AS valid_to_us
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type, version, valid_from_us, valid_to_us,
+        |  (valid_to_us IS NULL) AS is_current
+        |FROM g ORDER BY user_id, version""".stripMargin,
     "c19_active_users" ->
       """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |days AS (SELECT DISTINCT day FROM daily),

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over relations the corpus already implies — no
+  * separate graph store, no vertex/edge RDDs: nodes and edges are
+  * DataFrames, an iteration is a join + aggregate, and iterative state is
+  * truncated with `localCheckpoint` exactly where a 100 TB deployment
+  * would checkpoint between supersteps.
+  */
+object GraphQueries {
+
+  // PageRank constants, all integer so both engines run the identical
+  // arithmetic: damping d = Damp/DampDen = 0.85, ranks held in micro-units
+  // (Scale = 1e6), Iters fixed supersteps.
+  private val Damp = 85L
+  private val DampDen = 100L
+  private val Scale = 1000000L
+  private val BaseNum = Scale * (DampDen - Damp) / DampDen // (1-d)·Scale
+  private val Iters = 5
+
+  /** Duplicate-sharing domain rank — a crawl-scheduling / content-farm
+    * signal for corpus curation: sources (domains) that share
+    * near-duplicate documents link to each other, and a PageRank over that
+    * graph concentrates mass on the hubs of syndication networks. Nodes
+    * are the distinct `source` values; an undirected edge (a,b) carries
+    * the number of verified MinHash near-dup pairs (Jaccard ≥ 0.7, the
+    * SAME pair set as `dedup_minhash_pairs`) whose endpoints live on the
+    * two sources; rank runs [[Iters]] damped supersteps.
+    *
+    * Determinism across engines: ranks are BIGINT micro-units end to end —
+    * r₀ = ⌊Scale/N⌋, each superstep is
+    * rₖ₊₁(v) = ⌊(1−d)·Scale/N⌋ + Σᵤ→ᵥ ⌊d·rₖ(u)·w(u,v) / outw(u)⌋
+    * with ⌊·⌋ as integer division (`div` in Spark, `//` in DuckDB), so no
+    * float-addition order can drift. Dangling mass (a node with no
+    * out-edges) is dropped, identically on both sides. Magnitudes stay
+    * far below 2⁶³: each term ≤ d·Scale·w < 10⁶·w.
+    *
+    * Scale shape: the corpus-sized work is the pair pipeline (shared with
+    * the dedup queries; amortized under `sharePairs`); everything after
+    * runs on DOMAIN-sized relations (≈10⁸ rows at web scale, never
+    * corpus-sized). Each superstep is one equi-join rank⋈edges on `src`
+    * plus one map-side-combined groupBy(dst) — co-partition both on the
+    * node key (bucketing) and the join moves no data. `localCheckpoint`
+    * per superstep truncates lineage so iteration k never re-runs
+    * iterations 1..k−1 (or the LSH pipeline) from scratch.
+    */
+  def domainRank(s: SparkSession, d: String): DataFrame = {
+    val docsrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val pairs = DedupQueries.minhashPairsRaw(s, d).select("a", "b")
+    val crossSrc = pairs
+      .join(docsrc.select(col("doc_id").as("a"), col("source").as("s1")), "a")
+      .join(docsrc.select(col("doc_id").as("b"), col("source").as("s2")), "b")
+      .filter(col("s1") =!= col("s2"))
+      .select("s1", "s2")
+    val directed = crossSrc.select(col("s1").as("src"), col("s2").as("dst"))
+      .unionByName(crossSrc.select(col("s2").as("src"), col("s1").as("dst")))
+    val ec = directed.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val edges = ec
+      .join(ec.groupBy("src").agg(sum("w").as("outw")), "src")
+      .localCheckpoint(true)
+    val nodes = docsrc.select(col("source").as("node")).distinct()
+      .localCheckpoint(true)
+    val nTotal = nodes.agg(count(lit(1)).as("n"))
+
+    var rank: DataFrame = nodes.crossJoin(broadcast(nTotal))
+      .select(col("node"), expr(s"CAST($Scale AS BIGINT) div n").as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to Iters) {
+      val contrib = rank.join(edges, rank("node") === edges("src"))
+        .select(col("dst").as("node2"),
+          expr(s"($Damp * r * w) div ($DampDen * outw)").as("c"))
+        .groupBy("node2").agg(sum("c").as("c"))
+      rank = nodes.crossJoin(broadcast(nTotal))
+        .join(contrib, col("node") === col("node2"), "left")
+        .select(col("node"),
+          (expr(s"CAST($BaseNum AS BIGINT) div n") + coalesce(col("c"), lit(0L))).as("r"))
+        .localCheckpoint(true)
+    }
+    val inw = ec.groupBy("dst").agg(sum("w").as("dup_w"))
+    rank.join(inw, rank("node") === inw("dst"), "left")
+      .select(col("node").as("source"), col("r").as("rank_micro"),
+        round(col("r").cast("double") / Scale.toDouble, 6).as("rank_score"),
+        coalesce(col("dup_w"), lit(0L)).as("dup_w"))
+      .orderBy("source")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_domain_rank" -> (domainRank _),
+  )
+
+  // the superstep chain restated as explicit CTEs (DuckDB's recursive CTEs
+  // disallow the aggregate each superstep needs, and an unrolled chain is
+  // exactly as deterministic)
+  private val rankCtes: String = {
+    val r0 = s"""r0 AS (
+                |  SELECT node, CAST($Scale AS BIGINT) // nn.n AS r
+                |  FROM nodes CROSS JOIN nn)""".stripMargin
+    val steps = (1 to Iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum(($Damp * p.r * e.w) // ($DampDen * e.outw)) AS BIGINT) AS c
+         |  FROM r${k - 1} p JOIN e ON p.node = e.src GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT nodes.node,
+         |    CAST($BaseNum AS BIGINT) // nn.n + coalesce(c$k.c, CAST(0 AS BIGINT)) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$k ON nodes.node = c$k.node)""".stripMargin
+    }
+    (r0 +: steps).mkString(",\n")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "graph_domain_rank" ->
+      s"""WITH ${DedupQueries.verifiedPairsCtes},
+         |e0 AS (
+         |  SELECT da.source AS s1, db.source AS s2
+         |  FROM vp
+         |  JOIN documents da ON vp.a = da.doc_id
+         |  JOIN documents db ON vp.b = db.doc_id
+         |  WHERE da.source <> db.source),
+         |ed AS (SELECT s1 AS src, s2 AS dst FROM e0
+         |       UNION ALL SELECT s2 AS src, s1 AS dst FROM e0),
+         |ec AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         |       FROM ed GROUP BY src, dst),
+         |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM ec GROUP BY src),
+         |e AS (SELECT ec.src, ec.dst, ec.w, ow.outw FROM ec JOIN ow USING (src)),
+         |nodes AS (SELECT DISTINCT source AS node FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |inw AS (SELECT dst AS node, CAST(sum(w) AS BIGINT) AS dup_w
+         |        FROM ec GROUP BY dst),
+         |$rankCtes
+         |SELECT r$Iters.node AS source, r$Iters.r AS rank_micro,
+         |  round(CAST(r$Iters.r AS DOUBLE) / $Scale.0, 6) AS rank_score,
+         |  coalesce(inw.dup_w, CAST(0 AS BIGINT)) AS dup_w
+         |FROM r$Iters LEFT JOIN inw ON r$Iters.node = inw.node
+         |ORDER BY source""".stripMargin,
+  )
+}

@@ -249,7 +249,43 @@ object MiscQueries {
         round(element_at(col("q"), 4), 4).as("p99"))
       .orderBy("o_orderstatus")
 
+  /** Robust per-group outlier profile — the screen a pipeline runs BEFORE
+    * trusting a numeric column at scale: per event_type, the median and
+    * the median absolute deviation (MAD) of `value`, and how many rows sit
+    * more than 3 MADs from the median. Median/MAD instead of mean/stddev
+    * because the outliers being hunted would drag a mean-based threshold
+    * toward themselves; the exact `percentile` ≡ DuckDB `quantile_cont`
+    * equivalence is the one proven by [[profileQuantiles]]. Two
+    * group-aggregate passes (median, then MAD of deviations) plus one
+    * counting pass — each a map-side-combined aggregate over the events
+    * relation; the joins broadcast the group-count-sized stats frames. At
+    * 100 TB swap `approx_percentile` into the same shape, as documented on
+    * [[profileQuantiles]].
+    */
+  def profileAnomaly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(ad, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           // med/mad are group-constant after the joins; min() reads them
+           // back deterministically (first() would depend on row order)
+           round(min(col("med")), 4).as("med"),
+           round(min(col("mad")), 4).as("mad"),
+           sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+             .as("n_outliers"))
+      .withColumn("outlier_rate",
+        round(col("n_outliers").cast("double") / col("n").cast("double"), 6))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_anomaly" -> (profileAnomaly _),
     "profile_quantiles" -> (profileQuantiles _),
     "profile_orders" -> (profileOrders _),
     "layout_zvalue" -> (layoutZvalue _),
@@ -266,6 +302,25 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "profile_anomaly" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(d.med), 4) AS med,
+        |  round(min(md.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN d.ad > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(CAST(sum(CASE WHEN d.ad > 3.0 * md.mad THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 6) AS outlier_rate
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "profile_quantiles" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,

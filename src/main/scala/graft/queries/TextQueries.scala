@@ -41,7 +41,11 @@ object TextQueries {
       .groupBy("token").agg(count(lit(1)).as("freq"))
     val top = counts.orderBy(desc("freq"), asc("token")).limit(20)
     val total = counts.agg(sum(col("freq")).as("__tot"))
-    val order = Window.partitionBy(lit(0)).orderBy(desc("freq"), asc("token"))
+    // pmod(freq, 1) ≡ 0 but is non-foldable — a plain literal would be
+    // constant-folded out of the partition spec, resurrecting WindowExec's
+    // single-partition WARN (the frame is 20 rows by construction)
+    val order = Window.partitionBy(pmod(col("freq"), lit(1L)))
+      .orderBy(desc("freq"), asc("token"))
     val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     top.crossJoin(broadcast(total))
       .withColumn("rnk", row_number().over(order))
@@ -266,9 +270,58 @@ object TextQueries {
       .select(col("doc_id"), col("n_toks"), round(col("avg_logp"), 4).as("avg_logp"))
       .orderBy("doc_id")
 
+  /** Corpus-bigram-LM quality score per doc — the next rung above
+    * [[unigramLogprob]] on the model-based-filter ladder (a doc whose
+    * word PAIRS are corpus-atypical is gibberish even when each word is
+    * common — keyword-stuffed spam scores high on a unigram LM and low
+    * here). Laplace-smoothed conditionals P(t₂|t₁) = (C(t₁t₂)+1)/(C(t₁)+V)
+    * with V = corpus vocabulary size; per-bigram log-probs are
+    * micronat-quantized BEFORE the per-doc sum, so the score is exact
+    * 64-bit integer arithmetic and partitioning-independent (the
+    * [[TextAnalysis.unigramLogprob]] determinism recipe).
+    *
+    * Scale shape: corpus-sized work is one zip_with+explode and two
+    * map-side-combined groupBys; the bigram-TYPE relation everything else
+    * touches is vastly smaller than the corpus token stream. The bigram is
+    * carried as one "t₁ t₂" string (tokens cannot contain the split
+    * delimiter), so the explode never duplicates the token array per row.
+    * Docs under 2 tokens have no bigrams and drop out, as in the oracle.
+    */
+  def bigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val bg = t.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val tf = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val cnt = tf.groupBy("bg").agg(sum("tf").as("cnt"))
+      .withColumn("t1", element_at(split(col("bg"), " "), 1))
+    val ctx = cnt.groupBy("t1").agg(sum("cnt").as("ctx"))
+    val vocab = TextAnalysis.tokenRows(Tables.documents(s, d), "doc_id", "text")
+      .agg(countDistinct(col("token")).as("v"))
+    val lp = cnt.join(ctx, "t1").crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        floor(log((col("cnt").cast("double") + lit(1.0))
+            / (col("ctx").cast("double") + col("v").cast("double"))) * lit(1e6))
+          .cast("long").as("lp_micro"))
+    tf.join(lp, "bg")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"), sum(col("tf") * col("lp_micro")).as("micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round((col("micro").cast("double") / lit(1e6))
+          / col("n_bigrams").cast("double"), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_entropy" -> (entropy _),
     "text_unigram_logprob" -> (unigramLogprob _),
+    "text_bigram_logprob" -> (bigramLogprob _),
     "text_repetition" -> (repetition _),
     "text_chunks" -> (chunks _),
     "text_pii_mask" -> (piiMask _),
@@ -312,6 +365,37 @@ object TextQueries {
         |      FROM tf JOIN lp USING (token) GROUP BY tf.doc_id)
         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
         |  round((CAST(micro AS DOUBLE) / 1000000.0) / CAST(n_toks AS DOUBLE), 4) AS avg_logp
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        |bg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+        |  FROM t2, unnest(range(1, len(toks))) AS u(i)),
+        |tf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
+        |       FROM bg GROUP BY doc_id, bg),
+        |c AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY bg),
+        |cx AS (SELECT string_split(bg, ' ')[1] AS t1, CAST(sum(cnt) AS BIGINT) AS ctx
+        |       FROM c GROUP BY 1),
+        |vt AS (SELECT DISTINCT token FROM (
+        |         SELECT unnest(string_split(text, ' ')) AS token FROM documents) q
+        |       WHERE token <> ''),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vt),
+        |lp AS (
+        |  SELECT c.bg,
+        |    CAST(floor(ln((CAST(c.cnt AS DOUBLE) + 1.0)
+        |                  / (CAST(cx.ctx AS DOUBLE) + CAST(v.v AS DOUBLE)))
+        |               * 1000000.0) AS BIGINT) AS lp_micro
+        |  FROM c JOIN cx ON string_split(c.bg, ' ')[1] = cx.t1 CROSS JOIN v),
+        |a AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(tf.tf * lp.lp_micro) AS BIGINT) AS micro
+        |  FROM tf JOIN lp USING (bg) GROUP BY tf.doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round((CAST(micro AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE), 4)
+        |    AS avg_logp
         |FROM a ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH t AS (

@@ -377,6 +377,37 @@ class PlanAuditSpec extends SparkSpec {
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("c21_scd2: both windows share ONE user_id exchange and sort") {
+    val plan = finalPlan(EventQueries.c21(spark, sf()))
+    // lag-collapse and version/lead windows have identical (partition,
+    // order) specs: one hashpartitioning(user_id) exchange + the final
+    // rangepartitioning for ORDER BY — 100 TB of events shuffles once
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert("WindowExec|Window".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("profile_anomaly: per-group stats broadcast back; events scan reads two columns") {
+    val plan = finalPlan(MiscQueries.profileAnomaly(spark, sf()))
+    // the med/mad frames are group-count-sized: every stats join must
+    // broadcast (the deviations subtree plans twice — once under the MAD
+    // aggregate, once under the final count — so the med join appears in
+    // both copies; what matters is that NO stats join shuffles the events)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val read = "ReadSchema: struct<[^>]*>".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("event_type") && read.contains("value")
+      && !read.contains("props"), plan)
+  }
+
+  test("text_bigram_logprob: corpus-sized work is explode + combines; no cartesian beyond 1-row V") {
+    val plan = finalPlan(TextQueries.bigramLogprob(spark, sf()))
+    // the vocab-size scalar rides a 1-row broadcast; bigram-type joins are
+    // hash equi-joins — nothing may nested-loop a corpus-sized side
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("sim_kmeans assignment is a narrow projection: no exchange before the cluster agg") {
     import org.apache.spark.sql.functions.col
     val vecs = graft.operators.Similarity.prepared(Tables.embeddings(spark, sf()))

@@ -108,6 +108,10 @@ class QueriesSpec extends SparkSpec {
     "dedup_spans_minimized" -> 506L,
     "dedup_spans_incremental" -> 89L,
     "layout_zvalue" -> 3L,
+    "graph_domain_rank" -> 20L,
+    "text_bigram_logprob" -> 500L,
+    "profile_anomaly" -> 5L,
+    "c21_scd2" -> 802L,
   )
 
   test("every query has an oracle and vice versa") {
