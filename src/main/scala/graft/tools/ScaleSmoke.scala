@@ -78,6 +78,8 @@ object ScaleSmoke {
     val (tSpans, nSpans) = timed("dedup_spans")
     val (tSpansMin, nSpansMin) = timed("dedup_spans_minimized")
     val (tHeavy, nHeavy) = timedIn(graft.queries.SketchQueries.defs)("cms_heavy_hitters")
+    val (tGraph, nGraph) = timedIn(graft.queries.GraphQueries.defs)("graph_domain_rank")
+    val (tBigram, nBigram) = timedIn(graft.queries.TextQueries.defs)("text_bigram_logprob")
 
     // replicas are structurally identical with disjoint vocabularies, so
     // span duplicates and heavy shingles scale EXACTLY linearly: 10x the
@@ -105,6 +107,26 @@ object ScaleSmoke {
     require(nClusters == nDocs, s"clusters must label every doc: $nClusters != $nDocs")
     require(nNgram > 0 && nContain > 0, s"ngram=$nNgram containment=$nContain must find pairs")
 
+    // the domain graph stays DOMAIN-sized no matter the corpus scale (the
+    // sources are shared across replicas), and its total incoming
+    // duplicate weight must equal exactly twice the cross-source verified
+    // pair count — the edge derivation may not invent or drop mass
+    require(nGraph == Tables.documents(spark, dir).select("source").distinct().count(),
+      s"domain rank must cover every source: $nGraph rows")
+    val nCrossSrcPairs = {
+      val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      graft.queries.DedupQueries.defs("dedup_minhash_pairs")(spark, dir)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .filter(col("sa") =!= col("sb")).count()
+    }
+    val graphW = graft.queries.GraphQueries.defs("graph_domain_rank")(spark, dir)
+      .agg(sum("dup_w")).head.getLong(0)
+    require(graphW == 2 * nCrossSrcPairs,
+      s"graph mass leak: sum(dup_w)=$graphW != 2x$nCrossSrcPairs cross-source pairs")
+    // every doc has >= 2 tokens in this corpus: the bigram LM must score all
+    require(nBigram == nDocs, s"bigram LM must score every doc: $nBigram != $nDocs")
+
     // the flagship curation job end-to-end at 10x: funnel must narrow
     // monotonically and stay inside the same wall budget
     val t0Corpus = System.nanoTime()
@@ -120,14 +142,16 @@ object ScaleSmoke {
       funnel.qualityKept >= funnel.mixKept && funnel.spanCutDocs <= funnel.cleanKept,
       s"corpus funnel broken at 10x: $funnel")
 
-    val total = tPairs + tClusters + tNgram + tContain + tSpans + tSpansMin + tHeavy + tCorpus
+    val total = tPairs + tClusters + tNgram + tContain + tSpans + tSpansMin +
+      tHeavy + tGraph + tBigram + tCorpus
     require(total <= budgetSec,
       f"budget blown: pairs $tPairs%.1f + clusters $tClusters%.1f + ngram $tNgram%.1f + " +
         f"containment $tContain%.1f + spans $tSpans%.1f + spans_min $tSpansMin%.1f + " +
-        f"heavy $tHeavy%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
+        f"heavy $tHeavy%.1f + graph $tGraph%.1f + bigram $tBigram%.1f + " +
+        f"corpus $tCorpus%.1f > ${budgetSec}s")
 
     val json =
-      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"budget_sec":$budgetSec}"""
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"budget_sec":$budgetSec}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
