@@ -55,6 +55,20 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
+    // one untimed pass first: the very first execution of each query pays
+    // whole-stage codegen + broadcast build + shuffle-file creation, which
+    // showed up as 30-75% max−min spreads on the sub-4s dedup queries.
+    // Timed reps then measure steady state — the number a long-running
+    // cluster actually sees. SPARK_GRAFT_BENCH_WARMUP=0 restores
+    // cold-start timing.
+    val warmupPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt.max(0)
+    (1 to warmupPasses).foreach { _ =>
+      names.foreach { case (name, fn) =>
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+      }
+    }
     // rep-major order (full pass 1, full pass 2, ...) so one rep's JVM/GC
     // state doesn't bias all reps of the same query
     val samples: Seq[Seq[(String, Double)]] = (1 to reps).map { _ =>

@@ -266,4 +266,72 @@ object Similarity {
       .filter(col("cb") ===
         array_position(zip_with(col("bands"), col("qbands"), (x, y) => x === y), true) - 1)
   }
+
+  // ---- product quantization -------------------------------------------------
+
+  /** PQ geometry: M subspaces × Sub dims each over the 64-dim fixture;
+    * K codewords per subspace → an 8-byte code per vector (one codeword id
+    * per subspace) in place of 512 bytes of doubles — the 64× memory
+    * compression that lets a 100 TB embedding corpus live in executor RAM
+    * for ANN scans.
+    */
+  val PqM = 8
+  val PqSub = 8
+  val PqK = 16
+
+  /** Per-subspace PQ codebooks from deterministic in-data seeds (the first
+    * [[PqK]] vectors by id — the [[kmeansFit]] seed convention; a
+    * production deployment would Lloyd-refine each subspace codebook with
+    * the same [[kmeansFit]] machinery, which changes the codebook source
+    * and nothing downstream). Returns, per subspace m, the (codeword id,
+    * Sub-dim sub-vector) list. K tiny rows collect to the driver — the
+    * sanctioned literal-centroid pattern.
+    */
+  def pqCodebooks(vecs: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
+    val seeds = vecs.filter(col("vec_id") < PqK)
+      .orderBy("vec_id").select("vec_id", "v").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+    require(seeds.nonEmpty, s"no codebook seed vectors with vec_id < $PqK")
+    (0 until PqM).map { m =>
+      seeds.map { case (cid, v) => (cid, v.slice(m * PqSub, (m + 1) * PqSub)) }
+    }
+  }
+
+  /** PQ encoding: per subspace, the codeword with the smallest squared L2
+    * to the vector's sub-slice (distances rounded to 6 decimals BEFORE the
+    * argmin, ties by codeword id — the [[kmeansAssign]] determinism rule,
+    * per subspace). Codebooks ride as literals, so encoding is one narrow
+    * codegen'd projection: no join, no shuffle, M×K `sq_dist` calls per
+    * row.
+    */
+  def pqEncode(vecs: DataFrame, cbs: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    graft.functions.DistanceFunctions.register(vecs.sparkSession)
+    cbs.zipWithIndex.foldLeft(vecs) { case (df, (cb, m)) =>
+      val sub = slice(col("v"), m * PqSub + 1, PqSub)
+      val scored = array(cb.map { case (cid, cv) =>
+        struct(
+          round(graft.functions.DistanceFunctions.sqDist(sub, array(cv.map(lit): _*)), 6)
+            .as("dist"),
+          lit(cid).as("cid"))
+      }: _*)
+      df.withColumn(s"c$m", element_at(array_sort(scored), 1).getField("cid"))
+    }
+  }
+
+  /** Asymmetric-distance (ADC) approximate distance from a FULL query
+    * vector to an ENCODED corpus vector: Σₘ sqDist(query sub-slice,
+    * codeword[codeₘ]) — the query side stays exact, the corpus side is 8
+    * bytes. Each per-subspace term is rounded to 6 decimals (so the sum is
+    * the same double on every engine); codeword lookup is a literal
+    * when-chain, keeping the whole distance inside whole-stage codegen.
+    */
+  def pqAdc(qv: Column, codes: Seq[Column], cbs: Seq[Seq[(Int, Seq[Double])]]): Column =
+    cbs.zipWithIndex.map { case (cb, m) =>
+      val sub = slice(qv, m * PqSub + 1, PqSub)
+      val cw = cb.tail.foldLeft(
+        when(codes(m) === cb.head._1, array(cb.head._2.map(lit): _*))) {
+        case (acc, (cid, cv)) => acc.when(codes(m) === cid, array(cv.map(lit): _*))
+      }
+      round(graft.functions.DistanceFunctions.sqDist(sub, cw), 6)
+    }.reduce(_ + _)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Similarity
 import graft.operators.Similarity._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -213,7 +214,39 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Product-quantization ANN (ADC) — the memory-compression leg of the
+    * ANN ladder: each corpus vector is encoded as [[Similarity.PqM]]
+    * codeword ids (8 bytes vs 512 bytes of doubles, 64×), and queries scan
+    * the CODES with the asymmetric distance — query side exact, corpus
+    * side compressed. Top-5 per query by (ADC, vec_id). Composes with IVF
+    * in production (IVF prunes candidates, PQ shrinks what is scanned —
+    * the classic IVF-PQ layout); here the full-scan form is the oracle-
+    * checkable core. Determinism: every per-subspace distance rounds to 6
+    * decimals before any comparison (the k-means rule, applied per
+    * subspace to both encoding argmin and ADC), so code assignment and
+    * ranking are the same on every engine.
+    *
+    * Scale shape: encoding is a narrow literal-codebook projection (no
+    * join, no shuffle); the ADC scan shuffles nothing but the final
+    * per-query top-k window over candidate rows.
+    */
+  def pqAnn(s: SparkSession, d: String): DataFrame = {
+    val vecs = prepared(Tables.embeddings(s, d)).select("vec_id", "v")
+    val cbs = Similarity.pqCodebooks(vecs)
+    val codes = Similarity.pqEncode(vecs, cbs).drop("v")
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val codeCols = (0 until Similarity.PqM).map(m => col(s"c$m"))
+    val scored = codes.crossJoin(broadcast(q))
+      .withColumn("adc", Similarity.pqAdc(col("qv"), codeCols, cbs))
+    val w = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id"), round(col("adc"), 4).as("adc"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_ann" -> (pqAnn _),
     "c13_cosine_topk" -> (c13 _),
     "sim_kmeans" -> (kmeans _),
     "sim_quant_int8" -> (quantInt8 _),
@@ -253,7 +286,48 @@ object SimilarityQueries {
        |u$n AS (SELECT p.cid, coalesce(m$n.cv, p.cv) AS cv
        |  FROM $prev p LEFT JOIN m$n ON p.cid = m$n.cid)""".stripMargin
 
+  // PQ restated: per subspace m (offset m·8), codeword distances + argmin
+  // (rounded 6dp, tie by codeword id — duckKmAssign's rule per subspace),
+  // then ADC as the explicit left-to-right 8-term sum of rounded
+  // per-subspace distances — the identical double the Spark sum produces
+  private def pqSubDist(vExpr: String, cbExpr: String, m: Int): String = {
+    val off = m * Similarity.PqSub
+    s"round(list_sum(list_transform(range(1, ${Similarity.PqSub + 1}), " +
+      s"i -> ($vExpr[$off+i]-$cbExpr[$off+i])*($vExpr[$off+i]-$cbExpr[$off+i]))), 6)"
+  }
+  private val pqCodeCtes: String = (0 until Similarity.PqM).map { m =>
+    s"""dq$m AS (
+       |  SELECT e.vec_id, cb.k, ${pqSubDist("e.v", "cb.v", m)} AS dist
+       |  FROM e, cb),
+       |cq$m AS (
+       |  SELECT vec_id, k AS c$m FROM (
+       |    SELECT vec_id, k,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, k ASC) AS rn
+       |    FROM dq$m) t WHERE rn = 1)""".stripMargin
+  }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    "sim_pq_ann" -> {
+      val codeJoin = (1 until Similarity.PqM)
+        .map(m => s"JOIN cq$m USING (vec_id)").mkString(" ")
+      val cbJoins = (0 until Similarity.PqM)
+        .map(m => s"JOIN cb cb$m ON cb$m.k = x.c$m").mkString("\n  ")
+      val adcSum = (0 until Similarity.PqM)
+        .map(m => pqSubDist("q.qv", s"cb$m.v", m)).mkString("\n    + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT CAST(vec_id AS INTEGER) AS k, v FROM e WHERE vec_id < ${Similarity.PqK}),
+         |$pqCodeCtes,
+         |codes AS (SELECT * FROM cq0 $codeJoin),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT q.qid, x.vec_id,
+         |    $adcSum AS adc
+         |  FROM codes x CROSS JOIN q
+         |  $cbJoins)
+         |SELECT qid, vec_id, round(adc, 4) AS adc,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS INTEGER) AS rnk
+         |FROM adc QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    },
     "sim_kmeans" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |seed AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < 5),

@@ -408,6 +408,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("sim_pq_ann: encoding is a literal-codebook narrow projection — no join, no exchange") {
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.operators.Similarity.prepared(Tables.embeddings(spark, sf()))
+      .select(col("vec_id"), col("v"))
+    val cbs = graft.operators.Similarity.pqCodebooks(vecs)
+    val enc = finalPlan(graft.operators.Similarity.pqEncode(vecs, cbs))
+    assert(!enc.contains("Exchange") && !enc.contains("Join"), enc)
+    // the full query may broadcast the 10-row query side (sanctioned
+    // similarity cross join) but must never cartesian or sort-merge
+    val plan = finalPlan(SimilarityQueries.pqAnn(spark, sf()))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("sim_kmeans assignment is a narrow projection: no exchange before the cluster agg") {
     import org.apache.spark.sql.functions.col
     val vecs = graft.operators.Similarity.prepared(Tables.embeddings(spark, sf()))
