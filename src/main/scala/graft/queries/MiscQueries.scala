@@ -284,7 +284,64 @@ object MiscQueries {
       .orderBy("event_type")
   }
 
+  /** Population-stability-index drift monitor — the check a pipeline runs
+    * BEFORE folding a new data epoch into training: per event_type, the
+    * `value` distribution of the later half of the time range scored
+    * against decile bins fitted on the earlier half (the standard PSI
+    * recipe: baseline-quantile bin edges, Laplace-smoothed shares,
+    * Σ (p_b − p_a)·ln(p_b/p_a); > 0.2 is the conventional "investigate"
+    * threshold). Determinism: the period boundary is an integer epoch-µs
+    * midpoint, bin edges are exact type-7 percentiles (≡ quantile_cont),
+    * bin assignment is a strict-> fold over the 9 edges, and each PSI term
+    * is floor-quantized to integer NANOnats before the cross-bin sum — so
+    * the score is exact 64-bit arithmetic, partitioning-independent (every
+    * term is ≥ 0 by Gibbs' inequality, so floor never flips a sign).
+    *
+    * Scale shape: two corpus passes (bin-edge fit on the baseline half,
+    * binned group-count over everything) — both map-side-combined
+    * aggregates; the grid/share/PSI algebra runs on type×period×10-bin
+    * rows. Edges broadcast; nothing corpus-sized shuffles.
+    */
+  def profileDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    val bounds = ev.agg(min("us").as("lo"), max("us").as("hi"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("period",
+        when(col("us") < expr("lo + (hi - lo) div 2"), "a").otherwise("b"))
+      .select("event_type", "value", "period")
+    val edges = tagged.filter(col("period") === "a").groupBy("event_type")
+      .agg(expr("percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("edges"))
+    val binned = tagged.join(broadcast(edges), "event_type")
+      .withColumn("bin", aggregate(col("edges"), lit(0),
+        (acc, e) => acc + when(col("value") > e, 1).otherwise(0)))
+    val counts = binned.groupBy("event_type", "period", "bin").agg(count(lit(1)).as("n"))
+    val grid = tagged.select("event_type").distinct()
+      .withColumn("period", explode(array(lit("a"), lit("b"))))
+      .withColumn("bin", explode(array((0 to 9).map(lit): _*)))
+    val full = grid.join(counts, Seq("event_type", "period", "bin"), "left")
+      .na.fill(0L, Seq("n"))
+    val tot = full.groupBy("event_type", "period").agg(sum("n").as("tn"))
+    val shares = full.join(tot, Seq("event_type", "period"))
+      .withColumn("p",
+        (col("n").cast("double") + lit(1.0)) / (col("tn").cast("double") + lit(10.0)))
+    val a = shares.filter(col("period") === "a")
+      .select(col("event_type"), col("bin"), col("p").as("pa"), col("tn").as("na"))
+    val b = shares.filter(col("period") === "b")
+      .select(col("event_type"), col("bin"), col("p").as("pb"), col("tn").as("nb"))
+    a.join(b, Seq("event_type", "bin"))
+      .groupBy("event_type")
+      .agg(min("na").as("n_a"), min("nb").as("n_b"),
+        sum(floor((col("pb") - col("pa")) * log(col("pb") / col("pa")) * lit(1e9))
+          .cast("long")).as("psi_nano"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("psi_nano"),
+        round(col("psi_nano").cast("double") / lit(1e9), 6).as("psi"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_drift" -> (profileDrift _),
     "profile_anomaly" -> (profileAnomaly _),
     "profile_quantiles" -> (profileQuantiles _),
     "profile_orders" -> (profileOrders _),
@@ -302,6 +359,50 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "profile_drift" ->
+      """WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        |bo AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+        |t AS (
+        |  SELECT e.event_type, e.value,
+        |    CASE WHEN e.us < bo.lo + (bo.hi - bo.lo) // 2 THEN 'a' ELSE 'b' END AS period
+        |  FROM ev e, bo),
+        |ed AS (
+        |  SELECT event_type,
+        |    [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+        |     quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+        |     quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+        |     quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+        |     quantile_cont(value, 0.9)] AS edges
+        |  FROM t WHERE period = 'a' GROUP BY event_type),
+        |bn AS (
+        |  SELECT t.event_type, t.period,
+        |    CAST(list_sum(list_transform(ed.edges,
+        |      x -> CASE WHEN t.value > x THEN 1 ELSE 0 END)) AS INTEGER) AS bin
+        |  FROM t JOIN ed USING (event_type)),
+        |g AS (SELECT DISTINCT event_type FROM t),
+        |grid AS (
+        |  SELECT g.event_type, p.period, CAST(b.bin AS INTEGER) AS bin
+        |  FROM g, (VALUES ('a'), ('b')) p(period), range(0, 10) b(bin)),
+        |c AS (SELECT event_type, period, bin, CAST(count(*) AS BIGINT) AS n
+        |      FROM bn GROUP BY 1, 2, 3),
+        |f AS (SELECT grid.event_type, grid.period, grid.bin, coalesce(c.n, 0) AS n
+        |      FROM grid LEFT JOIN c USING (event_type, period, bin)),
+        |tt AS (SELECT event_type, period, CAST(sum(n) AS BIGINT) AS tn
+        |       FROM f GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT f.event_type, f.period, f.bin, tt.tn,
+        |    (CAST(f.n AS DOUBLE) + 1.0) / (CAST(tt.tn AS DOUBLE) + 10.0) AS p
+        |  FROM f JOIN tt USING (event_type, period)),
+        |ps AS (
+        |  SELECT a.event_type, min(a.tn) AS n_a, min(b.tn) AS n_b,
+        |    CAST(sum(CAST(floor((b.p - a.p) * ln(b.p / a.p) * 1000000000.0)
+        |                  AS BIGINT)) AS BIGINT) AS psi_nano
+        |  FROM sh a JOIN sh b ON a.event_type = b.event_type AND a.bin = b.bin
+        |   AND a.period = 'a' AND b.period = 'b'
+        |  GROUP BY a.event_type)
+        |SELECT event_type, n_a, n_b, psi_nano,
+        |  round(CAST(psi_nano AS DOUBLE) / 1000000000.0, 6) AS psi
+        |FROM ps ORDER BY event_type""".stripMargin,
     "profile_anomaly" ->
       """WITH m AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med

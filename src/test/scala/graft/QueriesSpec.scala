@@ -112,6 +112,7 @@ class QueriesSpec extends SparkSpec {
     "sim_pq_ann" -> 50L,
     "text_bigram_logprob" -> 500L,
     "profile_anomaly" -> 5L,
+    "profile_drift" -> 5L,
     "c21_scd2" -> 802L,
   )
 
