@@ -87,6 +87,31 @@ object DedupQueries {
     cache.computeIfAbsent(key, _ => make())
   }
 
+  /** Fixture corpus/batch split: standing corpus = `doc_id < splitId`,
+    * incoming batch = `doc_id >= splitId`, with splitId = n·4/5 in pure
+    * integer arithmetic (doc_ids are 0..n−1). PROPORTIONAL, so the batch
+    * stays 20% of the corpus at every sf — the earlier absolute threshold
+    * (400) made the "batch" 92% of the corpus at sf0.1 and inverted the
+    * incremental queries' cost profile into nonsense. At the 500-doc
+    * correctness fixtures n·4/5 IS 400, so every oracle-checked output and
+    * stored state table is unchanged where the driver hashes them. The
+    * oracle restates the same integer expression as a scalar subquery
+    * ([[splitSql]]); one tiny max() aggregate, cached per (session, dir).
+    */
+  private val splitCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  private[graft] def splitId(s: SparkSession, d: String): Long =
+    memo[java.lang.Long](splitCache, (s, d), () => {
+      val n = Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0) + 1L
+      n * 4L / 5L
+    })
+
+  /** [[splitId]] as a DuckDB scalar subquery — the identical integer
+    * expression, so the two engines can never disagree on the boundary.
+    */
+  private val splitSql = "(SELECT (max(doc_id) + 1) * 4 // 5 FROM documents)"
+
   /** Distinct-token rows + per-doc band table — the expensive upstream every
     * MinHash consumer shares (K md5 hashes per (doc, token)). Under the same
     * `sharePairs` flag both frames are localCheckpointed once per (session,
@@ -243,8 +268,8 @@ object DedupQueries {
       .orderBy("eval_id", "train_id")
   }
 
-  /** Incremental near-dup: match an INCOMING batch (doc_id >= 400) against
-    * the STANDING corpus (doc_id < 400) without re-pairing the corpus with
+  /** Incremental near-dup: match an INCOMING batch (doc_id >= [[splitId]]) against
+    * the STANDING corpus (doc_id < [[splitId]]) without re-pairing the corpus with
     * itself — the operation a rolling 100 TB ingest actually runs: the
     * corpus side is a stored band table (here recomputed because the
     * fixture has no persisted state); only new×corpus band collisions are
@@ -254,7 +279,7 @@ object DedupQueries {
   def incremental(s: SparkSession, d: String): DataFrame = {
     val (toks, bands) = tokensAndBands(s, d)
     val cand = Dedup.lshCrossCandidatePairs(
-      bands.filter(col("doc_id") >= 400), bands.filter(col("doc_id") < 400),
+      bands.filter(col("doc_id") >= splitId(s, d)), bands.filter(col("doc_id") < splitId(s, d)),
       "doc_id", K / R)
     val parts = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
@@ -292,7 +317,7 @@ object DedupQueries {
       .orderBy("new_id", "corpus_id")
   }
 
-  /** Ensure the fixture corpus's (doc_id < 400) state tables exist — built
+  /** Ensure the fixture corpus's (doc_id < [[splitId]]) state tables exist — built
     * once per (session, dir), then reused by every rep/consumer.
     */
   private val stateCache =
@@ -301,7 +326,7 @@ object DedupQueries {
   private[graft] def corpusState(s: SparkSession, d: String): DedupState.Names =
     memo(stateCache, (s, d), () => {
       val n = DedupState.names("graft_corpus", d)
-      DedupState.write(Tables.documents(s, d).filter(col("doc_id") < 400),
+      DedupState.write(Tables.documents(s, d).filter(col("doc_id") < splitId(s, d)),
         "doc_id", "text", K, R, n, buckets = 16)
       // the standing component assignments: corpus-only pairs off the
       // just-written state, verified, clustered — [[clustersIncremental]]
@@ -315,13 +340,13 @@ object DedupQueries {
       val edges = Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
         .filter(col("jaccard") >= 0.7).select("a", "b")
       val comps = Dedup.connectedComponents(edges,
-        Tables.documents(s, d).filter(col("doc_id") < 400).select("doc_id"), "doc_id")
+        Tables.documents(s, d).filter(col("doc_id") < splitId(s, d)).select("doc_id"), "doc_id")
       DedupState.writeComps(comps, "doc_id", n, buckets = 16)
       // the span-level state: the standing corpus's winnowed window
       // fingerprints, bucketed on span_md5 — [[spansIncremental]] probes
       // this table instead of re-winnowing the corpus per batch
       DedupState.writeSpans(
-        winnowSelect(Tables.documents(s, d).filter(col("doc_id") < 400),
+        winnowSelect(Tables.documents(s, d).filter(col("doc_id") < splitId(s, d)),
           SpanW, WinnowW), n, buckets = 16)
       n
     })
@@ -367,7 +392,7 @@ object DedupQueries {
     val candNN = Dedup.lshSelfCandidatePairsLong(batchBands, "doc_id", K / R)
     val candNC = Dedup.lshCrossCandidatePairsLong(
       batchBands, DedupState.bands(s, st), "doc_id", K / R)
-    // NN pairs (both ids >= 400) and NC pairs (exactly one corpus side)
+    // NN pairs (both ids >= splitId) and NC pairs (exactly one corpus side)
     // are disjoint by construction — no distinct() needed
     val cand = candNN.unionByName(candNC).localCheckpoint(true)
     val parts = cand.select(col("a").as("doc_id"))
@@ -385,7 +410,7 @@ object DedupQueries {
             Seq("b"), "left")
       .select(coalesce(col("ca"), col("a")).as("a"),
               coalesce(col("cb"), col("b")).as("b"))
-    val batchIds = Tables.documents(s, d).filter(col("doc_id") >= 400).select("doc_id")
+    val batchIds = Tables.documents(s, d).filter(col("doc_id") >= splitId(s, d)).select("doc_id")
     val verts = cmap.select(col("cid").as("doc_id")).distinct().unionByName(batchIds)
     val cc = Dedup.connectedComponents(contracted, verts, "doc_id")
       .select(col("doc_id").as("vert"), col("comp").as("root"))
@@ -400,7 +425,7 @@ object DedupQueries {
 
   /** Full-corpus state tables (every doc) — the persisted form a periodic
     * re-clustering job reads; distinct from [[corpusState]], whose fixture
-    * corpus is the doc_id < 400 standing half.
+    * corpus is the doc_id < [[splitId]] standing half.
     */
   private val fullStateCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DedupState.Names]()
@@ -470,7 +495,7 @@ object DedupQueries {
       if (merge) bands.hint("merge") else bands, "doc_id", K / R)
   }
 
-  /** The incoming batch's (docs >= 400) distinct-token rows and long-form
+  /** The incoming batch's (docs >= [[splitId]]) distinct-token rows and long-form
     * band table. Under the bench's `sharePairs` flag both are
     * localCheckpointed once per (session, sf dir) — the SAME amortization
     * [[tokensAndBands]] already gives the recomputing queries, without
@@ -488,7 +513,7 @@ object DedupQueries {
   private def batchToksAndBands(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     def build(checkpoint: Boolean): (DataFrame, DataFrame) = {
       val toks = Dedup.distinctTokenRows(
-        Tables.documents(s, d).filter(col("doc_id") >= 400), "doc_id", "text")
+        Tables.documents(s, d).filter(col("doc_id") >= splitId(s, d)), "doc_id", "text")
       val kept = if (checkpoint) toks.localCheckpoint(true) else toks
       val bands = Dedup.longBands(
         Dedup.minhashBands(Dedup.minhashSignatures(kept, "doc_id", K), "doc_id", K, R),
@@ -499,7 +524,7 @@ object DedupQueries {
     else memo(batchCache, (s, d), () => build(true))
   }
 
-  /** The incoming batch's distinct-token rows (docs >= 400). */
+  /** The incoming batch's distinct-token rows (docs >= [[splitId]]). */
   private def newBatchToks(s: SparkSession, d: String): DataFrame =
     batchToksAndBands(s, d)._1
 
@@ -691,7 +716,7 @@ object DedupQueries {
                                     st: DedupState.Names,
                                     merge: Boolean = false): DataFrame = {
     val batch = winnowSelect(
-      Tables.documents(s, d).filter(col("doc_id") >= 400), SpanW, WinnowW)
+      Tables.documents(s, d).filter(col("doc_id") >= splitId(s, d)), SpanW, WinnowW)
     val corpus = DedupState.spans(s, st).select("span_md5")
     batch.join(if (merge) corpus.hint("merge") else corpus,
                Seq("span_md5"), "left_semi")
@@ -919,7 +944,7 @@ object DedupQueries {
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bl x JOIN bl y
        |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-       |  WHERE x.doc_id >= 400 AND y.doc_id < 400),
+       |  WHERE x.doc_id >= $splitSql AND y.doc_id < $splitSql),
        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id),
        |inter AS (
        |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
@@ -1002,8 +1027,8 @@ object DedupQueries {
       s"""WITH $winnowSelCtes
         |SELECT b.doc_id, b.start, b.span_md5
         |FROM sel b
-        |WHERE b.doc_id >= 400 AND EXISTS (
-        |  SELECT 1 FROM sel c WHERE c.doc_id < 400 AND c.span_md5 = b.span_md5)
+        |WHERE b.doc_id >= $splitSql AND EXISTS (
+        |  SELECT 1 FROM sel c WHERE c.doc_id < $splitSql AND c.span_md5 = b.span_md5)
         |ORDER BY doc_id, start, span_md5""".stripMargin,
     "dedup_exact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
