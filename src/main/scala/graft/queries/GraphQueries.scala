@@ -48,7 +48,12 @@ object GraphQueries {
     * per superstep truncates lineage so iteration k never re-runs
     * iterations 1..k−1 (or the LSH pipeline) from scratch.
     */
-  def domainRank(s: SparkSession, d: String): DataFrame = {
+  /** The duplicate-sharing domain edge list: directed both ways,
+    * weight = number of verified cross-source near-dup pairs. Shared by
+    * [[domainRank]] and [[domainCommunities]] (and their oracles share the
+    * matching CTE chain) so the two views of the graph cannot drift.
+    */
+  private def domainEdges(s: SparkSession, d: String): DataFrame = {
     val docsrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
     val pairs = DedupQueries.minhashPairsRaw(s, d).select("a", "b")
     val crossSrc = pairs
@@ -58,7 +63,12 @@ object GraphQueries {
       .select("s1", "s2")
     val directed = crossSrc.select(col("s1").as("src"), col("s2").as("dst"))
       .unionByName(crossSrc.select(col("s2").as("src"), col("s1").as("dst")))
-    val ec = directed.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    directed.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  def domainRank(s: SparkSession, d: String): DataFrame = {
+    val docsrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val ec = domainEdges(s, d)
     val edges = ec
       .join(ec.groupBy("src").agg(sum("w").as("outw")), "src")
       .localCheckpoint(true)
@@ -88,8 +98,36 @@ object GraphQueries {
       .orderBy("source")
   }
 
+  /** Minimum shared-pair weight for a community edge: a single stray
+    * near-dup pair between two domains is noise; repeated sharing is a
+    * syndication relationship.
+    */
+  private val MinW = 2L
+
+  /** Syndication-network detection: connected components over the
+    * duplicate-sharing domain graph, keeping only edges with ≥ [[MinW]]
+    * verified pairs. The community id is the lexicographically smallest
+    * member domain (ASCII/binary string order — identical in both
+    * engines). The action a curation pipeline takes on the output is
+    * per-NETWORK (dedup budgets, crawl throttling, quality review) — the
+    * domain-level counterpart of `dedup_clusters`' doc-level components,
+    * running the same star-contraction CC on the domain-sized relation.
+    */
+  def domainCommunities(s: SparkSession, d: String): DataFrame = {
+    val strong = domainEdges(s, d).filter(col("w") >= MinW)
+      .select(col("src").as("a"), col("dst").as("b"))
+    val nodes = Tables.documents(s, d).select(col("source").as("node")).distinct()
+    val comps = graft.operators.Dedup.connectedComponents(strong, nodes, "node")
+      .select(col("node").as("source"), col("comp").as("community"))
+    val sizes = comps.groupBy("community").agg(count(lit(1)).as("community_size"))
+    comps.join(sizes, "community")
+      .select("source", "community", "community_size")
+      .orderBy("source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_domain_rank" -> (domainRank _),
+    "graph_domain_communities" -> (domainCommunities _),
   )
 
   // the superstep chain restated as explicit CTEs (DuckDB's recursive CTEs
@@ -112,19 +150,39 @@ object GraphQueries {
     (r0 +: steps).mkString(",\n")
   }
 
+  // the domain edge derivation restated — shared verbatim by both graph
+  // oracles (the [[domainEdges]] twin)
+  private val domainEdgeCtes: String =
+    """e0 AS (
+      |  SELECT da.source AS s1, db.source AS s2
+      |  FROM vp
+      |  JOIN documents da ON vp.a = da.doc_id
+      |  JOIN documents db ON vp.b = db.doc_id
+      |  WHERE da.source <> db.source),
+      |ed AS (SELECT s1 AS src, s2 AS dst FROM e0
+      |       UNION ALL SELECT s2 AS src, s1 AS dst FROM e0),
+      |ec AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      |       FROM ed GROUP BY src, dst)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "graph_domain_communities" ->
+      s"""WITH RECURSIVE ${DedupQueries.verifiedPairsCtes},
+         |$domainEdgeCtes,
+         |ew AS (SELECT src, dst FROM ec WHERE w >= $MinW),
+         |nodes AS (SELECT DISTINCT source AS node FROM documents),
+         |cc AS (
+         |  SELECT node AS id, node AS root FROM nodes
+         |  UNION
+         |  SELECT e.dst, cc.root FROM cc JOIN ew e ON cc.id = e.src),
+         |fin AS (SELECT id AS source, min(root) AS community FROM cc GROUP BY id),
+         |csz AS (SELECT community, CAST(count(*) AS BIGINT) AS community_size
+         |        FROM fin GROUP BY community)
+         |SELECT fin.source, fin.community, csz.community_size
+         |FROM fin JOIN csz USING (community)
+         |ORDER BY source""".stripMargin,
     "graph_domain_rank" ->
       s"""WITH ${DedupQueries.verifiedPairsCtes},
-         |e0 AS (
-         |  SELECT da.source AS s1, db.source AS s2
-         |  FROM vp
-         |  JOIN documents da ON vp.a = da.doc_id
-         |  JOIN documents db ON vp.b = db.doc_id
-         |  WHERE da.source <> db.source),
-         |ed AS (SELECT s1 AS src, s2 AS dst FROM e0
-         |       UNION ALL SELECT s2 AS src, s1 AS dst FROM e0),
-         |ec AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
-         |       FROM ed GROUP BY src, dst),
+         |$domainEdgeCtes,
          |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM ec GROUP BY src),
          |e AS (SELECT ec.src, ec.dst, ec.w, ow.outw FROM ec JOIN ow USING (src)),
          |nodes AS (SELECT DISTINCT source AS node FROM documents),

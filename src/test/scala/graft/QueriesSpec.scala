@@ -109,6 +109,7 @@ class QueriesSpec extends SparkSpec {
     "dedup_spans_incremental" -> 89L,
     "layout_zvalue" -> 3L,
     "graph_domain_rank" -> 20L,
+    "graph_domain_communities" -> 20L,
     "sim_pq_ann" -> 50L,
     "text_bigram_logprob" -> 500L,
     "profile_anomaly" -> 5L,
