@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** A constant-but-NON-FOLDABLE window partition key: `pmod(c, 1)` ≡ 0
+    * for any value, but Catalyst cannot fold it away (a plain `lit(0)`
+    * IS folded out of the partition spec, leaving it empty again). Use on
+    * windows over deliberately-tiny frames to suppress WindowExec's
+    * single-partition WARN — the flood (1000+ lines per bench run) is
+    * enough to drown a run's machine-readable output tail — while
+    * changing nothing about the plan's actual (bounded) shape.
+    */
+  def constantPartitionKey(c: Column): Column = pmod(c, lit(1L))
+
   /** Distinct (id, token) rows — the shingle set for token-level MinHash. */
   def distinctTokenRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token")).distinct()
@@ -294,16 +304,12 @@ object Dedup {
       .withColumn("__bk", pmod(xxhash64(col("token")), lit(buckets.toLong)))
     val local = vocabBase.withColumn("__rn",
       row_number().over(Window.partitionBy("__bk").orderBy("token")).cast("long") - 1)
-    // the cumulative sum is over ≤ `buckets` rows by construction; the
-    // constant-but-NON-FOLDABLE partition key (pmod(__bk, 1) ≡ 0) keeps
-    // WindowExec from logging its single-partition WARN on every recompute
-    // (1000+ lines per bench run — enough to drown the run's
-    // machine-readable tail) while changing nothing about the plan's
-    // actual (bounded) shape; a plain literal would be constant-folded out
-    // of the partition spec and the WARN would return
+    // the cumulative sum is over ≤ `buckets` rows by construction;
+    // constantPartitionKey silences WindowExec's single-partition WARN
+    // without changing the (bounded) plan shape
     val offsets = vocabBase.groupBy("__bk").agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(
-        sum("__n").over(Window.partitionBy(pmod(col("__bk"), lit(1L))).orderBy("__bk")
+        sum("__n").over(Window.partitionBy(constantPartitionKey(col("__bk"))).orderBy("__bk")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__bk", "__off")
     val vocab = local.join(broadcast(offsets), "__bk")

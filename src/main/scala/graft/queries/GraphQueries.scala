@@ -22,6 +22,24 @@ object GraphQueries {
   private val BaseNum = Scale * (DampDen - Damp) / DampDen // (1-d)·Scale
   private val Iters = 5
 
+  /** The duplicate-sharing domain edge list: directed both ways,
+    * weight = number of verified cross-source near-dup pairs. Shared by
+    * [[domainRank]] and [[domainCommunities]] (and their oracles share the
+    * matching CTE chain) so the two views of the graph cannot drift.
+    */
+  private def domainEdges(s: SparkSession, d: String): DataFrame = {
+    val docsrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val pairs = DedupQueries.minhashPairsRaw(s, d).select("a", "b")
+    val crossSrc = pairs
+      .join(docsrc.select(col("doc_id").as("a"), col("source").as("s1")), "a")
+      .join(docsrc.select(col("doc_id").as("b"), col("source").as("s2")), "b")
+      .filter(col("s1") =!= col("s2"))
+      .select("s1", "s2")
+    val directed = crossSrc.select(col("s1").as("src"), col("s2").as("dst"))
+      .unionByName(crossSrc.select(col("s2").as("src"), col("s1").as("dst")))
+    directed.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
   /** Duplicate-sharing domain rank — a crawl-scheduling / content-farm
     * signal for corpus curation: sources (domains) that share
     * near-duplicate documents link to each other, and a PageRank over that
@@ -48,24 +66,6 @@ object GraphQueries {
     * per superstep truncates lineage so iteration k never re-runs
     * iterations 1..k−1 (or the LSH pipeline) from scratch.
     */
-  /** The duplicate-sharing domain edge list: directed both ways,
-    * weight = number of verified cross-source near-dup pairs. Shared by
-    * [[domainRank]] and [[domainCommunities]] (and their oracles share the
-    * matching CTE chain) so the two views of the graph cannot drift.
-    */
-  private def domainEdges(s: SparkSession, d: String): DataFrame = {
-    val docsrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    val pairs = DedupQueries.minhashPairsRaw(s, d).select("a", "b")
-    val crossSrc = pairs
-      .join(docsrc.select(col("doc_id").as("a"), col("source").as("s1")), "a")
-      .join(docsrc.select(col("doc_id").as("b"), col("source").as("s2")), "b")
-      .filter(col("s1") =!= col("s2"))
-      .select("s1", "s2")
-    val directed = crossSrc.select(col("s1").as("src"), col("s2").as("dst"))
-      .unionByName(crossSrc.select(col("s2").as("src"), col("s1").as("dst")))
-    directed.groupBy("src", "dst").agg(count(lit(1)).as("w"))
-  }
-
   def domainRank(s: SparkSession, d: String): DataFrame = {
     val docsrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
     val ec = domainEdges(s, d)
@@ -90,7 +90,11 @@ object GraphQueries {
           (expr(s"CAST($BaseNum AS BIGINT) div n") + coalesce(col("c"), lit(0L))).as("r"))
         .localCheckpoint(true)
     }
-    val inw = ec.groupBy("dst").agg(sum("w").as("dup_w"))
+    // derive in-weights from the CHECKPOINTED edge frame, not the lazy ec
+    // plan — ec's lineage contains the whole pair pipeline, which would
+    // re-execute here whenever sharePairs is off (Verify, ScaleSmoke);
+    // the outw join is 1:1 so summing w over `edges` is identical
+    val inw = edges.groupBy("dst").agg(sum("w").as("dup_w"))
     rank.join(inw, rank("node") === inw("dst"), "left")
       .select(col("node").as("source"), col("r").as("rank_micro"),
         round(col("r").cast("double") / Scale.toDouble, 6).as("rank_score"),

@@ -264,12 +264,17 @@ object MiscQueries {
     */
   def profileAnomaly(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select("event_type", "value")
+    // med/mad round to 6dp BEFORE any comparison (the k-means rule):
+    // Spark's Percentile and DuckDB's quantile_cont state the same type-7
+    // interpolation in different algebraic forms, which can differ by an
+    // ulp — a row sitting exactly on the unrounded 3·mad threshold would
+    // then flip between engines
     val med = ev.groupBy("event_type")
-      .agg(expr("percentile(value, 0.5D)").as("med"))
+      .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("ad", abs(col("value") - col("med")))
     val mad = dev.groupBy("event_type")
-      .agg(expr("percentile(ad, 0.5D)").as("mad"))
+      .agg(round(expr("percentile(ad, 0.5D)"), 6).as("mad"))
     dev.join(broadcast(mad), "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -310,9 +315,12 @@ object MiscQueries {
       .withColumn("period",
         when(col("us") < expr("lo + (hi - lo) div 2"), "a").otherwise("b"))
       .select("event_type", "value", "period")
+    // bin edges round to 6dp before the strict-> comparisons below — the
+    // same ulp-divergence guard as profileAnomaly's med/mad
     val edges = tagged.filter(col("period") === "a").groupBy("event_type")
-      .agg(expr("percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
-        .as("edges"))
+      .agg(transform(
+        expr("percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"),
+        e => round(e, 6)).as("edges"))
     val binned = tagged.join(broadcast(edges), "event_type")
       .withColumn("bin", aggregate(col("edges"), lit(0),
         (acc, e) => acc + when(col("value") > e, 1).otherwise(0)))
@@ -368,11 +376,11 @@ object MiscQueries {
         |  FROM ev e, bo),
         |ed AS (
         |  SELECT event_type,
-        |    [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
-        |     quantile_cont(value, 0.3), quantile_cont(value, 0.4),
-        |     quantile_cont(value, 0.5), quantile_cont(value, 0.6),
-        |     quantile_cont(value, 0.7), quantile_cont(value, 0.8),
-        |     quantile_cont(value, 0.9)] AS edges
+        |    [round(quantile_cont(value, 0.1), 6), round(quantile_cont(value, 0.2), 6),
+        |     round(quantile_cont(value, 0.3), 6), round(quantile_cont(value, 0.4), 6),
+        |     round(quantile_cont(value, 0.5), 6), round(quantile_cont(value, 0.6), 6),
+        |     round(quantile_cont(value, 0.7), 6), round(quantile_cont(value, 0.8), 6),
+        |     round(quantile_cont(value, 0.9), 6)] AS edges
         |  FROM t WHERE period = 'a' GROUP BY event_type),
         |bn AS (
         |  SELECT t.event_type, t.period,
@@ -405,13 +413,13 @@ object MiscQueries {
         |FROM ps ORDER BY event_type""".stripMargin,
     "profile_anomaly" ->
       """WITH m AS (
-        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
         |  FROM events GROUP BY event_type),
         |d AS (
         |  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
         |  FROM events e JOIN m USING (event_type)),
         |md AS (
-        |  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |  SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
         |  FROM d GROUP BY event_type)
         |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(min(d.med), 4) AS med,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.TextAnalysis
+import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,10 +41,9 @@ object TextQueries {
       .groupBy("token").agg(count(lit(1)).as("freq"))
     val top = counts.orderBy(desc("freq"), asc("token")).limit(20)
     val total = counts.agg(sum(col("freq")).as("__tot"))
-    // pmod(freq, 1) ≡ 0 but is non-foldable — a plain literal would be
-    // constant-folded out of the partition spec, resurrecting WindowExec's
-    // single-partition WARN (the frame is 20 rows by construction)
-    val order = Window.partitionBy(pmod(col("freq"), lit(1L)))
+    // the frame is 20 rows by construction; constantPartitionKey keeps
+    // WindowExec's single-partition WARN out of the logs
+    val order = Window.partitionBy(Dedup.constantPartitionKey(col("freq")))
       .orderBy(desc("freq"), asc("token"))
     val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     top.crossJoin(broadcast(total))

@@ -99,9 +99,18 @@ object ScaleSmoke {
     require(nSpansMin > 0 && nSpansMin < nSpans / 2,
       s"winnowed spans not sub-linear: $nSpansMin vs $nSpans stride-1 rows")
 
+    // materialize the pair frame and the rank frame ONCE for all the
+    // assertions below — each defs(...) call re-derives the full LSH +
+    // verify pipeline (the smoke session leaves sharePairs off), and at
+    // 10x scale every redundant derivation costs ~15s of untimed budget
+    val pairFrame = graft.queries.DedupQueries.defs("dedup_minhash_pairs")(spark, dir)
+      .localCheckpoint(true)
+    val rankFrame = graft.queries.GraphQueries.defs("graph_domain_rank")(spark, dir)
+      .localCheckpoint(true)
+
     // every verified pair must be within one replica (vocabularies are
     // disjoint, so a cross-replica pair means the pipeline is broken)
-    val cross = graft.queries.DedupQueries.defs("dedup_minhash_pairs")(spark, dir)
+    val cross = pairFrame
       .filter(floor(col("doc_a") / Offset) =!= floor(col("doc_b") / Offset)).count()
     require(cross == 0L, s"$cross cross-replica pairs — vocabulary leak")
     require(nClusters == nDocs, s"clusters must label every doc: $nClusters != $nDocs")
@@ -115,13 +124,12 @@ object ScaleSmoke {
       s"domain rank must cover every source: $nGraph rows")
     val nCrossSrcPairs = {
       val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-      graft.queries.DedupQueries.defs("dedup_minhash_pairs")(spark, dir)
+      pairFrame
         .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
         .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
         .filter(col("sa") =!= col("sb")).count()
     }
-    val graphW = graft.queries.GraphQueries.defs("graph_domain_rank")(spark, dir)
-      .agg(sum("dup_w")).head.getLong(0)
+    val graphW = rankFrame.agg(sum("dup_w")).head.getLong(0)
     require(graphW == 2 * nCrossSrcPairs,
       s"graph mass leak: sum(dup_w)=$graphW != 2x$nCrossSrcPairs cross-source pairs")
     // every doc has >= 2 tokens in this corpus: the bigram LM must score all
