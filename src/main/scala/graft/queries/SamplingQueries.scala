@@ -127,6 +127,53 @@ object SamplingQueries {
       .orderBy("lang")
   }
 
+  private val MaxEpochs = 4L
+
+  /** Data-constrained epoch plan — the repeat-budgeting step of corpus
+    * assembly (the "data-constrained scaling" rule: when a language's
+    * temperature-share target exceeds its available tokens, REPEAT its
+    * data, but cap at [[MaxEpochs]] passes because repeated-epoch value
+    * decays): per language, available tokens, the target allocation of a
+    * half-natural-size token budget under the [[Alpha]] temperature
+    * shares, the epoch factor that realizes it (centi-epochs; < 100 means
+    * subsample, > 100 means repeat, capped at 400), the effective tokens
+    * actually deliverable under the cap, and the irrecoverable deficit.
+    *
+    * Determinism: shares are nano-quantized before the normalization sum
+    * (the [[temperatureMix]] recipe); the target is ⌊share·budget⌋ on the
+    * exact same doubles in both engines; epoch factor and effective/
+    * deficit are pure BIGINT arithmetic (integer ceil via
+    * (target·100 + avail − 1) div avail). All output columns besides
+    * `lang` are BIGINT — nothing to drift.
+    *
+    * Scale shape: per-doc token counts are a narrow size(filter(split))
+    * projection (no explode), then one map-side-combined groupBy(lang);
+    * everything after runs on the language relation.
+    */
+  def epochPlan(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("lang"),
+      size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("ntok"))
+    val perLang = toks.groupBy("lang").agg(sum("ntok").as("avail"))
+    val total = perLang.agg(sum("avail").as("tot"))
+    val weighted = perLang.crossJoin(broadcast(total))
+      .withColumn("__w", floor(
+        pow(col("avail").cast("double") / col("tot").cast("double"), Alpha)
+          * 1e9).cast("long"))
+    val denom = weighted.agg(sum(col("__w")).as("__wsum"))
+    weighted.crossJoin(broadcast(denom))
+      .withColumn("budget", expr("tot div 2"))
+      .withColumn("target", floor(
+        (col("__w").cast("double") / col("__wsum").cast("double"))
+          * col("budget").cast("double")).cast("long"))
+      .withColumn("epochs_centi", least(lit(100L * MaxEpochs),
+        expr("(target * 100 + avail - 1) div avail")))
+      .withColumn("effective", least(col("target"), col("avail") * MaxEpochs))
+      .select(col("lang"), col("avail"), col("target"), col("epochs_centi"),
+        col("effective"),
+        greatest(lit(0L), col("target") - col("effective")).as("deficit"))
+      .orderBy("lang")
+  }
+
   private val Shards = 8L
 
   /** Deterministic global shuffle + sharding — the "shuffle and shard"
@@ -158,6 +205,7 @@ object SamplingQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_mix_plan" -> (mixPlan _),
     "sample_temperature" -> (temperatureMix _),
+    "sample_epochs" -> (epochPlan _),
     "sample_shuffle_shard" -> (shuffleShard _),
     "sample_det" -> (detSample _),
     "sample_strata" -> (strataSample _),
@@ -188,6 +236,37 @@ object SamplingQueries {
          |  CAST(floor(rate * CAST(n_docs AS DOUBLE)) AS BIGINT) AS planned_docs
          |FROM r ORDER BY lang""".stripMargin
     },
+    "sample_epochs" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+         |      AS ntok
+         |  FROM documents),
+         |p AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS avail FROM t GROUP BY lang),
+         |tt AS (SELECT CAST(sum(avail) AS BIGINT) AS tot FROM p),
+         |w AS (
+         |  SELECT p.lang, p.avail, tt.tot,
+         |    CAST(floor(pow(CAST(p.avail AS DOUBLE) / CAST(tt.tot AS DOUBLE),
+         |                   $Alpha) * 1e9) AS BIGINT) AS w
+         |  FROM p, tt),
+         |r AS (
+         |  SELECT lang, avail, tot, w,
+         |    CAST(sum(w) OVER () AS BIGINT) AS wsum
+         |  FROM w),
+         |x AS (
+         |  SELECT lang, avail, tot // 2 AS budget,
+         |    CAST(floor((CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE))
+         |               * CAST(tot // 2 AS DOUBLE)) AS BIGINT) AS target
+         |  FROM r),
+         |y AS (
+         |  SELECT lang, avail, target,
+         |    least(CAST(${100L * MaxEpochs} AS BIGINT),
+         |          (target * 100 + avail - 1) // avail) AS epochs_centi,
+         |    least(target, avail * $MaxEpochs) AS effective
+         |  FROM x)
+         |SELECT lang, avail, target, epochs_centi, effective,
+         |  greatest(CAST(0 AS BIGINT), target - effective) AS deficit
+         |FROM y ORDER BY lang""".stripMargin,
     "sample_temperature" ->
       s"""WITH p AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
          |           FROM documents GROUP BY lang),

@@ -52,6 +52,7 @@ class QueriesSpec extends SparkSpec {
     "dedup_bow" -> 500L,
     "sample_weighted" -> 50L,
     "sample_temperature" -> 5L,
+    "sample_epochs" -> 5L,
     "sample_shuffle_shard" -> 500L,
     "text_entropy" -> 500L,
     "text_unigram_logprob" -> 500L,
