@@ -14,10 +14,22 @@ import org.apache.spark.sql.SparkSession
   * noise.
   */
 object Bench {
+  /** Env int with a LOUD fallback: a malformed value must not crash the
+    * whole bench run with an opaque NumberFormatException (the artifact
+    * would simply be missing that round).
+    */
+  private def envInt(name: String, default: Int): Int =
+    sys.env.get(name).map { v =>
+      scala.util.Try(v.trim.toInt).getOrElse {
+        System.err.println(s"[bench] $name='$v' is not an int; using $default")
+        default
+      }
+    }.getOrElse(default)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val reps = envInt("SPARK_GRAFT_BENCH_REPS", 3).max(1)
     val spark = Sessions.withGraftConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,7 +73,10 @@ object Bench {
     // Timed reps then measure steady state — the number a long-running
     // cluster actually sees. SPARK_GRAFT_BENCH_WARMUP=0 restores
     // cold-start timing.
-    val warmupPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt.max(0)
+    // NOTE: warmed (steady-state) timings are the default since round 5 —
+    // BENCH_r04 and earlier are cold-start numbers; compare across that
+    // boundary only with SPARK_GRAFT_BENCH_WARMUP=0.
+    val warmupPasses = envInt("SPARK_GRAFT_BENCH_WARMUP", 1).max(0)
     (1 to warmupPasses).foreach { _ =>
       names.foreach { case (name, fn) =>
         try fn(spark, sfDir).count()
@@ -88,15 +103,20 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // (name, median, max-min spread, rep minimum): the min is the
+    // contention-free floor — when median ≫ min the box was busy, when
+    // median ≈ min ≫ last round the code regressed. That distinction is
+    // exactly what round 5's driver-vs-quiet-box discrepancies needed.
     val perQuery = names.map { case (name, _) =>
       val xs = samples.map(_.find(_._1 == name).get._2)
-      if (xs.exists(_ < 0)) (name, -1.0, -1.0)
-      else (name, median(xs), xs.max - xs.min)
+      if (xs.exists(_ < 0)) (name, -1.0, -1.0, -1.0)
+      else (name, median(xs), xs.max - xs.min, xs.min)
     }
     def jmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(perQuery.map(t => (t._1, t._2)))
     val spread = jmap(perQuery.map(t => (t._1, t._3)))
+    val qmin = jmap(perQuery.map(t => (t._1, t._4)))
     val total = perQuery.map(_._2).filter(_ >= 0).sum
     // like-for-like comparator ratio: if a committed DuckDB timing sweep
     // (tools/duck_bench.py → DUCK_rNN.json) is on disk, compare the sum of
@@ -114,12 +134,13 @@ object Bench {
       } catch { case _: Throwable => None }
     val duckFields = duck.map { case (dTotal, per) =>
       val sparkOnDuck = perQuery.collect {
-        case (n, med, _) if med >= 0 && per.contains(n) => med }.sum
+        case (n, med, _, _) if med >= 0 && per.contains(n) => med }.sum
       (sparkOnDuck, dTotal,
         s""","duck_sec":${"%.3f".format(dTotal)},"spark_on_duck_sec":${"%.3f".format(sparkOnDuck)},"vs_duck":${"%.3f".format(sparkOnDuck / dTotal)}""")
     }
     val ratioJson = duckFields.map(_._3).getOrElse("")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$ratioJson,"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+    val memoStats = graft.queries.DedupQueries.pairsMemoStats
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$ratioJson,"pairs_memo":"$memoStats","queries":$qs,"spread":$spread,"qmin":$qmin,"sf":"$sfDir"}"""
     // persist the FULL-precision JSON (all queries + spreads) so a
     // truncated log tail can't lose the official numbers (round 2's BENCH
     // json was cut mid-line by the log capture)
@@ -146,19 +167,37 @@ object Bench {
       else f"$v%.3f"
     val budget = 1750 // line budget < 2000-char tail minus sbt's trailer
     val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
-    def line(entries: Seq[(String, Double)], omitted: Int): String = {
-      val m = entries.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Compact-line contents, in priority order within the budget: totals +
+    // vs_duck + the pair-memo marker, then the slowest-N queries each with
+    // median/spread/min. Spread and rep-min ride along precisely for the
+    // queries that dominate the total — medians alone cannot distinguish
+    // box contention (median ≫ min, fat spread) from a real regression
+    // (median ≈ min, both high). The queries round 5's verdict flagged
+    // weak are ALWAYS included (env-overridable pin list) so their
+    // noise-vs-regression question is answerable from the tail alone;
+    // every query still lands in bench_out.json at full precision.
+    val pinned = sys.env.get("SPARK_GRAFT_BENCH_PIN")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("c8b_from_json", "c9_tumbling_hour", "c9b_sliding",
+        "cms_heavy_hitters", "dedup_clusters_incremental"))
+    val byCost = perQuery.sortBy(-_._2)
+    def line(n: Int): String = {
+      val pin = byCost.filter(t => pinned(t._1))
+      val sel = (pin ++ byCost.filterNot(t => pinned(t._1))
+          .take(math.max(0, n - pin.size)))
+        .sortBy(_._1)
+      def m(f: ((String, Double, Double, Double)) => Double): String =
+        sel.map(t => "\"" + t._1 + "\":" + fmt(f(t))).mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
-        s""""nq":${perQuery.size},"omitted":$omitted$ratioJson,"queries":$m,""" +
-        s""""sf":"$sfShort","full":"$outPath"}"""
+        s""""nq":${perQuery.size},"omitted":${perQuery.size - sel.size},""" +
+        s""""pairs_memo":"$memoStats"$ratioJson,"queries":${m(_._2)},""" +
+        s""""spread":${m(_._3)},"qmin":${m(_._4)},"sf":"$sfShort","full":"$outPath"}"""
     }
-    val byCost = perQuery.map(t => (t._1, t._2)).sortBy(-_._2)
-    var keep = byCost.size
-    var compact = line(byCost, 0)
+    var keep = 18
+    var compact = line(keep)
     while (compact.length > budget && keep > 1) {
       keep -= 1
-      compact = line(byCost.take(keep), byCost.size - keep)
+      compact = line(keep)
     }
     // stop Spark BEFORE printing so its shutdown chatter can't trail (and a
     // tail-capture truncate) the one machine-readable line; flush explicitly

@@ -415,6 +415,33 @@ object Dedup {
       .groupBy(col("__n")).agg(min(col("__nb")).as("__mn"))
       .select(col("__n").as("__mid"), least(col("__n"), col("__mn")).as("__mv"))
 
+  /** Eager localCheckpoint that COUNTS rows satisfying `flag` via an
+    * accumulator riding the materialization job itself — fusing the
+    * "produce the next frame" and "probe its state" actions that
+    * [[connectedComponents]] previously ran as TWO blocking jobs per
+    * iteration into one. On a real cluster every blocking job on the CC
+    * critical path is a full job-submission round-trip, and the iteration
+    * count is what it is — halving the jobs halves the serial latency.
+    *
+    * The count is exact for the == 0 test even under task retries:
+    * accumulator updates from re-run tasks can only ADD increments, and
+    * only rows with `flag` true increment — a truly flag-free frame always
+    * reports 0, and a non-zero report only ever errs toward one more
+    * (harmless) iteration. Returns (checkpointed frame projected to
+    * `keep`, flagged-row count).
+    */
+  private[graft] def checkpointCounting(df: DataFrame, flag: Column,
+                                        keep: Seq[String]): (DataFrame, Long) = {
+    val acc = df.sparkSession.sparkContext.longAccumulator("graft.cc.flagged")
+    // the side-effecting probe must survive optimization: nondeterministic
+    // stops Catalyst from folding, pruning, or re-evaluating it, and the
+    // checkpoint materializes every output column exactly once per row
+    val tick = udf { c: Boolean => if (c) acc.add(1L); true }.asNondeterministic()
+    val ck = df.withColumn("__probe", tick(coalesce(flag, lit(false))))
+      .localCheckpoint(true)
+    (ck.select(keep.map(col): _*), acc.value)
+  }
+
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
                           maxIter: Int = 20): DataFrame = {
     // materialize the (expensive, LSH+jaccard-derived) pair list once, as
@@ -422,13 +449,15 @@ object Dedup {
     // checkpoint stores and every remap join carries; instead each round's
     // neighbour-min unions the two directed projections lazily (same
     // shuffle volume into the groupBy, half the materialized bytes)
-    var g = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .localCheckpoint(true)
+    val (g0, e0) = checkpointCounting(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .filter(col("src") =!= col("dst")),
+      lit(true), Seq("src", "dst"))
+    var g = g0
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
       .localCheckpoint(true)
     var i = 0
-    var done = g.isEmpty
+    var done = e0 == 0L
     while (!done && i < maxIter) {
       var m = neighbourMin(g).localCheckpoint(true)
       // pointer jumping on the map alone: squaring halves the forest depth
@@ -444,31 +473,38 @@ object Dedup {
       var mStable = false
       var j = 0
       while (!mStable && j < 20) {
-        // TWO squarings per driver probe: the first stays a lazy plan, the
-        // second checkpoints and reports whether IT changed anything. A
-        // stable map squares to itself, so probing only the second pass is
-        // exact — and deep chains pay half the blocking round-trips (each
-        // probe now jumps depth by 4x, not 2x)
-        val m2 = squared(squared(m).select("__mid", "__mv")).localCheckpoint(true)
-        mStable = !m2.agg(coalesce(max(col("__chg")), lit(false))).head().getBoolean(0)
-        m = m2.select("__mid", "__mv")
+        // TWO squarings per blocking job: the first stays a lazy plan, the
+        // second checkpoints WITH the change count riding its own
+        // materialization (a stable map squares to itself, so probing only
+        // the second pass is exact). Each iteration of this loop is now
+        // exactly ONE blocking job jumping depth by 4x — round 5 paid two
+        // (checkpoint, then a separate .head() probe)
+        val (m2, nChanged) = checkpointCounting(
+          squared(squared(m).select("__mid", "__mv")),
+          col("__chg"), Seq("__mid", "__mv"))
+        mStable = nChanged == 0L
+        m = m2
         j += 1
       }
       labels = labels.join(m, labels("comp") === m("__mid"), "left_outer")
         .select(col("id"), coalesce(col("__mv"), col("comp")).as("comp"))
         .localCheckpoint(true)
       // remap the undirected list; canonicalize (least, greatest) so the
-      // distinct() collapses both orientations of a contracted edge
-      g = g.join(m.select(col("__mid").as("__sid"), col("__mv").as("__sv")),
-                 col("src") === col("__sid"))
-        .join(m.select(col("__mid").as("__did"), col("__mv").as("__dv")),
-              col("dst") === col("__did"))
-        .select(least(col("__sv"), col("__dv")).as("src"),
-                greatest(col("__sv"), col("__dv")).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .localCheckpoint(true)
-      done = g.isEmpty
+      // distinct() collapses both orientations of a contracted edge; the
+      // edge count rides the checkpoint job, so the old g.isEmpty probe
+      // job disappears too
+      val (g2, nEdges) = checkpointCounting(
+        g.join(m.select(col("__mid").as("__sid"), col("__mv").as("__sv")),
+               col("src") === col("__sid"))
+          .join(m.select(col("__mid").as("__did"), col("__mv").as("__dv")),
+                col("dst") === col("__did"))
+          .select(least(col("__sv"), col("__dv")).as("src"),
+                  greatest(col("__sv"), col("__dv")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct(),
+        lit(true), Seq("src", "dst"))
+      g = g2
+      done = nEdges == 0L
       i += 1
     }
     labels.select(col("id").as(idCol), col("comp"))

@@ -328,10 +328,16 @@ object Similarity {
   def pqAdc(qv: Column, codes: Seq[Column], cbs: Seq[Seq[(Int, Seq[Double])]]): Column =
     cbs.zipWithIndex.map { case (cb, m) =>
       val sub = slice(qv, m * PqSub + 1, PqSub)
+      // a code outside the codebook means the codes did NOT come from
+      // pqEncode with these codebooks — fail loudly instead of silently
+      // yielding a NULL distance that sinks the row to the ranking bottom
       val cw = cb.tail.foldLeft(
         when(codes(m) === cb.head._1, array(cb.head._2.map(lit): _*))) {
         case (acc, (cid, cv)) => acc.when(codes(m) === cid, array(cv.map(lit): _*))
-      }
+      }.otherwise(raise_error(concat(
+        lit(s"pqAdc: code for subspace $m outside codebook (expected one of " +
+          s"${cb.map(_._1).mkString("[", ",", "]")}), got "),
+        codes(m).cast("string"))))
       round(graft.functions.DistanceFunctions.sqDist(sub, cw), 6)
     }.reduce(_ + _)
 }

@@ -134,6 +134,17 @@ object DedupQueries {
     else memo(bandsCache, (s, d), () => build(true))
   }
 
+  /** Amortization observability: how often the verified-pair memo was hit
+    * vs built this JVM. The bench embeds this in its artifact so a slow
+    * `dedup_clusters` driver number is attributable — "22 s including pair
+    * construction (miss)" and "22 s of pure clustering (hit)" demand
+    * different fixes, and medians alone cannot tell them apart.
+    */
+  private val pairMemoHits = new java.util.concurrent.atomic.AtomicLong
+  private val pairMemoMisses = new java.util.concurrent.atomic.AtomicLong
+  def pairsMemoStats: String =
+    s"hit=${pairMemoHits.get},miss=${pairMemoMisses.get}"
+
   private[queries] def minhashPairsRaw(s: SparkSession, d: String): DataFrame = {
     def build(): DataFrame = {
       val (toks, bands) = tokensAndBands(s, d)
@@ -142,7 +153,12 @@ object DedupQueries {
         .filter(col("jaccard") >= 0.7)
     }
     if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build()
-    else memo(pairCache, (s, d), () => build().localCheckpoint(true))
+    else {
+      val hit = pairCache.containsKey((s, d))
+      (if (hit) pairMemoHits else pairMemoMisses).incrementAndGet()
+      System.err.println(s"[graft] minhashPairsRaw memo ${if (hit) "hit" else "miss"} for $d")
+      memo(pairCache, (s, d), () => build().localCheckpoint(true))
+    }
   }
 
   def minhashPairs(s: SparkSession, d: String): DataFrame =

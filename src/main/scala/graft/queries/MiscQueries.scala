@@ -338,11 +338,20 @@ object MiscQueries {
       .select(col("event_type"), col("bin"), col("p").as("pa"), col("tn").as("na"))
     val b = shares.filter(col("period") === "b")
       .select(col("event_type"), col("bin"), col("p").as("pb"), col("tn").as("nb"))
-    a.join(b, Seq("event_type", "bin"))
+    val psiByType = a.join(b, Seq("event_type", "bin"))
       .groupBy("event_type")
-      .agg(min("na").as("n_a"), min("nb").as("n_b"),
-        sum(floor((col("pb") - col("pa")) * log(col("pb") / col("pa")) * lit(1e9))
+      .agg(sum(floor((col("pb") - col("pa")) * log(col("pb") / col("pa")) * lit(1e9))
           .cast("long")).as("psi_nano"))
+    // n_a/n_b are RAW period counts (not binned-grid totals): an
+    // event_type with zero baseline rows has no fitted edges, so its
+    // period-'b' rows never bin — reporting its n_b from the binned path
+    // would claim 0 rows for a type that has data. Such types surface with
+    // their true counts and a NULL psi (unscorable without a baseline)
+    // instead of a misleading psi = 0.
+    val rawCounts = tagged.groupBy("event_type")
+      .agg(sum(when(col("period") === "a", 1L).otherwise(0L)).as("n_a"),
+           sum(when(col("period") === "b", 1L).otherwise(0L)).as("n_b"))
+    rawCounts.join(psiByType, Seq("event_type"), "left_outer")
       .select(col("event_type"), col("n_a"), col("n_b"), col("psi_nano"),
         round(col("psi_nano").cast("double") / lit(1e9), 6).as("psi"))
       .orderBy("event_type")
@@ -402,15 +411,21 @@ object MiscQueries {
         |    (CAST(f.n AS DOUBLE) + 1.0) / (CAST(tt.tn AS DOUBLE) + 10.0) AS p
         |  FROM f JOIN tt USING (event_type, period)),
         |ps AS (
-        |  SELECT a.event_type, min(a.tn) AS n_a, min(b.tn) AS n_b,
+        |  SELECT a.event_type,
         |    CAST(sum(CAST(floor((b.p - a.p) * ln(b.p / a.p) * 1000000000.0)
         |                  AS BIGINT)) AS BIGINT) AS psi_nano
         |  FROM sh a JOIN sh b ON a.event_type = b.event_type AND a.bin = b.bin
         |   AND a.period = 'a' AND b.period = 'b'
-        |  GROUP BY a.event_type)
-        |SELECT event_type, n_a, n_b, psi_nano,
-        |  round(CAST(psi_nano AS DOUBLE) / 1000000000.0, 6) AS psi
-        |FROM ps ORDER BY event_type""".stripMargin,
+        |  GROUP BY a.event_type),
+        |raw AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM t GROUP BY event_type)
+        |SELECT raw.event_type, raw.n_a, raw.n_b, ps.psi_nano,
+        |  round(CAST(ps.psi_nano AS DOUBLE) / 1000000000.0, 6) AS psi
+        |FROM raw LEFT JOIN ps USING (event_type)
+        |ORDER BY raw.event_type""".stripMargin,
     "profile_anomaly" ->
       """WITH m AS (
         |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med

@@ -165,8 +165,13 @@ object SamplingQueries {
       .withColumn("target", floor(
         (col("__w").cast("double") / col("__wsum").cast("double"))
           * col("budget").cast("double")).cast("long"))
-      .withColumn("epochs_centi", least(lit(100L * MaxEpochs),
-        expr("(target * 100 + avail - 1) div avail")))
+      // avail = 0 (a language whose docs are all empty text) must not hit
+      // the ceil-division: Spark `div` would yield NULL where DuckDB `//`
+      // raises Division-by-Zero — a silent engine divergence. Zero tokens
+      // available means zero epochs, stated explicitly in BOTH engines.
+      .withColumn("epochs_centi", when(col("avail") > 0,
+        least(lit(100L * MaxEpochs),
+          expr("(target * 100 + avail - 1) div avail"))).otherwise(lit(0L)))
       .withColumn("effective", least(col("target"), col("avail") * MaxEpochs))
       .select(col("lang"), col("avail"), col("target"), col("epochs_centi"),
         col("effective"),
@@ -260,8 +265,10 @@ object SamplingQueries {
          |  FROM r),
          |y AS (
          |  SELECT lang, avail, target,
-         |    least(CAST(${100L * MaxEpochs} AS BIGINT),
-         |          (target * 100 + avail - 1) // avail) AS epochs_centi,
+         |    CASE WHEN avail > 0 THEN
+         |      least(CAST(${100L * MaxEpochs} AS BIGINT),
+         |            (target * 100 + avail - 1) // avail)
+         |    ELSE CAST(0 AS BIGINT) END AS epochs_centi,
          |    least(target, avail * $MaxEpochs) AS effective
          |  FROM x)
          |SELECT lang, avail, target, epochs_centi, effective,

@@ -99,10 +99,13 @@ object ScaleSmoke {
     require(nSpansMin > 0 && nSpansMin < nSpans / 2,
       s"winnowed spans not sub-linear: $nSpansMin vs $nSpans stride-1 rows")
 
-    // materialize the pair frame and the rank frame ONCE for all the
-    // assertions below — each defs(...) call re-derives the full LSH +
-    // verify pipeline (the smoke session leaves sharePairs off), and at
-    // 10x scale every redundant derivation costs ~15s of untimed budget
+    // assertion section: timed passes above ran with sharePairs OFF (cold,
+    // honest per-query timings); the assertions only need consistent ROWS,
+    // so turn the memo ON here — the pair frame below is derived once and
+    // every internal minhashPairsRaw call (e.g. inside graph_domain_rank's
+    // edge derivation) hits the same checkpointed frame instead of
+    // re-deriving the LSH + verify pipeline (~15s per derivation at 10x)
+    spark.conf.set("spark.graft.dedup.sharePairs", "true")
     val pairFrame = graft.queries.DedupQueries.defs("dedup_minhash_pairs")(spark, dir)
       .localCheckpoint(true)
     val rankFrame = graft.queries.GraphQueries.defs("graph_domain_rank")(spark, dir)
