@@ -33,7 +33,9 @@ object TrendsJob {
       weekStart: Option[String] = None,
       weekEnd: Option[String] = None,
       terms: Seq[String] = TrendsPipeline.DefaultTerms,
-      mode: String = "overwrite")
+      mode: String = "overwrite",
+      // live-mode fetch retry budget (ref `TrendReq(retries=20)`)
+      retries: Int = 20)
 
   def parse(args: Array[String]): Config = {
     def loop(rest: List[String], cfg: Config): Config = rest match {
@@ -43,10 +45,12 @@ object TrendsJob {
       case "--week-end" :: v :: t   => loop(t, cfg.copy(weekEnd = Some(v)))
       case "--terms" :: v :: t      => loop(t, cfg.copy(terms = v.split(",").toSeq))
       case "--mode" :: v :: t       => loop(t, cfg.copy(mode = v))
+      case "--retries" :: v :: t    => loop(t, cfg.copy(retries = v.toInt))
       case Nil                      => cfg
       case bad :: _ => throw new IllegalArgumentException(
         s"unknown argument '$bad'; expected --input --out " +
-          "[--week-start --week-end] [--terms a,b,c] [--mode overwrite|append]")
+          "[--week-start --week-end] [--terms a,b,c] [--mode overwrite|append] " +
+          "[--retries n]")
     }
     val cfg = loop(args.toList, Config())
     require(cfg.input.nonEmpty && cfg.out.nonEmpty, "--input and --out are required")
@@ -79,7 +83,11 @@ object TrendsJob {
               today: LocalDate = LocalDate.now(java.time.ZoneOffset.UTC)): (String, String) = {
     val (ws, we) = resolveWeek(cfg, today)
     val wide = fetcher match {
-      case Some(f) => TrendsSource.fromFetcher(spark, f, cfg.terms, ws, we)
+      // the retry budget wraps HERE, at the job boundary, so a scheduler
+      // plugging a raw HTTP fetcher gets the reference's retries=20
+      // semantics without knowing about the decorator
+      case Some(f) => TrendsSource.fromFetcher(spark,
+        new TrendsSource.RetryingFetcher(f, cfg.retries), cfg.terms, ws, we)
       case None if cfg.input.endsWith(".csv") =>
         TrendsSource.fromCsv(spark, cfg.input, cfg.terms)
       case None => TrendsSource.fromParquet(spark, cfg.input, cfg.terms)

@@ -28,18 +28,71 @@ object TrendsSource {
     def fetch(terms: Seq[String], weekStart: String, weekEnd: String): Seq[Interest]
   }
 
-  /** Driver-side bounded retry (ref `retries=20`), then DataFrame-ify. */
+  /** Bounded-retry + backoff decorator around any [[Fetcher]] — the live-mode
+    * retry budget of the reference's entry point (`TrendReq(retries=20)`,
+    * `/root/reference/dags/google_trends_to_bigquery.py:36`; pytrends
+    * delegates to urllib3's `Retry(total=retries, backoff_factor=...)`,
+    * whose sleep schedule is `backoff_factor * 2^(attempt-1)` seconds).
+    *
+    * Retries happen on the DRIVER, before any data enters a plan — a fetch
+    * is an external-API side effect, and wrapping it in executor-side retry
+    * (a task re-run) would re-issue the call once per partition attempt with
+    * no budget. Exhaustion throws with the last error as cause, so the
+    * scheduler's failure alert carries the real upstream problem.
+    *
+    * @param inner     the fetcher to decorate
+    * @param retries   additional attempts after the first failure (ref: 20)
+    * @param backoffFactorMs sleep `backoffFactorMs * 2^(attempt-1)` ms
+    *   before retry `attempt` (urllib3 formula); 0 (the pytrends default
+    *   the reference runs with) never sleeps
+    * @param maxBackoffMs cap on a single sleep (urllib3 DEFAULT_BACKOFF_MAX
+    *   analog) so deep retry budgets don't grow sleeps unboundedly
+    * @param sleeper   injectable sleep for tests (defaults to Thread.sleep)
+    */
+  final class RetryingFetcher(inner: Fetcher, retries: Int = 20,
+                              backoffFactorMs: Long = 0L,
+                              maxBackoffMs: Long = 30000L,
+                              sleeper: Long => Unit = Thread.sleep)
+      extends Fetcher {
+    require(retries >= 0, s"retries must be >= 0, got $retries")
+    require(backoffFactorMs >= 0, s"backoffFactorMs must be >= 0, got $backoffFactorMs")
+
+    /** Sleep before retry `attempt` (1-based), in ms: urllib3's
+      * `backoff_factor * 2^(attempt-1)`, capped.
+      */
+    def backoffMs(attempt: Int): Long =
+      math.min(backoffFactorMs << math.min(attempt - 1, 30), maxBackoffMs)
+
+    override def fetch(terms: Seq[String], weekStart: String,
+                       weekEnd: String): Seq[Interest] = {
+      var attempt = 0
+      while (true) {
+        try return inner.fetch(terms, weekStart, weekEnd)
+        catch {
+          case e: Exception =>
+            attempt += 1
+            if (attempt > retries) throw new RuntimeException(
+              s"trends fetch failed after $retries retries", e)
+            val ms = backoffMs(attempt)
+            if (ms > 0) sleeper(ms)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Driver-side bounded retry (ref `retries=20`), then DataFrame-ify.
+    * An already-[[RetryingFetcher]] passes through untouched (budgets
+    * must not stack); a bare fetcher gets the default no-backoff budget
+    * the reference runs with.
+    */
   def fromFetcher(spark: SparkSession, fetcher: Fetcher, terms: Seq[String],
                   weekStart: String, weekEnd: String, retries: Int = 20): DataFrame = {
-    var attempt = 0
-    var result: Option[Seq[Interest]] = None
-    var lastErr: Throwable = null
-    while (result.isEmpty && attempt <= retries) {
-      try result = Some(fetcher.fetch(terms, weekStart, weekEnd))
-      catch { case e: Exception => lastErr = e; attempt += 1 }
+    val retrying = fetcher match {
+      case r: RetryingFetcher => r
+      case f                  => new RetryingFetcher(f, retries)
     }
-    val rows = result.getOrElse(throw new RuntimeException(
-      s"trends fetch failed after $retries retries", lastErr))
+    val rows = retrying.fetch(terms, weekStart, weekEnd)
     rows.find(_.interests.length != terms.length).foreach { bad =>
       throw new IllegalArgumentException(
         s"fetcher returned ${bad.interests.length} interests for " +
