@@ -29,16 +29,36 @@ object Layout {
     */
   val Bits = 12
 
-  /** Interleave the low [[Bits]] bits of two non-negative integral columns:
-    * bit i of `a` lands at even position 2i, bit i of `b` at odd 2i+1.
-    * Inputs must already be in [0, 2^Bits) — see [[rank16]] for scaling
-    * arbitrary columns into that space.
+  /** N-dimensional Morton interleave: bit i of dimension d lands at
+    * position `i * N + d` (dimension 0 in the low bit of each group, so
+    * the 2-dim case reproduces the classic even/odd interleave). Inputs
+    * must already be non-negative and in [0, 2^bits); the result must fit
+    * a signed long, so `N * bits <= 63` — at the default 12 bits that
+    * allows up to 5 dimensions, and callers layouting more dims should
+    * spend a smaller per-dim budget (pruning power per dim shrinks with N
+    * anyway: each file's bounding box side grows as file_count^(-1/N)).
+    *
+    * Still a pure shift/and/or Column expression (whole-stage codegen'd,
+    * oracle-stateable in ANSI SQL): N * bits terms OR-reduced.
     */
-  def zvalue(a: Column, b: Column): Column =
-    (0 until Bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _).cast("long")
+  def zvalue(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty, "zvalue needs at least one dimension")
+    require(bits > 0 && cols.size * bits <= 63,
+      s"${cols.size} dims x $bits bits overflow a signed long (max 63)")
+    val n = cols.size
+    (for {
+      i <- 0 until bits
+      (c, d) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + d))
+      .reduce(_ bitwiseOR _).cast("long")
+  }
+
+  def zvalue(cols: Seq[Column]): Column = zvalue(cols, Bits)
+
+  /** The 2-dim special case: bit i of `a` at even position 2i, bit i of
+    * `b` at odd 2i+1 (≡ `zvalue(Seq(a, b))`).
+    */
+  def zvalue(a: Column, b: Column): Column = zvalue(Seq(a, b), Bits)
 
   /** Linear min/max scaling of a numeric column into the [0, 2^Bits) rank
     * space: `floor((x - lo) / max(hi - lo, 1e-9) * 2^Bits)`, then clamped
@@ -62,10 +82,17 @@ object Layout {
     * row order the files inherit is preserved).
     */
   def writeZOrdered(df: DataFrame, colA: String, colB: String,
-                    path: String, numFiles: Int): Unit = {
-    val b = bounds(df, colA, colB)
-    df.withColumn("__z",
-        zvalue(scaled(col(colA), b(0), b(1)), scaled(col(colB), b(2), b(3))))
+                    path: String, numFiles: Int): Unit =
+    writeZOrdered(df, Seq(colA, colB), path, numFiles)
+
+  /** N-dim form: one agg pass for ALL dimensions' bounds, then the same
+    * single range exchange on the interleaved value.
+    */
+  def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
+                    numFiles: Int, bits: Int = Bits): Unit = {
+    val b = boundsN(df, cols)
+    df.withColumn("__z", zvalue(
+        cols.zip(b).map { case (c, (lo, hi)) => scaled(col(c), lo, hi) }, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
@@ -82,11 +109,18 @@ object Layout {
 
   /** (minA, maxA, minB, maxB) in one pass. */
   def bounds(df: DataFrame, colA: String, colB: String): Array[Double] = {
-    val r = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
-    require(!r.anyNull, s"z-order bounds: $colA/$colB must be non-null")
-    Array(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val b = boundsN(df, Seq(colA, colB))
+    Array(b(0)._1, b(0)._2, b(1)._1, b(1)._2)
+  }
+
+  /** Per-dimension (min, max), ALL dims in one agg pass. */
+  def boundsN(df: DataFrame, cols: Seq[String]): Seq[(Double, Double)] = {
+    require(cols.nonEmpty, "boundsN needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!r.anyNull, s"z-order bounds: ${cols.mkString("/")} must be non-null")
+    cols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
   }
 
   /** Per-file (min, max) of a column — the stats a pruning engine reads

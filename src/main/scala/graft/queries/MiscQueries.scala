@@ -226,6 +226,24 @@ object MiscQueries {
            max("z").cast("long").as("max_z"))
       .orderBy("cell")
 
+  /** 3-dim Morton layout audit — [[layoutZvalue]] extended to the N-dim
+    * interleave (`Layout.zvalue(Seq(...))`): custkey x orderkey x
+    * floor(totalprice), 12 bits each, 36-bit z-values, cell = top 6 bits.
+    * floor() before the integer cast keeps the two engines identical
+    * (Spark CAST(double AS BIGINT) truncates, DuckDB rounds).
+    */
+  def layoutZvalue3(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(Layout.zvalue(Seq(
+        pmod(col("o_custkey"), lit(4096)).cast("long"),
+        pmod(col("o_orderkey"), lit(4096)).cast("long"),
+        pmod(floor(col("o_totalprice")).cast("long"), lit(4096)))).as("z"))
+      .groupBy(shiftright(col("z"), 30).cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"),
+           min("z").cast("long").as("min_z"),
+           max("z").cast("long").as("max_z"))
+      .orderBy("cell")
+
   /** Exact per-group value quantiles (p25/p50/p90/p99 of order totals by
     * status) — the column-distribution half of profiling, next to
     * [[profileOrders]]'s min/max/distinct and [[skewProfile]]'s key sizes.
@@ -363,6 +381,7 @@ object MiscQueries {
     "profile_quantiles" -> (profileQuantiles _),
     "profile_orders" -> (profileOrders _),
     "layout_zvalue" -> (layoutZvalue _),
+    "layout_zvalue3" -> (layoutZvalue3 _),
     "profile_skew" -> (skewProfile _),
     "c14_pivot" -> (pivot _),
     "c4b_cube" -> (cube _),
@@ -461,6 +480,21 @@ object MiscQueries {
          |                  CAST(o_orderkey % 4096 AS BIGINT) AS b FROM orders),
          |z AS (SELECT (${terms.mkString(" | ")}) AS z FROM t)
          |SELECT CAST(z >> 18 AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(min(z) AS BIGINT) AS min_z, CAST(max(z) AS BIGINT) AS max_z
+         |FROM z GROUP BY cell ORDER BY cell""".stripMargin
+    },
+    "layout_zvalue3" -> {
+      // 3-dim interleave: bit i of dim d lands at 3i + d
+      val terms = (0 until Layout.Bits).flatMap(i => Seq(
+        s"(((a >> $i) & 1) << ${3 * i})",
+        s"(((b >> $i) & 1) << ${3 * i + 1})",
+        s"(((c >> $i) & 1) << ${3 * i + 2})"))
+      s"""WITH t AS (SELECT CAST(o_custkey % 4096 AS BIGINT) AS a,
+         |                  CAST(o_orderkey % 4096 AS BIGINT) AS b,
+         |                  CAST(floor(o_totalprice) AS BIGINT) % 4096 AS c
+         |           FROM orders),
+         |z AS (SELECT (${terms.mkString(" | ")}) AS z FROM t)
+         |SELECT CAST(z >> 30 AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n,
          |       CAST(min(z) AS BIGINT) AS min_z, CAST(max(z) AS BIGINT) AS max_z
          |FROM z GROUP BY cell ORDER BY cell""".stripMargin
     },

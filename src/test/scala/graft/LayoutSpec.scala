@@ -47,6 +47,98 @@ class LayoutSpec extends SparkSpec {
       .foreach { case (a, b, z) => assert(z === mortonRef(a, b), s"fuzz($a, $b)") }
   }
 
+  private def mortonRefN(dims: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      var d = 0
+      while (d < dims.length) {
+        z |= ((dims(d) >> i) & 1L) << (i * dims.length + d)
+        d += 1
+      }
+      i += 1
+    }
+    z
+  }
+
+  test("N-dim zvalue matches the reference, degenerates to 2-dim, rejects overflow") {
+    // 3-dim corner set
+    val probes3 = for {
+      a <- Seq(0L, 1L, 5L, 4095L); b <- Seq(0L, 7L, 2048L); c <- Seq(0L, 1L, 4095L)
+    } yield (a, b, c)
+    probes3.toDF("a", "b", "c")
+      .select($"a", $"b", $"c", Layout.zvalue(Seq($"a", $"b", $"c")).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+      .foreach { case (a, b, c, z) =>
+        assert(z === mortonRefN(Seq(a, b, c), Layout.Bits), s"zvalue3($a, $b, $c)") }
+    // seeded 3-dim fuzz
+    val rnd = new scala.util.Random(7)
+    Seq.fill(2000)((rnd.nextInt(1 << Layout.Bits).toLong,
+                    rnd.nextInt(1 << Layout.Bits).toLong,
+                    rnd.nextInt(1 << Layout.Bits).toLong))
+      .toDF("a", "b", "c")
+      .select($"a", $"b", $"c", Layout.zvalue(Seq($"a", $"b", $"c")).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+      .foreach { case (a, b, c, z) =>
+        assert(z === mortonRefN(Seq(a, b, c), Layout.Bits), s"fuzz3($a, $b, $c)") }
+    // the Seq form at n=2 IS the classic even/odd interleave
+    Seq((3L, 9L), (4095L, 0L), (1234L, 567L)).toDF("a", "b")
+      .select(Layout.zvalue(Seq($"a", $"b")).as("zn"),
+              Layout.zvalue($"a", $"b").as("z2"))
+      .as[(Long, Long)].collect()
+      .foreach { case (zn, z2) => assert(zn === z2) }
+    // 4-dim with a smaller per-dim budget still fits and round-trips
+    Seq((1L, 2L, 3L, 4L)).toDF("a", "b", "c", "d")
+      .select(Layout.zvalue(Seq($"a", $"b", $"c", $"d"), 8).as("z"))
+      .as[Long].collect()
+      .foreach(z => assert(z === mortonRefN(Seq(1L, 2L, 3L, 4L), 8)))
+    // signed-long overflow is rejected loudly, not wrapped silently
+    intercept[IllegalArgumentException] {
+      Layout.zvalue(Seq($"a", $"b", $"c", $"d", $"a", $"b"), 12)
+    }
+  }
+
+  test("3-dim z-order prunes on the THIRD dimension and a 3-dim box hits <= k/16 files") {
+    val orders = Tables.orders(spark, sf("sf0.01"))
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val zPath = tmp("layout_z3")
+    val files = 64
+    Layout.writeZOrdered(orders,
+      Seq("o_custkey", "o_orderkey", "o_totalprice"), zPath, files)
+    val zBack = spark.read.parquet(zPath)
+    assert(zBack.count() === orders.count())
+    assert(zBack.exceptAll(orders).isEmpty && orders.exceptAll(zBack).isEmpty)
+
+    val b = Layout.boundsN(orders, Seq("o_custkey", "o_orderkey", "o_totalprice"))
+    def band(dim: Int, from: Double, to: Double): (Double, Double) = {
+      val (lo, hi) = b(dim)
+      (lo + from * (hi - lo), lo + to * (hi - lo))
+    }
+    // 5% band on the THIRD dimension alone: a 64-file 3-dim layout is ~a
+    // 4x4x4 grid, so the band keeps ~one slab (1/4 of files) + boundary
+    // slack — the dimension a linear or 2-dim layout can't prune at all
+    val (plo, phi) = band(2, 0.40, 0.45)
+    val pStats = Layout.fileStats(zBack, "o_totalprice")
+    val pCand = pStats.filter($"hi" >= plo && $"lo" <= phi).count()
+    assert(pCand <= files / 2,
+      s"3rd-dim candidates $pCand of $files — no pruning on the added dim")
+
+    // a box over ALL THREE dims multiplies the per-dim cuts: <= k/16
+    val (alo, ahi) = band(0, 0.40, 0.45)
+    val (blo, bhi) = band(1, 0.40, 0.45)
+    val boxCand = Layout.fileStats(zBack, "o_custkey")
+      .withColumnRenamed("lo", "alo").withColumnRenamed("hi", "ahi")
+      .join(Layout.fileStats(zBack, "o_orderkey")
+        .withColumnRenamed("lo", "blo").withColumnRenamed("hi", "bhi"), "file")
+      .join(pStats, "file")
+      .filter($"ahi" >= alo && $"alo" <= ahi &&
+              $"bhi" >= blo && $"blo" <= bhi &&
+              $"hi" >= plo && $"lo" <= phi)
+      .count()
+    assert(boxCand <= files / 16,
+      s"3-dim box candidates $boxCand of $files — boxes not tight in all dims")
+  }
+
   test("z-order files are pruned on BOTH dimensions; linear sort only on one") {
     val orders = Tables.orders(spark, sf("sf0.01"))
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")

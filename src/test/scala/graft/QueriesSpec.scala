@@ -109,6 +109,7 @@ class QueriesSpec extends SparkSpec {
     "dedup_spans_minimized" -> 506L,
     "dedup_spans_incremental" -> 89L,
     "layout_zvalue" -> 3L,
+    "layout_zvalue3" -> 8L,
     "graph_domain_rank" -> 20L,
     "graph_domain_communities" -> 20L,
     "sim_pq_ann" -> 50L,

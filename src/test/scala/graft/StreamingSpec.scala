@@ -295,6 +295,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join DROPS late rows at the watermark and reports the count") {
+    // the other half of watermark semantics: eviction is pinned elsewhere;
+    // here a row arriving BEHIND the watermark must be discarded pre-join
+    // — and the discard must be observable in stateOperators'
+    // numRowsDroppedByWatermark, the metric a production monitor alarms on
+    // (silent late-data loss is how a 100 TB/day pipeline quietly
+    // undercounts)
+    implicit val sqlCtx = spark.sqlContext
+    val memC = MemoryStream[Ev]
+    val memV = MemoryStream[Ev]
+    val q = Streams.clicksWithRecentViewsOuter(memC.toDF(), memV.toDF())
+      .writeStream.format("memory").queryName("ssjl").outputMode("append").start()
+    def drops(): Long =
+      q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+    try {
+      memV.addData(Seq(Ev(20, t(40), 1, "view", 2.0)))
+      memC.addData(Seq(Ev(10, t(50), 1, "click", 0.0)))
+      q.processAllAvailable()
+      // push BOTH sides' watermarks (the global one is their min) far past
+      // the first batch, so t(30) is now provably late
+      memV.addData(Seq(Ev(98, t(10000), 99, "view", 0.0)))
+      memC.addData(Seq(Ev(99, t(10000), 99, "click", 0.0)))
+      q.processAllAvailable()
+      val before = drops()
+      // a late view that WOULD have matched click 10 (t(50) - 30min <=
+      // t(30) <= t(50)) had it arrived on time
+      memV.addData(Seq(Ev(30, t(30), 1, "view", 7.0)))
+      q.processAllAvailable()
+      assert(drops() - before >= 1L,
+        s"late view not counted in numRowsDroppedByWatermark (before=$before, after=${drops()})")
+      // and it must NOT have joined: no output row carries its value
+      assert(spark.table("ssjl").filter($"view_value" === 7.0).isEmpty,
+        "late view leaked into the join output despite the watermark")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment matches the batch join, stateless") {
     val dims = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
     val batch = Streams.enriched(evs.toDF(), dims)
