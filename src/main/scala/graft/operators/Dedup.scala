@@ -486,23 +486,38 @@ object Dedup {
         m = m2
         j += 1
       }
-      labels = labels.join(m, labels("comp") === m("__mid"), "left_outer")
-        .select(col("id"), coalesce(col("__mv"), col("comp")).as("comp"))
-        .localCheckpoint(true)
+      // label relabel and edge remap both depend only on (m, labels, g) —
+      // materialize them CONCURRENTLY (Spark job submission is
+      // thread-safe), collapsing two serial blocking jobs per round into
+      // one wall-clock latency; on a real cluster that is a full
+      // job-submission round-trip saved per CC round
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val prevLabels = labels
+      val fLabels = Future {
+        prevLabels.join(m, prevLabels("comp") === m("__mid"), "left_outer")
+          .select(col("id"), coalesce(col("__mv"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+      }
       // remap the undirected list; canonicalize (least, greatest) so the
       // distinct() collapses both orientations of a contracted edge; the
       // edge count rides the checkpoint job, so the old g.isEmpty probe
       // job disappears too
-      val (g2, nEdges) = checkpointCounting(
-        g.join(m.select(col("__mid").as("__sid"), col("__mv").as("__sv")),
-               col("src") === col("__sid"))
-          .join(m.select(col("__mid").as("__did"), col("__mv").as("__dv")),
-                col("dst") === col("__did"))
-          .select(least(col("__sv"), col("__dv")).as("src"),
-                  greatest(col("__sv"), col("__dv")).as("dst"))
-          .filter(col("src") =!= col("dst"))
-          .distinct(),
-        lit(true), Seq("src", "dst"))
+      val fG = Future {
+        checkpointCounting(
+          g.join(m.select(col("__mid").as("__sid"), col("__mv").as("__sv")),
+                 col("src") === col("__sid"))
+            .join(m.select(col("__mid").as("__did"), col("__mv").as("__dv")),
+                  col("dst") === col("__did"))
+            .select(least(col("__sv"), col("__dv")).as("src"),
+                    greatest(col("__sv"), col("__dv")).as("dst"))
+            .filter(col("src") =!= col("dst"))
+            .distinct(),
+          lit(true), Seq("src", "dst"))
+      }
+      labels = Await.result(fLabels, Duration.Inf)
+      val (g2, nEdges) = Await.result(fG, Duration.Inf)
       g = g2
       done = nEdges == 0L
       i += 1
