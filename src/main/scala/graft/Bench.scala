@@ -36,7 +36,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // share the verified near-dup pair frame between dedup_minhash_pairs
       // and dedup_clusters (bit-identical rows; Verify leaves this off so
-      // the correctness gate always recomputes from scratch)
+      // the correctness gate always recomputes from scratch).
+      // DECISION (round 6): dedup_clusters STAYS in the headline set —
+      // the pairs_memo marker in the artifact now distinguishes "number
+      // includes pair-pipeline construction" (miss) from "pure
+      // clustering" (hit), which was the only reason to consider
+      // dropping it.
       .config("spark.graft.dedup.sharePairs", "true")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()

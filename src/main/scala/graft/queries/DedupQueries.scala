@@ -167,6 +167,31 @@ object DedupQueries {
               round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** MinHash Jaccard ESTIMATOR audit: for every verified near-dup pair,
+    * the signature-collision estimate (fraction of the K minhash slots
+    * that agree — the textbook unbiased estimator, variance j(1-j)/K)
+    * next to the exact bitset Jaccard. This is the query that tunes K
+    * before a 1000x corpus scale-up: if `jaccard_est` disperses too far
+    * from `jaccard` at the 0.7 threshold, banding misses pairs and K must
+    * rise (more signature work per doc) — measured here instead of
+    * guessed. Signature recompute + two K-wide joins on the verified-pair
+    * relation; nothing corpus-quadratic.
+    */
+  def minhashEst(s: SparkSession, d: String): DataFrame = {
+    val (toks, _) = tokensAndBands(s, d)
+    val sig = Dedup.minhashSignatures(toks, "doc_id", K)
+    val sa = sig.toDF(("a" +: (0 until K).map(i => s"a_m$i")).toIndexedSeq: _*)
+    val sb = sig.toDF(("b" +: (0 until K).map(i => s"b_m$i")).toIndexedSeq: _*)
+    val agree = (0 until K)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    minhashPairsRaw(s, d).join(sa, "a").join(sb, "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+              round(col("jaccard"), 4).as("jaccard"),
+              round(agree.cast("double") / lit(K.toDouble), 4).as("jaccard_est"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Dedup cluster formation: connected components over the MinHash
     * near-dup pairs; `comp` is the canonical (minimum) doc id of each
     * cluster, `keeper` marks the document a pipeline would retain.
@@ -787,6 +812,7 @@ object DedupQueries {
     "dedup_exact_keep" -> (exactKeep _),
     "dedup_minhash_sigs" -> (minhashSigs _),
     "dedup_minhash_pairs" -> (minhashPairs _),
+    "dedup_minhash_est" -> (minhashEst _),
     "dedup_clusters" -> (clusters _),
     "dedup_clusters_stored" -> (clustersStored _),
     "dedup_clusters_incremental" -> (clustersIncremental _),
@@ -1074,6 +1100,18 @@ object DedupQueries {
       s"""WITH $verifiedPairsCtes
          |SELECT a AS doc_a, b AS doc_b, round(jac, 4) AS jaccard
          |FROM vp ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_est" -> {
+      val agree = (0 until K)
+        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $verifiedPairsCtes
+         |SELECT vp.a AS doc_a, vp.b AS doc_b, round(vp.jac, 4) AS jaccard,
+         |       round(($agree) / $K.0, 4) AS jaccard_est
+         |FROM vp
+         |JOIN sig sa ON vp.a = sa.doc_id
+         |JOIN sig sb ON vp.b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dedup_clusters" -> clustersSql,
     // periodic re-clustering from stored state must be ROW-IDENTICAL to
     // the recomputing form — same oracle, so state drift breaks the hash

@@ -38,6 +38,23 @@ object SamplingQueries {
            sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy("split")
 
+  /** Leakage-safe (group-aware) split: the hash key is the SOURCE, not the
+    * doc — every doc of a source lands in the same split by construction,
+    * so same-origin correlation (boilerplate, near-dups, templated pages)
+    * can never straddle train/test, which is exactly the leakage a
+    * doc-keyed split invites. Same disjoint-exhaustive hash-range
+    * partition as [[splitSample]]; per-split source and doc counts.
+    * SamplingSpec pins the no-straddle invariant (each source in exactly
+    * one split).
+    */
+  def groupedSplit(s: SparkSession, d: String): DataFrame =
+    Sampling.splitAssign(Tables.documents(s, d), col("source"), Splits, salt = "g1")
+      .groupBy("split")
+      .agg(countDistinct("source").as("n_sources"),
+           count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("split")
+
   /** Exact-size sample: the 40 smallest-hash docs per language — a fixed
     * per-source budget, identical on every run and engine.
     */
@@ -215,6 +232,7 @@ object SamplingQueries {
     "sample_det" -> (detSample _),
     "sample_strata" -> (strataSample _),
     "sample_split" -> (splitSample _),
+    "sample_split_grouped" -> (groupedSplit _),
     "sample_topk" -> (topkSample _),
     "sample_weighted" -> (weightedSample _),
   )
@@ -323,6 +341,16 @@ object SamplingQueries {
       s"""SELECT CASE WHEN ${h60("s3", "doc_id")} < $tTrain THEN 'train'
          |            WHEN ${h60("s3", "doc_id")} < $tVal THEN 'val'
          |            ELSE 'test' END AS split,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+    },
+    "sample_split_grouped" -> {
+      val Seq(("train", tTrain), ("val", tVal), _) = Sampling.splitBounds(Splits)
+      s"""SELECT CASE WHEN ${h60("g1", "source")} < $tTrain THEN 'train'
+         |            WHEN ${h60("g1", "source")} < $tVal THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin

@@ -87,6 +87,8 @@ class QueriesSpec extends SparkSpec {
     "bloom_semi_revenue" -> 3L,
     "bloom_decontam" -> 5L,
     "sample_split" -> 3L,
+    "sample_split_grouped" -> 3L,
+    "dedup_minhash_est" -> 47265L,
     "sample_topk" -> 200L,
     "sim_quant_int8" -> 500L,
     "text_pii_mask" -> 150L,

@@ -60,6 +60,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("source-keyed split never straddles a source across splits (leakage guard)") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitAssign(docs, $"source", splits, "g1")
+    assert(out.count() === docs.count())
+    // the invariant a doc-keyed split CANNOT give: every source's docs all
+    // land in one split, so same-origin near-dups never leak train->test
+    val straddlers = out.groupBy("source")
+      .agg(countDistinct($"split").as("n_splits"))
+      .filter($"n_splits" > 1).count()
+    assert(straddlers === 0L, "a source was split across train/val/test")
+    // and the doc-keyed split DOES straddle on this corpus — the guard is
+    // not vacuously true
+    val docKeyed = Sampling.splitAssign(docs, $"doc_id", splits, "s")
+      .groupBy("source").agg(countDistinct($"split").as("n_splits"))
+      .filter($"n_splits" > 1).count()
+    assert(docKeyed > 0L, "control: doc-keyed split unexpectedly leak-free")
+  }
+
   test("topKByHash returns exactly k rows per group, identically every run") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val out = Sampling.topKByHash(docs, $"lang", $"doc_id", k = 7, salt = "t")
