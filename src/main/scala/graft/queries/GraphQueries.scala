@@ -129,9 +129,74 @@ object GraphQueries {
       .orderBy("source")
   }
 
+  /** Triangle census of the duplicate-sharing domain graph — the
+    * syndication-density signal that separates a loose pair of domains
+    * sharing one article from a tight copy ring where everyone mirrors
+    * everyone: per-domain triangle participation and a local clustering
+    * coefficient.
+    *
+    * Scale shape (the part that matters at 10⁸ domains): a naive wedge
+    * join fans out quadratically on hub nodes — a domain with degree 10⁵
+    * contributes 10¹⁰ wedges. The classic fix, used here, is
+    * degree-ordered orientation: each undirected edge points from the
+    * (degree, node)-smaller endpoint to the larger, wedges are built only
+    * at each edge's LOW endpoint, and a low endpoint's oriented out-degree
+    * is bounded by O(√m) on any graph — total wedge work is O(m^{3/2})
+    * regardless of hubs. Closure is one semi-join of wedges against the
+    * oriented edge set (each triangle found exactly once, at its
+    * lowest-ranked corner). All three relations are domain-sized and
+    * equi-join on node keys — shuffles carry edges, never documents.
+    *
+    * Determinism: the orientation key is `lpad(deg)||':'||node` (binary
+    * string order == (deg, node) lexicographic in both engines) and the
+    * local clustering coefficient is integer micro-units
+    * ⌊2·10⁶·tri / (deg·(deg−1))⌋ — no float path anywhere.
+    */
+  def domainTriangles(s: SparkSession, d: String): DataFrame = {
+    val und = domainEdges(s, d).filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val key = deg.select(col("node"), col("deg"),
+      concat(lpad(col("deg").cast("string"), 10, "0"), lit(":"), col("node"))
+        .as("k"))
+    // orient every edge from the (deg, node)-smaller endpoint to the larger
+    val ore = und
+      .join(key.select(col("node").as("a"), col("k").as("ka")), "a")
+      .join(key.select(col("node").as("b"), col("k").as("kb")), "b")
+      .select(least(col("ka"), col("kb")).as("klo"),
+        greatest(col("ka"), col("kb")).as("khi"))
+    // wedges rooted at each edge's low endpoint, then close with a
+    // semi-join — each triangle materializes once, at its lowest corner
+    val e1 = ore.select(col("klo").as("kx"), col("khi").as("ky"))
+    val e2 = ore.select(col("klo").as("kx"), col("khi").as("kz"))
+    val wedge = e1.join(e2, "kx").filter(col("ky") < col("kz"))
+    val tri = wedge.join(
+      ore.select(col("klo").as("ky"), col("khi").as("kz")),
+      Seq("ky", "kz"), "left_semi")
+    val perNode = tri.select(col("kx").as("k"))
+      .unionByName(tri.select(col("ky").as("k")))
+      .unionByName(tri.select(col("kz").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("tri"))
+    val nodes = Tables.documents(s, d).select(col("source").as("node")).distinct()
+    nodes
+      .join(key, Seq("node"), "left")
+      .join(perNode, Seq("k"), "left")
+      .select(col("node").as("source"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc_micro",
+        when(col("deg") >= 2,
+          expr("(2000000 * tri) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy("source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_domain_rank" -> (domainRank _),
     "graph_domain_communities" -> (domainCommunities _),
+    "graph_triangles" -> (domainTriangles _),
   )
 
   // the superstep chain restated as explicit CTEs (DuckDB's recursive CTEs
@@ -169,6 +234,47 @@ object GraphQueries {
       |       FROM ed GROUP BY src, dst)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH ${DedupQueries.verifiedPairsCtes},
+         |$domainEdgeCtes,
+         |und AS (SELECT src AS a, dst AS b FROM ec WHERE src < dst),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM (SELECT a AS node FROM und
+         |              UNION ALL SELECT b AS node FROM und)
+         |        GROUP BY node),
+         |k AS (SELECT node, deg,
+         |        lpad(CAST(deg AS VARCHAR), 10, '0') || ':' || node AS k
+         |      FROM deg),
+         |ore AS (
+         |  SELECT least(ka.k, kb.k) AS klo, greatest(ka.k, kb.k) AS khi
+         |  FROM und
+         |  JOIN k ka ON und.a = ka.node
+         |  JOIN k kb ON und.b = kb.node),
+         |wedge AS (
+         |  SELECT e1.klo AS kx, e1.khi AS ky, e2.khi AS kz
+         |  FROM ore e1 JOIN ore e2 ON e1.klo = e2.klo
+         |  WHERE e1.khi < e2.khi),
+         |tri AS (
+         |  SELECT kx, ky, kz FROM wedge
+         |  WHERE EXISTS (SELECT 1 FROM ore
+         |                WHERE ore.klo = wedge.ky AND ore.khi = wedge.kz)),
+         |pern AS (SELECT k, CAST(count(*) AS BIGINT) AS tri
+         |         FROM (SELECT kx AS k FROM tri
+         |               UNION ALL SELECT ky AS k FROM tri
+         |               UNION ALL SELECT kz AS k FROM tri)
+         |         GROUP BY k),
+         |nodes AS (SELECT DISTINCT source AS node FROM documents)
+         |SELECT nodes.node AS source,
+         |  coalesce(k.deg, CAST(0 AS BIGINT)) AS deg,
+         |  coalesce(pern.tri, CAST(0 AS BIGINT)) AS tri,
+         |  CASE WHEN coalesce(k.deg, 0) >= 2
+         |       THEN (2000000 * coalesce(pern.tri, CAST(0 AS BIGINT)))
+         |            // (k.deg * (k.deg - 1))
+         |       ELSE CAST(0 AS BIGINT) END AS lcc_micro
+         |FROM nodes
+         |LEFT JOIN k ON nodes.node = k.node
+         |LEFT JOIN pern ON k.k = pern.k
+         |ORDER BY source""".stripMargin,
     "graph_domain_communities" ->
       s"""WITH RECURSIVE ${DedupQueries.verifiedPairsCtes},
          |$domainEdgeCtes,

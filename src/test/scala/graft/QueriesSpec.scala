@@ -114,6 +114,7 @@ class QueriesSpec extends SparkSpec {
     "layout_zvalue3" -> 8L,
     "graph_domain_rank" -> 20L,
     "graph_domain_communities" -> 20L,
+    "graph_triangles" -> 20L,
     "sim_pq_ann" -> 50L,
     "text_bigram_logprob" -> 500L,
     "profile_anomaly" -> 5L,
