@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{Bloom, Cms}
+import graft.functions.{Bloom, Cms, KmvOps}
 import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -161,10 +161,85 @@ object SketchQueries {
     java.lang.Integer.highestOneBit(target - 1) << 1
   }
 
+  /** KMV sketch size for the per-type user-day distinct estimate. */
+  private val KmvK = 128
+
+  /** KMV sketch size for the pairwise audience-overlap estimates. */
+  private val KmvOverlapK = 64
+
+  /** Per-event-type distinct user-day estimate from a K-minimum-values
+    * sketch, next to the exact count — the error measurement a deployment
+    * sizes K with. Unlike HLL (engine-tested, register arithmetic has no
+    * SQL twin), the KMV estimate is bottom-K + one integer division, so
+    * the WHOLE path sits under the hash-match oracle. The input stream is
+    * pre-hashed with the repo-standard portable md5 60-bit hash; the
+    * sketch itself aggregates longs and is mergeable (partials per
+    * partition, 8·K bytes each, shuffle carries sketches not user-days).
+    */
+  def kmvUsers(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Kmv.register(s)
+    val ev = Tables.events(s, d)
+    val key = concat_ws(":", col("user_id").cast("string"),
+      to_date(col("ts")).cast("string"))
+    val hv = graft.operators.Sampling.hash60(key, "kmv")
+    ev.select(col("event_type"), hv.as("hv"))
+      .groupBy("event_type")
+      .agg(
+        graft.functions.Kmv.estimate(
+          graft.functions.Kmv.sketch(col("hv"), KmvK), KmvK).as("est_user_days"),
+        countDistinct(col("hv")).as("exact_user_days"))
+      .orderBy("event_type")
+  }
+
+  /** Pairwise audience overlap between event types from per-type KMV
+    * sketches: the K smallest of A ∪ B are a uniform bottom-K sample of
+    * the union, so the fraction present in both sketches estimates the
+    * Jaccard and scales the union estimate into |A ∩ B|. This is the
+    * query shape distinct COUNTS cannot answer: 5 stored sketches (≤512 B
+    * each) answer all 10 pairwise overlaps with no re-scan and no
+    * quadratic user-level self-join — at 100 TB, sketch once per
+    * segment/day, intersect any two segments later, exactly like the HLL
+    * union story but with set intersection in the algebra. Exact
+    * pair-level counts ride along from the (tiny) distinct user-type
+    * frame so the oracle pins both paths.
+    */
+  def kmvOverlap(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Kmv.register(s)
+    val k = KmvOverlapK
+    val ev = Tables.events(s, d)
+    val hv = graft.operators.Sampling.hash60(col("user_id"), "kmvo")
+    val sk = ev.select(col("event_type"), hv.as("hv"))
+      .groupBy("event_type")
+      .agg(graft.functions.Kmv.sketch(col("hv"), k).as("sk"),
+           countDistinct(col("hv")).as("nd"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+      col("nd").as("nd_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
+      col("nd").as("nd_b"))
+    // exact pairwise intersection from the distinct (type, user-hash)
+    // frame — 5 types × ≤|users| rows, a dim-sized self-join
+    val eu = ev.select(col("event_type"), hv.as("hv")).distinct()
+    val exact = eu.as("x").join(eu.as("y"),
+        col("x.hv") === col("y.hv") && col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    a.join(b, col("type_a") < col("type_b"))
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        graft.functions.Kmv.unionEst(col("sk_a"), col("sk_b"), k).as("est_union"),
+        graft.functions.Kmv.interEst(col("sk_a"), col("sk_b"), k).as("est_inter"),
+        (col("nd_a") + col("nd_b") - coalesce(col("exact_inter"), lit(0L)))
+          .as("exact_union"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+      .orderBy("type_a", "type_b")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bloom_semi_revenue" -> (bloomSemiRevenue _),
     "bloom_decontam" -> (bloomDecontam _),
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
+    "sketch_kmv_users" -> (kmvUsers _),
+    "sketch_kmv_overlap" -> (kmvOverlap _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -195,5 +270,78 @@ object SketchQueries {
         |SELECT shingle, CAST(count(*) AS BIGINT) AS df
         |FROM g GROUP BY shingle HAVING count(*) >= 5
         |ORDER BY df DESC, shingle""".stripMargin,
+    // the KMV sketch restated as plain SQL: bottom-K distinct hashes per
+    // group (row_number <= K), theta = the Kth, estimate = one HUGEINT
+    // floor division — the same integer arithmetic KmvOps runs on BigInt
+    "sketch_kmv_users" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)
+         |      || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+         |  FROM events),
+         |r AS (SELECT event_type, hv,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS nd
+         |      FROM h),
+         |agg AS (SELECT event_type, CAST(min(nd) AS BIGINT) AS nd,
+         |          max(CASE WHEN rn <= $KmvK THEN hv END) AS theta
+         |        FROM r GROUP BY event_type)
+         |SELECT event_type,
+         |  CASE WHEN nd < $KmvK THEN nd
+         |       ELSE CAST((CAST(${KmvK - 1} AS HUGEINT)
+         |            * CAST(${KmvOps.HashSpace} AS HUGEINT))
+         |            // CAST(theta AS HUGEINT) AS BIGINT) END AS est_user_days,
+         |  nd AS exact_user_days
+         |FROM agg ORDER BY event_type""".stripMargin,
+    "sketch_kmv_overlap" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type AS t,
+         |    CAST('0x' || substring(md5('kmvo:' || CAST(user_id AS VARCHAR)),
+         |      1, 15) AS BIGINT) AS hv
+         |  FROM events),
+         |r AS (SELECT t, hv, row_number() OVER (PARTITION BY t ORDER BY hv) AS rn,
+         |        count(*) OVER (PARTITION BY t) AS nd
+         |      FROM h),
+         |km AS (SELECT t, hv FROM r WHERE rn <= $KmvOverlapK),
+         |nd AS (SELECT t, CAST(max(nd) AS BIGINT) AS nd FROM r GROUP BY t),
+         |ty AS (SELECT DISTINCT t FROM h),
+         |pr AS (SELECT a.t AS ta, b.t AS tb FROM ty a JOIN ty b ON a.t < b.t),
+         |u AS (SELECT pr.ta, pr.tb, km.hv FROM pr JOIN km ON km.t = pr.ta
+         |      UNION
+         |      SELECT pr.ta, pr.tb, km.hv FROM pr JOIN km ON km.t = pr.tb),
+         |ur AS (SELECT ta, tb, hv,
+         |         row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+         |       FROM u),
+         |uk AS (SELECT ta, tb, hv FROM ur WHERE rn <= $KmvOverlapK),
+         |ua AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_u, max(hv) AS theta
+         |       FROM uk GROUP BY ta, tb),
+         |cc AS (SELECT uk.ta, uk.tb, CAST(count(*) AS BIGINT) AS c
+         |       FROM uk
+         |       WHERE EXISTS (SELECT 1 FROM km
+         |                     WHERE km.t = uk.ta AND km.hv = uk.hv)
+         |         AND EXISTS (SELECT 1 FROM km
+         |                     WHERE km.t = uk.tb AND km.hv = uk.hv)
+         |       GROUP BY uk.ta, uk.tb),
+         |ei AS (SELECT x.t AS ta, y.t AS tb, CAST(count(*) AS BIGINT) AS exact_inter
+         |       FROM h x JOIN h y ON x.hv = y.hv AND x.t < y.t
+         |       GROUP BY x.t, y.t),
+         |eu AS (SELECT ua.ta, ua.tb,
+         |         CASE WHEN ua.n_u < $KmvOverlapK THEN ua.n_u
+         |              ELSE CAST((CAST(${KmvOverlapK - 1} AS HUGEINT)
+         |                   * CAST(${KmvOps.HashSpace} AS HUGEINT))
+         |                   // CAST(ua.theta AS HUGEINT) AS BIGINT) END AS est_union,
+         |         coalesce(cc.c, CAST(0 AS BIGINT)) AS c, ua.n_u
+         |       FROM ua LEFT JOIN cc ON ua.ta = cc.ta AND ua.tb = cc.tb)
+         |SELECT pr.ta AS type_a, pr.tb AS type_b,
+         |  eu.est_union,
+         |  (eu.c * eu.est_union) // eu.n_u AS est_inter,
+         |  na.nd + nb.nd - coalesce(ei.exact_inter, CAST(0 AS BIGINT)) AS exact_union,
+         |  coalesce(ei.exact_inter, CAST(0 AS BIGINT)) AS exact_inter
+         |FROM pr
+         |JOIN eu ON pr.ta = eu.ta AND pr.tb = eu.tb
+         |JOIN nd na ON na.t = pr.ta
+         |JOIN nd nb ON nb.t = pr.tb
+         |LEFT JOIN ei ON ei.ta = pr.ta AND ei.tb = pr.tb
+         |ORDER BY type_a, type_b""".stripMargin,
   )
 }

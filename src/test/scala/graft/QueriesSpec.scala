@@ -115,6 +115,8 @@ class QueriesSpec extends SparkSpec {
     "graph_domain_rank" -> 20L,
     "graph_domain_communities" -> 20L,
     "graph_triangles" -> 20L,
+    "sketch_kmv_users" -> 5L,
+    "sketch_kmv_overlap" -> 10L,
     "sim_pq_ann" -> 50L,
     "text_bigram_logprob" -> 500L,
     "profile_anomaly" -> 5L,
