@@ -113,7 +113,53 @@ object JoinQueries {
         array_contains(col("toks"), "the").as("has_the"))
       .orderBy("doc_id")
 
+  /** Bin width for [[rangeJoin]] — also the match radius, so candidate
+    * bins are exactly {bin−1, bin, bin+1}.
+    */
+  private val RangeW = 5000000L // 5 s in µs
+
+  /** Interval/range join without a range-join operator: cross-USER event
+    * pairs within 5 s of each other (the coincidence/burst-correlation
+    * query), aggregated per type pair. A range-only predicate gives Spark
+    * no equi-key, so the naive plan is BroadcastNestedLoopJoin — O(n²)
+    * comparisons and a single-node broadcast that both die at scale. The
+    * standard fix, used here, is BINNING: quantize time into
+    * width-=-radius bins, explode ONE side to its 3 candidate bins, and
+    * equi-join on the bin key — every true pair lands in exactly one
+    * (bin_a = probe_b) bucket, so no dedup pass is needed, and the plan
+    * is a plain shuffled equi-join (pinned in PlanAuditSpec: no
+    * nested-loop, no cartesian) that partitions across any cluster. Cost:
+    * one 3× replication of the probe side vs n² — at 100 TB the
+    * difference between a join and a non-starter. Skewed bins (event
+    * bursts) are AQE's skew-join case, and the bin key composes with a
+    * coarser salt if a single second holds millions of events.
+    *
+    * Determinism: pairs are ordered by event_id (a < b), deltas are exact
+    * integer µs (`unix_micros` ≡ DuckDB `epoch_us`); the oracle states
+    * the same join naively — any bin-edge bug (a pair straddling bins,
+    * double-counted or missed) breaks the hash match.
+    */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val a = ev.select(col("event_id").as("id_a"), col("user_id").as("u_a"),
+      col("event_type").as("type_a"), col("us").as("us_a"),
+      expr(s"us div $RangeW").as("bin"))
+    val b = ev.select(col("event_id").as("id_b"), col("user_id").as("u_b"),
+      col("event_type").as("type_b"), col("us").as("us_b"),
+      explode(array(expr(s"us div $RangeW - 1"), expr(s"us div $RangeW"),
+        expr(s"us div $RangeW + 1"))).as("bin"))
+    a.join(b, Seq("bin"))
+      .filter(col("u_a") =!= col("u_b") && col("id_a") < col("id_b") &&
+        abs(col("us_a") - col("us_b")) <= RangeW)
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(abs(col("us_a") - col("us_b"))).cast("long").as("sum_abs_us"))
+      .orderBy("type_a", "type_b")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c23_range_join" -> (rangeJoin _),
     "c2b_left_outer" -> (outer _),
     "c20_merge_upsert" -> (mergeUpsert _),
     "c2c_full_outer" -> (fullOuter _),
@@ -123,6 +169,17 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the binned equi-join restated as the naive range join it must equal
+    "c23_range_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+         |           FROM events)
+         |SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(abs(a.us - b.us)) AS BIGINT) AS sum_abs_us
+         |FROM e a JOIN e b
+         |  ON a.user_id <> b.user_id AND a.event_id < b.event_id
+         |  AND abs(a.us - b.us) <= $RangeW
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "c20_merge_upsert" ->
       """WITH cur AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
         |upd AS (SELECT o_orderkey,

@@ -431,4 +431,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("c23: binned range join is an equi-join, not a nested loop") {
+    val plan = finalPlan(JoinQueries.rangeJoin(spark, sf()))
+    // the whole point of binning: the range-only predicate would otherwise
+    // force BroadcastNestedLoopJoin (O(n²), single-node broadcast)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
 }

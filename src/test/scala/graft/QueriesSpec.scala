@@ -117,6 +117,7 @@ class QueriesSpec extends SparkSpec {
     "graph_triangles" -> 20L,
     "sketch_kmv_users" -> 5L,
     "sketch_kmv_overlap" -> 10L,
+    "c23_range_join" -> 1L,
     "sim_pq_ann" -> 50L,
     "text_bigram_logprob" -> 500L,
     "profile_anomaly" -> 5L,
