@@ -244,6 +244,30 @@ object MiscQueries {
            max("z").cast("long").as("max_z"))
       .orderBy("cell")
 
+  /** Hilbert-curve layout audit — [[layoutZvalue]]'s grid walked by the
+    * locality-preserving curve instead of the Morton interleave:
+    * consecutive Hilbert indices are always grid-adjacent, so equal index
+    * ranges (≈ files after `repartitionByRange`) get tighter bounding
+    * boxes than z-order's power-of-two seam jumps — better file pruning
+    * at the same file count. The index is ONE native codegen'd expression
+    * ([[graft.functions.HilbertIndex]]); the oracle replays the identical
+    * per-level rotate/reflect rounds as an unrolled subquery chain
+    * generated from the same spec, pinning the arithmetic bit-for-bit.
+    * Cell = top 6 bits ≡ 64 curve segments (the "file" grain audited).
+    */
+  def layoutHilbert(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Hilbert.register(s)
+    Tables.orders(s, d)
+      .select(graft.functions.Hilbert.index(
+        pmod(col("o_custkey"), lit(4096)).cast("long"),
+        pmod(col("o_orderkey"), lit(4096)).cast("long")).as("h"))
+      .groupBy(shiftright(col("h"), 18).cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"),
+           min("h").cast("long").as("min_h"),
+           max("h").cast("long").as("max_h"))
+      .orderBy("cell")
+  }
+
   /** Exact per-group value quantiles (p25/p50/p90/p99 of order totals by
     * status) — the column-distribution half of profiling, next to
     * [[profileOrders]]'s min/max/distinct and [[skewProfile]]'s key sizes.
@@ -382,6 +406,7 @@ object MiscQueries {
     "profile_orders" -> (profileOrders _),
     "layout_zvalue" -> (layoutZvalue _),
     "layout_zvalue3" -> (layoutZvalue3 _),
+    "layout_hilbert" -> (layoutHilbert _),
     "profile_skew" -> (skewProfile _),
     "c14_pivot" -> (pivot _),
     "c4b_cube" -> (cube _),
@@ -482,6 +507,17 @@ object MiscQueries {
          |SELECT CAST(z >> 18 AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n,
          |       CAST(min(z) AS BIGINT) AS min_z, CAST(max(z) AS BIGINT) AS max_z
          |FROM z GROUP BY cell ORDER BY cell""".stripMargin
+    },
+    "layout_hilbert" -> {
+      // the same per-level rotate/reflect rounds, unrolled by the shared
+      // generator in graft.functions.Hilbert — not hand-copied
+      val rounds = graft.functions.Hilbert.oracleSql(
+        "(SELECT CAST(o_custkey % 4096 AS BIGINT) AS hx, " +
+          "CAST(o_orderkey % 4096 AS BIGINT) AS hy FROM orders)")
+      s"""WITH h AS ($rounds)
+         |SELECT CAST(hd >> 18 AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(min(hd) AS BIGINT) AS min_h, CAST(max(hd) AS BIGINT) AS max_h
+         |FROM h GROUP BY cell ORDER BY cell""".stripMargin
     },
     "layout_zvalue3" -> {
       // 3-dim interleave: bit i of dim d lands at 3i + d

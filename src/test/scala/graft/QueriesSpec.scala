@@ -112,6 +112,7 @@ class QueriesSpec extends SparkSpec {
     "dedup_spans_incremental" -> 89L,
     "layout_zvalue" -> 3L,
     "layout_zvalue3" -> 8L,
+    "layout_hilbert" -> 4L,
     "graph_domain_rank" -> 20L,
     "graph_domain_communities" -> 20L,
     "graph_triangles" -> 20L,
