@@ -158,7 +158,45 @@ object JoinQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** Salt fan-out for [[saltedJoin]]. */
+  private val SaltS = 8
+
+  /** Skew-salted join — the portable hot-key mitigation, demonstrated
+    * with an exact-equality guarantee: lineitem ⋈ orders on orderkey,
+    * revenue by priority. The fact side tags each row with a
+    * deterministic salt in [0, S); the other side replicates ×S with
+    * every salt; the join key becomes (orderkey, salt) — a key that held
+    * one executor hostage now spreads across S partitions, at the cost of
+    * an S× replication of the smaller side. Every fact row still matches
+    * EXACTLY the one replica carrying its salt, so the result is
+    * row-identical to the plain join the oracle states — salting is a
+    * partitioning trick, never a semantics change.
+    *
+    * When to reach for it at 100 TB: AQE's skew-join split handles
+    * sort-merge spills adaptively, but salting remains the answer when
+    * the skew is in the AGGREGATE (two-stage groupBy over (key, salt)
+    * then key), when AQE can't see the skew (it's per-partition
+    * post-filter), or off-Spark. The plan pin asserts the join really
+    * runs on the widened key and nothing broadcasts.
+    */
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        pmod(col("l_linenumber").cast("long"), lit(SaltS.toLong)).as("l_salt"))
+    val ords = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        explode(array((0 until SaltS).map(i => lit(i.toLong)): _*)).as("o_salt"))
+    li.join(ords.hint("merge"),
+        col("l_orderkey") === col("o_orderkey") && col("l_salt") === col("o_salt"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c24_salted_join" -> (saltedJoin _),
     "c23_range_join" -> (rangeJoin _),
     "c2b_left_outer" -> (outer _),
     "c20_merge_upsert" -> (mergeUpsert _),
@@ -169,6 +207,13 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // salting must be invisible in the result: the oracle is the PLAIN join
+    "c24_salted_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the binned equi-join restated as the naive range join it must equal
     "c23_range_join" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us

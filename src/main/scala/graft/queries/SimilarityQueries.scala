@@ -245,7 +245,64 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Posting-list cap for [[sparseTopk]]: tokens in more than this many
+    * docs are dropped (and df=1 tokens can't pair). The cap is what makes
+    * the inverted-index join scale: a token with df=f generates f² pair
+    * candidates, so Σf² is bounded by cap·Σf — the classic IR
+    * posting-list-pruning trade, stated identically in the oracle.
+    */
+  private val SparseDfCap = 25L
+  private val SparseK = 20
+
+  /** Sparse TF-IDF cosine top-k document pairs — the SPARSE half of
+    * similarity search, next to the dense-embedding ANN family: documents
+    * are tf-idf vectors over their tokens, and the pair scores come from
+    * an INVERTED-INDEX equi-join on token (each shared token contributes
+    * wa·wb map-side) — never a quadratic doc×doc cross join. At 100 TB
+    * this is the BM25/dedup-candidate shape: shuffle by token, cap the
+    * posting lists ([[SparseDfCap]]), aggregate by pair.
+    *
+    * Determinism: weights are floor-quantized to integer MILLI-units
+    * immediately after the (tf, df, N) arithmetic, so every downstream
+    * sum (norms, dot products) is exact 64-bit integer arithmetic —
+    * partition-order-independent where a double sum would drift. The one
+    * double step left is the final norm division (exact ints < 2⁵³ through
+    * sqrt — IEEE-identical in both engines), rounded to 6dp BEFORE the
+    * ranking so the top-k cut uses identical keys.
+    */
+  def sparseTopk(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = graft.operators.TextAnalysis.tokenRows(docs, "doc_id", "text")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= SparseDfCap)
+    val n = docs.agg(count(lit(1)).as("n"))
+    // materialized once: the norm aggregate and both join sides consume it
+    val w = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        floor(col("tf").cast("double")
+          * log(col("n").cast("double") / col("df").cast("double"))
+          * lit(1000.0)).cast("long").as("wm"))
+      .localCheckpoint(true)
+    val norm = w.groupBy("doc_id").agg(sum(col("wm") * col("wm")).as("n2"))
+    val pairs = w.as("a")
+      .join(w.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.wm") * col("b.wm")).as("dot_milli2"))
+    pairs
+      .join(norm.select(col("doc_id").as("doc_a"), col("n2").as("na")), "doc_a")
+      .join(norm.select(col("doc_id").as("doc_b"), col("n2").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("dot_milli2"),
+        round(col("dot_milli2").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cosine"))
+      .orderBy(desc("cosine"), col("doc_a"), col("doc_b"))
+      .limit(SparseK)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_sparse_topk" -> (sparseTopk _),
     "sim_pq_ann" -> (pqAnn _),
     "c13_cosine_topk" -> (c13 _),
     "sim_kmeans" -> (kmeans _),
@@ -307,6 +364,32 @@ object SimilarityQueries {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "sim_sparse_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tk GROUP BY doc_id, token),
+         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY token
+         |        HAVING count(*) BETWEEN 2 AND $SparseDfCap),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |w AS (SELECT tf.doc_id, tf.token,
+         |        CAST(floor(tf.tf * ln(n.n / dfq.df) * 1000.0) AS BIGINT) AS wm
+         |      FROM tf JOIN dfq USING (token), n),
+         |nm AS (SELECT doc_id, CAST(sum(wm * wm) AS BIGINT) AS n2
+         |       FROM w GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(sum(a.wm * b.wm) AS BIGINT) AS dot_milli2
+         |       FROM w a JOIN w b
+         |         ON a.token = b.token AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id)
+         |SELECT pr.doc_a, pr.doc_b, pr.dot_milli2,
+         |  round(pr.dot_milli2 / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+         |FROM pr
+         |JOIN nm na ON pr.doc_a = na.doc_id
+         |JOIN nm nb ON pr.doc_b = nb.doc_id
+         |ORDER BY cosine DESC, doc_a, doc_b LIMIT $SparseK""".stripMargin,
     "sim_pq_ann" -> {
       val codeJoin = (1 until Similarity.PqM)
         .map(m => s"JOIN cq$m USING (vec_id)").mkString(" ")

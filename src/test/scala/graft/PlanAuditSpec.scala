@@ -432,6 +432,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("c24: salted join runs on the widened (key, salt) key, no broadcast") {
+    val plan = finalPlan(JoinQueries.saltedJoin(spark, sf()))
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    // the whole point: the shuffle key carries the salt, so a hot orderkey
+    // spreads across S partitions
+    assert("SortMergeJoin \\[l_orderkey#\\d+L?, l_salt#\\d+L?\\]".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("sim_sparse_topk: inverted-index join, no doc-level cross join") {
+    val plan = finalPlan(SimilarityQueries.sparseTopk(spark, sf()))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("c23: binned range join is an equi-join, not a nested loop") {
     val plan = finalPlan(JoinQueries.rangeJoin(spark, sf()))
     // the whole point of binning: the range-only predicate would otherwise

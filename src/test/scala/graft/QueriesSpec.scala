@@ -119,6 +119,8 @@ class QueriesSpec extends SparkSpec {
     "sketch_kmv_users" -> 5L,
     "sketch_kmv_overlap" -> 10L,
     "c23_range_join" -> 1L,
+    "c24_salted_join" -> 5L,
+    "sim_sparse_topk" -> 20L,
     "sim_pq_ann" -> 50L,
     "text_bigram_logprob" -> 500L,
     "profile_anomaly" -> 5L,
