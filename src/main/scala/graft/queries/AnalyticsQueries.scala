@@ -68,14 +68,47 @@ object AnalyticsQueries {
         quarter(col("o_orderdate")).cast("long").as("qtr"))
       .orderBy("o_orderkey")
 
+  /** Global running revenue total — the unpartitioned-window shape that
+    * naively plans as `Exchange SinglePartition` over the whole fact
+    * table. Runs through [[graft.operators.PrefixSum]] instead: per-month
+    * bucketed windows in parallel, then bucket-total offsets broadcast
+    * back, so the only serial scan is over ~tens of month rows. Values in
+    * exact integer cents (decimal-quantized) so the two-phase
+    * reassociation is bit-equal to the oracle's single window.
+    */
+  def runningTotal(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    graft.operators.PrefixSum.runningSum(
+        o,
+        date_trunc("month", col("o_orderdate")),
+        Seq(col("o_orderdate"), col("o_orderkey")),
+        col("cents"), "running_cents")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        col("cents"), col("running_cents"))
+      .orderBy("od", "o_orderkey")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c5b_rank_family" -> (ranks _),
     "c5c_stats" -> (stats _),
     "c5d_corr" -> (corrCovar _),
     "c7c_datetime" -> (datetime _),
+    "c25_running_total" -> (runningTotal _),
   )
 
   val oracle: Map[String, String] = Map(
+    "c25_running_total" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       OVER (ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS running_cents
+        |FROM orders ORDER BY od, o_orderkey""".stripMargin,
     "c5b_rank_family" ->
       """SELECT o_orderpriority AS prio, o_orderkey,
         |  round(o_totalprice, 2) AS price,

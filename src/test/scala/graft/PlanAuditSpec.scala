@@ -447,6 +447,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("c25: row-level running sum windows are bucket-partitioned, never single-partition") {
+    val plan = finalPlan(AnalyticsQueries.runningTotal(spark, sf()))
+    // the row-level window is PARTITIONED by the bucket (partition attr
+    // precedes the order spec inside windowspecdefinition)
+    assert("Window \\[sum\\(__psum_v#\\d+L?\\) windowspecdefinition\\(__psum_bucket#\\d+, ".r
+      .findFirstIn(plan).isDefined, plan)
+    // exactly one SinglePartition exchange, and it feeds from the
+    // per-bucket AGGREGATE (rows = bucket count), never the row-level scan
+    assert("Exchange SinglePartition".r.findAllIn(plan).size === 1, plan)
+    assert("Exchange SinglePartition[^\\n]*\\n[^\\n]*HashAggregate".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("c23: binned range join is an equi-join, not a nested loop") {
     val plan = finalPlan(JoinQueries.rangeJoin(spark, sf()))
     // the whole point of binning: the range-only predicate would otherwise

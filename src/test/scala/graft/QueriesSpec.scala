@@ -112,7 +112,7 @@ class QueriesSpec extends SparkSpec {
     "dedup_spans_incremental" -> 89L,
     "layout_zvalue" -> 3L,
     "layout_zvalue3" -> 8L,
-    "layout_hilbert" -> 4L,
+    "layout_hilbert" -> 3L,
     "graph_domain_rank" -> 20L,
     "graph_domain_communities" -> 20L,
     "graph_triangles" -> 20L,
@@ -126,6 +126,7 @@ class QueriesSpec extends SparkSpec {
     "profile_anomaly" -> 5L,
     "profile_drift" -> 5L,
     "c21_scd2" -> 802L,
+    "c25_running_total" -> 1500L,
   )
 
   test("every query has an oracle and vice versa") {
