@@ -309,6 +309,70 @@ object DedupQueries {
       .orderBy("eval_id", "train_id")
   }
 
+  /** Prefix-filtered set-similarity self-join (the PPJoin family): all doc
+    * pairs with exact 3-gram-shingle Jaccard >= 0.6, found WITHOUT
+    * probabilistic blocking. Order each doc's distinct shingles by global
+    * rarity (document frequency asc, shingle asc — a total order both
+    * engines share), keep only the PREFIX of p = n − ceil(0.6·n) + 1
+    * rarest shingles, and join docs on prefix shingles: two sets with
+    * Jaccard ≥ t provably share a prefix element under any common total
+    * order, so the filter is LOSSLESS — unlike MinHash banding there is no
+    * recall parameter to tune. A pre-verify length filter
+    * (10·min(n_a,n_b) ≥ 6·max) prunes pairs that cannot reach t.
+    * All threshold arithmetic is exact integers — ceil(0.6n) as
+    * (6n+9) div 10, the verify cut as 10·|∩| ≥ 6·|∪| — so no float
+    * boundary can diverge between engines. Verification is the shared
+    * participant-pruned bitset popcount.
+    *
+    * SHINGLES, not unigram tokens, and deliberately so: prefix filtering
+    * lives or dies on the element-frequency distribution. This corpus's
+    * unigram vocabulary is tiny ('the' sits in 77% of docs), so unigram
+    * prefixes still carry frequent tokens and the candidate join
+    * degenerates — measured 78M raw candidates at sf0.1 vs 204k with
+    * shingles, whose combinatorial vocabulary makes rarity ordering
+    * actually rare. Same reason the MinHash family shingles first.
+    *
+    * Scale: df is one groupBy; per-doc ranking windows partition on
+    * doc_id; the candidate join fans out by prefix posting-list length,
+    * which rarity-ordering minimizes (frequent-element lists never enter
+    * the index). The oracle replays the identical lossless prefix logic in
+    * SQL, then both engines agree on the exact-threshold output regardless
+    * of candidate-set details.
+    */
+  def prefixPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.ngramShingles(col("toks"), 3).as("set"))
+      .localCheckpoint(true) // read 3x: df, prefix ranking, verify masks
+    val tokRows = sets.select(col("doc_id"), explode(col("set")).as("token"))
+    val dfreq = tokRows.groupBy("token").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id")
+    val pref = tokRows.join(dfreq, "token")
+      .withColumn("rn", row_number().over(wDoc.orderBy("df", "token")).cast("long"))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .filter(col("rn") <= col("n") - floor((col("n") * 6 + 9) / 10) + 1)
+      .select(col("doc_id"), col("token"), col("n"))
+    val cand = pref.alias("x").join(pref.alias("y"),
+        col("x.token") === col("y.token") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        col("x.n") * 10 >= col("y.n") * 6 &&
+        col("y.n") * 10 >= col("x.n") * 6)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val parts = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    Dedup.bitsetPairStats(cand, tokRows.join(parts, Seq("doc_id"), "left_semi"), "doc_id")
+      .withColumn("u", col("sz_a") + col("sz_b") - col("n_inter"))
+      .filter(col("n_inter") * 10 >= col("u") * 6)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("n_inter").cast("long").as("n_inter"),
+        col("u").cast("long").as("n_union"),
+        round(col("n_inter").cast("double") / col("u").cast("double"), 4)
+          .as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Incremental near-dup: match an INCOMING batch (doc_id >= [[splitId]]) against
     * the STANDING corpus (doc_id < [[splitId]]) without re-pairing the corpus with
     * itself — the operation a rolling 100 TB ingest actually runs: the
@@ -819,6 +883,7 @@ object DedupQueries {
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_ngram_pairs" -> (ngramPairs _),
+    "dedup_prefix_pairs" -> (prefixPairs _),
     "dedup_containment" -> (containment _),
     "dedup_incremental" -> (incremental _),
     "dedup_incremental_stored" -> (incrementalStored _),
@@ -1141,6 +1206,47 @@ object DedupQueries {
          |JOIN sh sb ON c.b = sb.doc_id
          |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_prefix_pairs" ->
+      // replays the identical LOSSLESS prefix filter (rarity-ordered
+      // prefixes, integer ceil arithmetic) so DuckDB never joins the
+      // frequent-token posting lists either; final output is the exact
+      // integer-threshold Jaccard cut, independent of candidate details
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(sh) AS token FROM (
+        |    SELECT doc_id,
+        |      list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |          FROM documents) t) s),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY token),
+        |rk AS (
+        |  SELECT t.doc_id, t.token,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.token) AS rn,
+        |    count(*) OVER (PARTITION BY t.doc_id) AS n
+        |  FROM tok t JOIN dfreq f ON t.token = f.token),
+        |pref AS (
+        |  SELECT doc_id, token, n FROM rk
+        |  WHERE rn <= n - (6 * n + 9) // 10 + 1),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM pref x JOIN pref y ON x.token = y.token
+        |   AND x.doc_id < y.doc_id
+        |   AND x.n * 10 >= y.n * 6 AND y.n * 10 >= x.n * 6),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS i
+        |  FROM cand c
+        |  JOIN tok ta ON ta.doc_id = c.a
+        |  JOIN tok tb ON tb.doc_id = c.b AND tb.token = ta.token
+        |  GROUP BY c.a, c.b)
+        |SELECT i.a AS doc_a, i.b AS doc_b, i.i AS n_inter,
+        |  sa.n + sb.n - i.i AS n_union,
+        |  round(CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE), 4) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON sa.doc_id = i.a
+        |JOIN sz sb ON sb.doc_id = i.b
+        |WHERE i.i * 10 >= (sa.n + sb.n - i.i) * 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, lang, n_chars,

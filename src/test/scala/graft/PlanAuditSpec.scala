@@ -460,6 +460,12 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("dedup_prefix_pairs: candidate join is a prefix-token equi-join, no nested loop") {
+    val plan = finalPlan(DedupQueries.prefixPairs(spark, sf()))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("c23: binned range join is an equi-join, not a nested loop") {
     val plan = finalPlan(JoinQueries.rangeJoin(spark, sf()))
     // the whole point of binning: the range-only predicate would otherwise

@@ -127,6 +127,7 @@ class QueriesSpec extends SparkSpec {
     "profile_drift" -> 5L,
     "c21_scd2" -> 802L,
     "c25_running_total" -> 1500L,
+    "dedup_prefix_pairs" -> 28L,
   )
 
   test("every query has an oracle and vice versa") {
