@@ -159,7 +159,36 @@ object EventQueries {
       .orderBy("user_id", "version")
   }
 
+  /** Gap-filled daily resample: per-user day grid over each user's own
+    * [first_day, last_day] span with zero rows for silent days — the
+    * time-series regularization every downstream model/monitor needs
+    * (a missing day must read as 0, not as an absent row).
+    *
+    * Shape for scale: events reduce to per-(user, day) partials FIRST
+    * (map-side combine does most of the work), the grid explodes from the
+    * per-user span aggregate — bounded by span length, never by event
+    * count — and the fill join runs on (user_id, day), the same key the
+    * daily aggregate already shuffled on. No calendar table, no global
+    * min/max: each user carries only its own span.
+    */
+  def resample(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("mn"), max("day").as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 day"))).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("v"), lit(0.0)), 2).as("v"))
+      .orderBy("user_id", "day")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c26_resample" -> (resample _),
     "c21_scd2" -> (c21 _),
     "c19_active_users" -> (c19 _),
     "c17_retention" -> (c17 _),
@@ -173,6 +202,19 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "c26_resample" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |         CAST(count(*) AS BIGINT) AS n, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        |  FROM (SELECT user_id, min(day) AS mn, max(day) AS mx
+        |        FROM daily GROUP BY user_id) t)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+        |  coalesce(d.n, 0) AS n, round(coalesce(d.v, 0), 2) AS v
+        |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+        |ORDER BY g.user_id, day""".stripMargin,
     "c21_scd2" ->
       """WITH c AS (
         |  SELECT user_id, event_type, ts, event_id,

@@ -304,6 +304,35 @@ object MiscQueries {
     * 100 TB swap `approx_percentile` into the same shape, as documented on
     * [[profileQuantiles]].
     */
+  /** Winsorized robust aggregate: clip event values to their per-type
+    * [p05, p95] band, report clip counts and the winsorized mean — the
+    * outlier-tolerant cleaning step between raw profiling and model
+    * features. Two passes by construction: exact quantiles per type (a
+    * bounded-group aggregate), then the thresholds BROADCAST back onto
+    * the stream for a clip-and-reaggregate — no sort of the fact table,
+    * no self-join. Thresholds are rounded to 6dp in BOTH engines before
+    * comparing, so an interpolation ulp cannot flip a boundary row
+    * (same guard as profile_drift's bin edges).
+    */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.05D)"), 6).as("lo"),
+           round(expr("percentile(value, 0.95D)"), 6).as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_type"),
+        when(col("value") < col("lo"), col("lo"))
+          .when(col("value") > col("hi"), col("hi"))
+          .otherwise(col("value")).as("w"),
+        (col("value") < col("lo")).cast("long").as("lo_clip"),
+        (col("value") > col("hi")).cast("long").as("hi_clip"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum("lo_clip").as("n_lo"), sum("hi_clip").as("n_hi"),
+           round(avg("w"), 4).as("avg_winsorized"))
+      .orderBy("event_type")
+  }
+
   def profileAnomaly(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select("event_type", "value")
     // med/mad round to 6dp BEFORE any comparison (the k-means rule):
@@ -403,6 +432,7 @@ object MiscQueries {
     "profile_drift" -> (profileDrift _),
     "profile_anomaly" -> (profileAnomaly _),
     "profile_quantiles" -> (profileQuantiles _),
+    "profile_winsorize" -> (winsorize _),
     "profile_orders" -> (profileOrders _),
     "layout_zvalue" -> (layoutZvalue _),
     "layout_zvalue3" -> (layoutZvalue3 _),
@@ -420,6 +450,19 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "profile_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.05), 6) AS lo,
+        |         round(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  round(avg(CASE WHEN e.value < b.lo THEN b.lo
+        |                 WHEN e.value > b.hi THEN b.hi
+        |                 ELSE e.value END), 4) AS avg_winsorized
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
     "profile_drift" ->
       """WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
         |bo AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),

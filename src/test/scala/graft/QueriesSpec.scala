@@ -128,6 +128,8 @@ class QueriesSpec extends SparkSpec {
     "c21_scd2" -> 802L,
     "c25_running_total" -> 1500L,
     "dedup_prefix_pairs" -> 28L,
+    "c26_resample" -> 449L,
+    "profile_winsorize" -> 5L,
   )
 
   test("every query has an oracle and vice versa") {
