@@ -301,7 +301,87 @@ object SimilarityQueries {
       .limit(SparseK)
   }
 
+  /** Proportional corpus/batch split for the vector table (standing corpus
+    * = vec_id < split, incoming batch = vec_id >= split), mirroring the
+    * document-side [[DedupQueries.splitId]] contract.
+    */
+  private val esplitCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+  private[graft] def embSplit(s: SparkSession, d: String): Long =
+    esplitCache.computeIfAbsent((s, d), _ =>
+      (Tables.embeddings(s, d).agg(max(col("vec_id"))).head.getLong(0) + 1L) * 4L / 5L)
+
+  private val embSplitSql = "(SELECT (max(vec_id) + 1) * 4 // 5 FROM embeddings)"
+
+  /** The persisted IVF index over the standing corpus: `(vec_id, cell, v)`
+    * BUCKETED on `cell` — written once per ingest epoch, probed by every
+    * incoming batch. Cells are the deterministic seed-Voronoi assignment
+    * [[ivfAnn]] uses (nearest of the first 10 corpus vectors by rounded
+    * cosine, ties to the lower seed id).
+    */
+  private val ivfStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def ivfState(s: SparkSession, d: String): String =
+    ivfStateCache.computeIfAbsent((s, d), _ => {
+      val sfx = d.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+        .stripPrefix("_").stripSuffix("_")
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val tbl = s"graft_ivf_cells_${sfx}_$tag"
+      graft.functions.VectorFunctions.register(s)
+      val corpus = prepared(Tables.embeddings(s, d))
+        .filter(col("vec_id") < embSplit(s, d))
+      val seeds = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("sid"), col("v").as("sv"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("sid"))
+      val assigned = corpus.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("v"), col("sid"),
+          round(cosineNative(col("v"), col("sv")), 4).as("cs"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sid").as("cell"), col("v"))
+      graft.operators.Layout.writeBucketed(assigned, "cell", tbl, 4)
+      tbl
+    })
+
+  /** Incremental ANN against a PERSISTED IVF index — the vector-side
+    * rolling-ingest contract, mirroring dedup_incremental_stored: the
+    * standing corpus's cell assignments are a bucketed state table written
+    * once per ingest epoch; an incoming batch (vec_id >= 4n/5) assigns
+    * itself to cells against the tiny seed set (broadcast, one narrow
+    * pass) and probes ONLY its own cell's stored postings — the corpus
+    * side arrives pre-bucketed on `cell`, so the probe join needs no
+    * corpus-side exchange and no recomputation of corpus assignments.
+    * At 100 TB: index build cost is paid once per epoch, per-batch cost
+    * tracks batch size × cell occupancy, never corpus size.
+    */
+  def ivfStored(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val tbl = ivfState(s, d)
+    val corpus = s.table(tbl)
+    val batch = prepared(Tables.embeddings(s, d))
+      .filter(col("vec_id") >= embSplit(s, d))
+    val seeds = prepared(Tables.embeddings(s, d))
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("sid"), col("v").as("sv"))
+    val wAssign = Window.partitionBy("qid").orderBy(desc("cs"), asc("sid"))
+    val q = batch.crossJoin(broadcast(seeds))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("sid"),
+        round(cosineNative(col("v"), col("sv")), 4).as("cs"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("qv"), col("sid").as("cell"))
+    val sims = corpus.join(q, "cell")
+      .select(col("qid"), col("vec_id"), col("cell"),
+        round(cosineNative(col("v"), col("qv")), 4).as("sim"))
+    val wTop = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    sims.withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 3)
+      .select("qid", "vec_id", "cell", "sim", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_stored" -> (ivfStored _),
     "sim_sparse_topk" -> (sparseTopk _),
     "sim_pq_ann" -> (pqAnn _),
     "c13_cosine_topk" -> (c13 _),
@@ -452,6 +532,30 @@ object SimilarityQueries {
          |SELECT qid, vec_id, sim,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
          |FROM p QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "sim_ivf_stored" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 10),
+         |corp AS (SELECT * FROM e WHERE vec_id < $embSplitSql),
+         |csc AS (
+         |  SELECT c.vec_id, c.v, s.sid, round(${duckCos("c.v", "s.sv")}, 4) AS cs
+         |  FROM corp c, s),
+         |idx AS (
+         |  SELECT vec_id, v, sid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid ASC) AS rn
+         |    FROM csc) t WHERE rn = 1),
+         |bsc AS (
+         |  SELECT b.vec_id, b.v, s.sid, round(${duckCos("b.v", "s.sv")}, 4) AS cs
+         |  FROM (SELECT * FROM e WHERE vec_id >= $embSplitSql) b, s),
+         |q AS (
+         |  SELECT vec_id AS qid, v AS qv, sid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid ASC) AS rn
+         |    FROM bsc) t WHERE rn = 1),
+         |p AS (
+         |  SELECT q.qid, i.vec_id, i.cell, round(${duckCos("i.v", "q.qv")}, 4) AS sim
+         |  FROM idx i JOIN q USING (cell))
+         |SELECT qid, vec_id, cell, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+         |FROM p QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "sim_ivf_ann" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 10),

@@ -466,6 +466,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("sim_ivf_stored: probe reads the bucketed cell index, corpus side never shuffles") {
+    val plan = finalPlan(SimilarityQueries.ivfStored(spark, sf()))
+    // the standing index arrives pre-bucketed on `cell` ...
+    assert(plan.contains("Bucketed: true"), plan)
+    // ... and no exchange repartitions it for the probe join (the batch
+    // side may shuffle or broadcast; the corpus side must not move)
+    assert(!"Exchange hashpartitioning\\(cell#\\d+L".r.findFirstIn(plan).isDefined
+           || !plan.contains("SortMergeJoin"), plan)
+    // (the seed-assignment crossJoin against the broadcast 10-row seed set
+    // is the sanctioned literal-broadcast pattern and MAY plan as a
+    // BroadcastNestedLoopJoin; the cell probe itself must stay an equi-join)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("c23: binned range join is an equi-join, not a nested loop") {
     val plan = finalPlan(JoinQueries.rangeJoin(spark, sf()))
     // the whole point of binning: the range-only predicate would otherwise

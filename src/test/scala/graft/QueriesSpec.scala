@@ -130,6 +130,7 @@ class QueriesSpec extends SparkSpec {
     "dedup_prefix_pairs" -> 28L,
     "c26_resample" -> 449L,
     "profile_winsorize" -> 5L,
+    "sim_ivf_stored" -> 300L,
   )
 
   test("every query has an oracle and vice versa") {
