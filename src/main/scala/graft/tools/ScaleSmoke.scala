@@ -80,6 +80,8 @@ object ScaleSmoke {
     val (tHeavy, nHeavy) = timedIn(graft.queries.SketchQueries.defs)("cms_heavy_hitters")
     val (tGraph, nGraph) = timedIn(graft.queries.GraphQueries.defs)("graph_domain_rank")
     val (tBigram, nBigram) = timedIn(graft.queries.TextQueries.defs)("text_bigram_logprob")
+    val (tPrefix, nPrefix) = timed("dedup_prefix_pairs")
+    val (tTri, nTri) = timedIn(graft.queries.GraphQueries.defs)("graph_triangles")
 
     // replicas are structurally identical with disjoint vocabularies, so
     // span duplicates and heavy shingles scale EXACTLY linearly: 10x the
@@ -137,6 +139,17 @@ object ScaleSmoke {
       s"graph mass leak: sum(dup_w)=$graphW != 2x$nCrossSrcPairs cross-source pairs")
     // every doc has >= 2 tokens in this corpus: the bigram LM must score all
     require(nBigram == nDocs, s"bigram LM must score every doc: $nBigram != $nDocs")
+    // prefix filtering is LOSSLESS and the exact-jaccard output is
+    // suffix-invariant, so verified pairs scale exactly linearly — even
+    // though the rarity-order tie-breaks (and hence candidate sets) differ
+    // per replica, the OUTPUT may not
+    val nPrefixBase = graft.queries.DedupQueries.defs("dedup_prefix_pairs")(spark, base).count()
+    require(nPrefix == nPrefixBase * copies,
+      s"prefix-join pairs must scale linearly: $nPrefix != $nPrefixBase x $copies")
+    // the triangle census runs on the domain graph, which stays
+    // domain-sized at any corpus scale (sources are shared across replicas)
+    require(nTri == nGraph,
+      s"triangle census must cover every domain: $nTri != $nGraph")
 
     // the flagship curation job end-to-end at 10x: funnel must narrow
     // monotonically and stay inside the same wall budget
@@ -154,15 +167,16 @@ object ScaleSmoke {
       s"corpus funnel broken at 10x: $funnel")
 
     val total = tPairs + tClusters + tNgram + tContain + tSpans + tSpansMin +
-      tHeavy + tGraph + tBigram + tCorpus
+      tHeavy + tGraph + tBigram + tPrefix + tTri + tCorpus
     require(total <= budgetSec,
       f"budget blown: pairs $tPairs%.1f + clusters $tClusters%.1f + ngram $tNgram%.1f + " +
         f"containment $tContain%.1f + spans $tSpans%.1f + spans_min $tSpansMin%.1f + " +
         f"heavy $tHeavy%.1f + graph $tGraph%.1f + bigram $tBigram%.1f + " +
+        f"prefix $tPrefix%.1f + triangles $tTri%.1f + " +
         f"corpus $tCorpus%.1f > ${budgetSec}s")
 
     val json =
-      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"budget_sec":$budgetSec}"""
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"budget_sec":$budgetSec}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
