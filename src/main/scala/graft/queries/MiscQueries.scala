@@ -304,6 +304,20 @@ object MiscQueries {
     * 100 TB swap `approx_percentile` into the same shape, as documented on
     * [[profileQuantiles]].
     */
+  /** Distributed dense-id assignment over documents ([[graft.operators
+    * .DenseIds]]): contiguous 0..N−1 ids with no global window, no RDD
+    * zipWithIndex, no partition-order dependence — md5-bucketed ranks plus
+    * exclusive bucket offsets, the id layer under embedding-matrix rows /
+    * bitset positions / graph node numbering. The oracle replays the
+    * identical bucket/rank/offset arithmetic, so the hash match proves the
+    * bijection is engine- and partitioning-independent.
+    */
+  def denseIds(s: SparkSession, d: String): DataFrame =
+    graft.operators.DenseIds.assign(
+        Tables.documents(s, d).select("doc_id"), col("doc_id"))
+      .select(col("doc_id"), col("dense_id"))
+      .orderBy("doc_id")
+
   /** Winsorized robust aggregate: clip event values to their per-type
     * [p05, p95] band, report clip counts and the winsorized mean — the
     * outlier-tolerant cleaning step between raw profiling and model
@@ -433,6 +447,7 @@ object MiscQueries {
     "profile_anomaly" -> (profileAnomaly _),
     "profile_quantiles" -> (profileQuantiles _),
     "profile_winsorize" -> (winsorize _),
+    "c27_dense_ids" -> (denseIds _),
     "profile_orders" -> (profileOrders _),
     "layout_zvalue" -> (layoutZvalue _),
     "layout_zvalue3" -> (layoutZvalue3 _),
@@ -450,6 +465,23 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "c27_dense_ids" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5('ids:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+        |  FROM documents),
+        |b AS (SELECT doc_id, hh, hh % 1024 AS bk FROM h),
+        |rk AS (
+        |  SELECT doc_id, bk,
+        |    row_number() OVER (PARTITION BY bk ORDER BY hh, doc_id) - 1 AS rn
+        |  FROM b),
+        |off AS (
+        |  SELECT bk, coalesce(sum(n) OVER (ORDER BY bk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM (SELECT bk, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bk) t)
+        |SELECT r.doc_id, CAST(o.off + r.rn AS BIGINT) AS dense_id
+        |FROM rk r JOIN off o ON r.bk = o.bk
+        |ORDER BY doc_id""".stripMargin,
     "profile_winsorize" ->
       """WITH b AS (
         |  SELECT event_type, round(quantile_cont(value, 0.05), 6) AS lo,

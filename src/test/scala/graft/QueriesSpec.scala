@@ -131,6 +131,7 @@ class QueriesSpec extends SparkSpec {
     "c26_resample" -> 449L,
     "profile_winsorize" -> 5L,
     "sim_ivf_stored" -> 300L,
+    "c27_dense_ids" -> 500L,
   )
 
   test("every query has an oracle and vice versa") {
