@@ -355,12 +355,19 @@ object SimilarityQueries {
     * At 100 TB: index build cost is paid once per epoch, per-batch cost
     * tracks batch size × cell occupancy, never corpus size.
     */
-  def ivfStored(s: SparkSession, d: String): DataFrame = {
+  /** Probe the stored IVF index with an arbitrary `(vec_id, v)` batch —
+    * the per-micro-batch unit the streaming twin replays via foreachBatch
+    * (per-query top-k is batch-local, so a union over disjoint batches
+    * equals the one-shot batch query exactly).
+    */
+  private[graft] def ivfProbe(s: SparkSession, d: String,
+                              batch: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val tbl = ivfState(s, d)
-    val corpus = s.table(tbl)
-    val batch = prepared(Tables.embeddings(s, d))
-      .filter(col("vec_id") >= embSplit(s, d))
+    // a foreachBatch micro-batch frame belongs to a CLONED session whose
+    // function registry may postdate the outer registration — resolve
+    // cosine_sim against the session that will analyze this plan
+    graft.functions.VectorFunctions.register(batch.sparkSession)
+    val corpus = s.table(ivfState(s, d))
     val seeds = prepared(Tables.embeddings(s, d))
       .filter(col("vec_id") < 10)
       .select(col("vec_id").as("sid"), col("v").as("sv"))
@@ -377,8 +384,14 @@ object SimilarityQueries {
     val wTop = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
     sims.withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 3)
       .select("qid", "vec_id", "cell", "sim", "rnk")
-      .orderBy("qid", "rnk")
   }
+
+  def ivfStored(s: SparkSession, d: String): DataFrame =
+    ivfProbe(s, d,
+        prepared(Tables.embeddings(s, d))
+          .filter(col("vec_id") >= embSplit(s, d))
+          .select("vec_id", "v"))
+      .orderBy("qid", "rnk")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_stored" -> (ivfStored _),

@@ -183,4 +183,43 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(got.toSet === expected,
       s"streaming pairs ${got.size} != stored batch pairs ${expected.size}")
   }
+
+  test("foreachBatch probe of the PERSISTED IVF index equals sim_ivf_stored") {
+    // the vector-side rolling ingest: the cell index lives in a bucketed
+    // catalog table; each micro-batch of incoming vectors assigns itself
+    // against the seed set and probes only its own cells. Per-query top-k
+    // is batch-local, so the union over two disjoint micro-batches must
+    // equal the one-shot batch query exactly.
+    import graft.queries.SimilarityQueries
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    val split = SimilarityQueries.embSplit(spark, d)
+    val incoming = graft.operators.Similarity.prepared(Tables.embeddings(spark, d))
+      .filter($"vec_id" >= split)
+      .select($"vec_id", $"v").as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double, Int)]()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = mem.toDF().toDF("vec_id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = SimilarityQueries.ivfProbe(spark, d, batch)
+          .collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+            x.getDouble(3), x.getInt(4)))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    try {
+      val (first, second) = incoming.splitAt(incoming.length / 2)
+      mem.addData(first); q.processAllAvailable()
+      mem.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val expected = SimilarityQueries.defs("sim_ivf_stored")(spark, d)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getInt(4))).toSet
+    assert(got.toSet === expected,
+      s"streaming probe ${got.size} != stored batch ${expected.size}")
+  }
 }
