@@ -126,4 +126,44 @@ object Sampling {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Poisson(1) CDF thresholds in the 60-bit hash space, one per
+    * multiplicity 0..6 (mass beyond 7 is ~8e-8 and truncates to 7).
+    * Exact integer literals computed ONCE here and injected into both the
+    * Spark plan and the oracle SQL, so no float boundary can diverge.
+    */
+  private[graft] val Poisson1Thresholds: Seq[Long] = {
+    val pmf = (1 to 6).scanLeft(math.exp(-1.0))((p, k) => p / k)
+    val cdf = pmf.scanLeft(0.0)(_ + _).tail
+    cdf.map(c => math.min((c * HashSpace.toDouble).toLong, HashSpace))
+  }
+
+  /** Deterministic Poisson(1) bootstrap multiplicity for `key` under
+    * `salt` (one salt per bootstrap replicate). The Poisson bootstrap is
+    * THE bootstrap that scales: classical resampling draws n rows WITH
+    * replacement from a global sample — impossible without materializing
+    * the resample — while multinomial(n, 1/n) counts converge to
+    * independent Poisson(1) multiplicities, so each row computes its own
+    * weight from a portable hash: no shuffle, no RNG state, identical on
+    * every run/engine/retry. Aggregating with these as weights yields one
+    * bootstrap replicate; R salts give R replicates for variance/CI
+    * estimation in a single pass.
+    */
+  def poissonMultiplicity(key: Column, salt: String): Column = {
+    val h = hash60(key, salt)
+    Poisson1Thresholds.zipWithIndex.foldRight(
+        lit(Poisson1Thresholds.size.toLong): Column) {
+      case ((t, i), acc) => when(h < t, lit(i.toLong)).otherwise(acc)
+    }
+  }
+
+  /** The same multiplicity rule as DuckDB SQL over `keyExpr`, using the
+    * identical integer thresholds.
+    */
+  def poissonMultiplicitySql(keyExpr: String, salt: String): String = {
+    val h = s"CAST('0x' || substring(md5('$salt:' || CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT)"
+    val whens = Poisson1Thresholds.zipWithIndex
+      .map { case (t, i) => s"WHEN $h < $t THEN $i" }.mkString(" ")
+    s"CASE $whens ELSE ${Poisson1Thresholds.size} END"
+  }
 }

@@ -341,6 +341,10 @@ object DedupQueries {
     */
   def prefixPairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // checkpoint the ARRAY frame and re-explode per consumer: measured
+    // FASTER (4.7s vs 5.7s at sf0.1) than checkpointing the exploded long
+    // form — the explode is codegen'd and cheap, while the long form's
+    // checkpoint stores one string shingle per row
     val sets = Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), Dedup.ngramShingles(col("toks"), 3).as("set"))

@@ -12,6 +12,36 @@ import org.apache.spark.sql.functions._
   */
 object SamplingQueries {
 
+  /** Poisson bootstrap over documents: 3 deterministic replicates of the
+    * per-language mean doc length, each row weighted by its hash-derived
+    * Poisson(1) multiplicity ([[Sampling.poissonMultiplicity]]) — the
+    * single-pass, shuffle-free form of bootstrap resampling (multinomial
+    * counts → independent Poisson(1) in the large-n limit), which is how
+    * variance/CI estimation actually runs over a 100 TB corpus: no global
+    * resample is ever materialized, replicates differ only by salt, and
+    * the whole thing is one scan + one groupBy. All weights are exact
+    * integers against shared integer CDF thresholds, so sums match
+    * bit-for-bit; the mean divides two exact BIGINTs with a zero guard in
+    * both engines.
+    */
+  def bootstrap(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.documents(s, d).select(
+      col("lang"), col("n_chars"),
+      Sampling.poissonMultiplicity(col("doc_id"), "boot0").as("m0"),
+      Sampling.poissonMultiplicity(col("doc_id"), "boot1").as("m1"),
+      Sampling.poissonMultiplicity(col("doc_id"), "boot2").as("m2"))
+    m.selectExpr("lang", "n_chars",
+        "stack(3, 0L, m0, 1L, m1, 2L, m2) AS (rep, m)")
+      .groupBy(col("lang"), col("rep"))
+      .agg(sum("m").as("n_eff"),
+           sum(col("m") * col("n_chars")).as("sum_chars"))
+      .select(col("lang"), col("rep"), col("n_eff"), col("sum_chars"),
+        when(col("n_eff") > 0,
+          round(col("sum_chars").cast("double") / col("n_eff").cast("double"), 4))
+          .as("boot_mean"))
+      .orderBy("lang", "rep")
+  }
+
   /** 10% deterministic sample of documents, keyed on doc_id. */
   def detSample(s: SparkSession, d: String): DataFrame =
     Sampling.deterministic(Tables.documents(s, d), col("doc_id"), 0.10, salt = "s1")
@@ -229,6 +259,7 @@ object SamplingQueries {
     "sample_temperature" -> (temperatureMix _),
     "sample_epochs" -> (epochPlan _),
     "sample_shuffle_shard" -> (shuffleShard _),
+    "sample_bootstrap" -> (bootstrap _),
     "sample_det" -> (detSample _),
     "sample_strata" -> (strataSample _),
     "sample_split" -> (splitSample _),
@@ -324,6 +355,20 @@ object SamplingQueries {
          |      ORDER BY ${h60("sh1", "doc_id")}, doc_id) AS BIGINT) AS pos
          |  FROM documents) t
          |ORDER BY shard, pos, doc_id""".stripMargin,
+    "sample_bootstrap" -> {
+      val reps = (0 to 2).map { r =>
+        s"SELECT lang, n_chars, CAST($r AS BIGINT) AS rep, " +
+          s"CAST(${Sampling.poissonMultiplicitySql("doc_id", s"boot$r")} AS BIGINT) AS m FROM documents"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH u AS (
+         |  $reps)
+         |SELECT lang, rep, CAST(sum(m) AS BIGINT) AS n_eff,
+         |  CAST(sum(m * n_chars) AS BIGINT) AS sum_chars,
+         |  CASE WHEN sum(m) > 0
+         |       THEN round(CAST(sum(m * n_chars) AS DOUBLE) / CAST(sum(m) AS DOUBLE), 4)
+         |  END AS boot_mean
+         |FROM u GROUP BY lang, rep ORDER BY lang, rep""".stripMargin
+    },
     "sample_det" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${h60("s1", "doc_id")} < ${Sampling.threshold(0.10)}

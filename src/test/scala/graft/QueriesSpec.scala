@@ -132,6 +132,7 @@ class QueriesSpec extends SparkSpec {
     "profile_winsorize" -> 5L,
     "sim_ivf_stored" -> 300L,
     "c27_dense_ids" -> 500L,
+    "sample_bootstrap" -> 15L,
   )
 
   test("every query has an oracle and vice versa") {

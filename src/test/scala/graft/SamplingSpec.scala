@@ -128,4 +128,25 @@ class SamplingSpec extends SparkSpec {
     // fraction 1.0 keeps every row of the stratum
     assert(out.count() === docs.filter($"lang" === "en").count())
   }
+
+  test("poisson bootstrap multiplicities: mean ~ 1 per replicate, replicates differ") {
+    val docs = Tables.documents(spark, sf("sf0.01")).select("doc_id")
+    val n = docs.count()
+    val eff = (0 to 2).map { r =>
+      docs.select(Sampling.poissonMultiplicity($"doc_id", s"boot$r").as("m"))
+        .agg(sum("m")).as[Long].head()
+    }
+    // E[sum m] = n, sd = sqrt(n): 5 sigma bounds at n=500 → ±~112
+    eff.foreach(e => assert(math.abs(e - n) <= 5 * math.sqrt(n.toDouble),
+      s"replicate size $e too far from $n"))
+    // different salts must give different resamples
+    assert(eff.distinct.size > 1, s"replicates identical: $eff")
+    // multiplicities are deterministic: same salt → bit-equal weights
+    val a = docs.select($"doc_id", Sampling.poissonMultiplicity($"doc_id", "boot0").as("m"))
+      .as[(Long, Long)].collect().toMap
+    val b = docs.repartition(7)
+      .select($"doc_id", Sampling.poissonMultiplicity($"doc_id", "boot0").as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
 }
