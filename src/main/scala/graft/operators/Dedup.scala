@@ -538,6 +538,54 @@ object Dedup {
     array_distinct(when(size(toks) >= n, grams).otherwise(array()))
   }
 
+  /** Content-defined chunking (token-granularity FastCDC/rsync family):
+    * cut a doc into variable-size chunks whose BOUNDARIES depend only on
+    * local content — after token p whenever the w-token window ending at p
+    * hashes to 0 mod `divisor` (expected chunk length ≈ divisor tokens).
+    * Because a boundary looks at w tokens and nothing else, an edit
+    * anywhere in a doc reshapes only the chunks it touches: every chunk
+    * lying fully inside an untouched region keeps its identity, which is
+    * what makes chunk-hash dedup catch shared passages that fixed-size
+    * chunking misses after a single leading insertion shifts every frame
+    * (CdcSpec pins exactly that prepend-invariance).
+    *
+    * Output: one row per chunk — (id, chunk_idx, n_toks, chunk_md5).
+    * Everything is per-row array algebra (boundary scan, cut-point fold,
+    * slice-and-hash) — a pure map stage with NO shuffle and no explode of
+    * token rows, so at 100 TB this costs one corpus scan; the duplicate
+    * census downstream is one groupBy on chunk_md5. The window hash is the
+    * portable md5-hex-prefix integer every other dedup op uses, so the SQL
+    * oracle replays boundaries bit-for-bit.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                w: Int = 4, divisor: Int = 8): DataFrame = {
+    val toked = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+    // boundary positions (1-based, ascending); sequence() flips to a
+    // descending range when start > stop, so guard docs shorter than w
+    val bnds = filter(
+      when(col("n") >= w, sequence(lit(w.toLong), col("n"))).otherwise(array()),
+      p => conv(substring(md5(concat_ws(" ",
+             slice(col("toks"), (p - (w - 1)).cast("int"), lit(w)))), 1, 15), 16, 10)
+             .cast("long") % divisor === 0L)
+    // cut points: the boundaries plus the doc end (dropped by array_distinct
+    // if the last boundary already sits there); ascending by construction
+    val chunks = toked
+      .withColumn("ends", array_distinct(concat(bnds, array(col("n")))))
+      .withColumn("chunks", transform(sequence(lit(1), size(col("ends"))), j => {
+        val start = when(j === 1, lit(0L))
+          .otherwise(element_at(col("ends"), (j - 1).cast("int"))) + 1
+        val end = element_at(col("ends"), j.cast("int"))
+        concat_ws(" ", slice(col("toks"), start.cast("int"), (end - start + 1).cast("int")))
+      }))
+      .select(col(idCol), posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+    chunks.select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+      (size(split(col("chunk"), " "))).cast("long").as("n_toks"),
+      md5(col("chunk")).as("chunk_md5"))
+  }
+
   /** 60-bit SimHash over term frequencies. Bit b of md5(token)'s leading
     * 60 bits votes +tf / -tf; simhash bit b is 1 iff the vote sum is > 0.
     * 60 bits (15 hex chars) keeps everything in signed-long range in every

@@ -324,6 +324,22 @@ object DedupQueries {
     * boundary can diverge between engines. Verification is the shared
     * participant-pruned bitset popcount.
     *
+    * On top of the per-side prefix cut sits PPJoin's POSITIONAL filter
+    * (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW 2008): Jaccard ≥ t forces overlap ≥ α(x,y) =
+    * ceil(t/(1+t)·(n_x+n_y)) — a PER-PAIR bound strictly above the
+    * per-side worst case ceil(t·n) — and if the pair qualifies, its
+    * EARLIEST shared shingle (positions rn_x, rn_y in the rarity order)
+    * must leave room for that overlap in both suffixes:
+    * 1 + min(n_x−rn_x, n_y−rn_y) ≥ α. The join keeps a (token, pair) row
+    * only when that bound holds, so equal-size pairs are admitted on a
+    * prefix of n−ceil(0.75n)+1 instead of n−ceil(0.6n)+1 — lossless
+    * (the earliest shared token of any qualifying pair satisfies it by
+    * the suffix-count argument) and cheaper: measured 204k → 73k raw
+    * candidates (193k → 69k distinct pairs) at sf0.1, which shrinks the
+    * verify stage's participant set in the same ratio. α stays
+    * integer-exact: ceil(3(n_x+n_y)/8) = (3(n_x+n_y)+7) div 8 for t = 0.6.
+    *
     * SHINGLES, not unigram tokens, and deliberately so: prefix filtering
     * lives or dies on the element-frequency distribution. This corpus's
     * unigram vocabulary is tiny ('the' sits in 77% of docs), so unigram
@@ -356,12 +372,14 @@ object DedupQueries {
       .withColumn("rn", row_number().over(wDoc.orderBy("df", "token")).cast("long"))
       .withColumn("n", count(lit(1)).over(wDoc))
       .filter(col("rn") <= col("n") - floor((col("n") * 6 + 9) / 10) + 1)
-      .select(col("doc_id"), col("token"), col("n"))
+      .select(col("doc_id"), col("token"), col("n"), col("rn"))
+    val alpha = floor(((col("x.n") + col("y.n")) * 3 + 7) / 8)
     val cand = pref.alias("x").join(pref.alias("y"),
         col("x.token") === col("y.token") &&
         col("x.doc_id") < col("y.doc_id") &&
         col("x.n") * 10 >= col("y.n") * 6 &&
-        col("y.n") * 10 >= col("x.n") * 6)
+        col("y.n") * 10 >= col("x.n") * 6 &&
+        lit(1) + least(col("x.n") - col("x.rn"), col("y.n") - col("y.rn")) >= alpha)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val parts = cand.select(col("a").as("doc_id"))
@@ -376,6 +394,31 @@ object DedupQueries {
           .as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Content-defined-chunking duplicate census — CHUNK-granularity dedup
+    * next to the doc-level (exact/MinHash), span-level (winnowing) and
+    * containment forms: [[Dedup.cdcChunks]] cuts every doc where a 4-token
+    * rolling window hashes ≡ 0 mod 8 (expected ≈8-token chunks), and the
+    * census reports every chunk hash carried by ≥ 2 distinct docs. The
+    * boundaries are content-local, so a shared passage chunks identically
+    * in every doc that embeds it no matter what surrounds it — the
+    * storage-dedup (rsync/FastCDC) trick applied to training text, and the
+    * piece a fixed-frame chunker loses the moment one leading insertion
+    * shifts every frame (CdcSpec pins the prepend-invariance).
+    *
+    * Scale: chunking is per-row array algebra — a shuffle-free map over
+    * the corpus scan; the census is ONE groupBy on chunk_md5. No pair
+    * join exists at any stage, so the op is linear in corpus size.
+    */
+  def cdcDup(s: SparkSession, d: String): DataFrame =
+    Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text")
+      .groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occ"),
+           min("doc_id").as("first_doc"),
+           max(col("n_toks")).as("n_toks"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk_md5")
 
   /** Incremental near-dup: match an INCOMING batch (doc_id >= [[splitId]]) against
     * the STANDING corpus (doc_id < [[splitId]]) without re-pairing the corpus with
@@ -872,6 +915,7 @@ object DedupQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
+    "dedup_cdc_chunks" -> (cdcDup _),
     "dedup_bow" -> (bow _),
     "dedup_spans" -> (spans _),
     "dedup_spans_cut" -> (spansCut _),
@@ -1146,6 +1190,36 @@ object DedupQueries {
         |       CAST(count(DISTINCT text) AS BIGINT) AS n_unique_text,
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_md5
         |FROM documents""".stripMargin,
+    "dedup_cdc_chunks" ->
+      // replays the identical content-defined boundary rule (4-token
+      // window, md5-hex-prefix integer ≡ 0 mod 8) and cut-point fold, so
+      // chunk identities are bit-equal across engines
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tt AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        |       FROM t WHERE len(toks) > 0),
+        |b AS (SELECT doc_id, toks, n,
+        |        list_filter(range(4, n + 1),
+        |          p -> CAST('0x' || substring(md5(array_to_string(toks[p-3:p], ' ')), 1, 15) AS BIGINT) % 8 = 0) AS bnds
+        |      FROM tt),
+        |e AS (SELECT doc_id, toks,
+        |        CASE WHEN len(bnds) > 0 AND bnds[-1] = n THEN bnds
+        |             ELSE list_append(bnds, n) END AS ends
+        |      FROM b),
+        |c AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(ends) + 1),
+        |          j -> array_to_string(toks[(CASE WHEN j = 1 THEN 0 ELSE ends[j-1] END) + 1 : ends[j]], ' '))) AS chunk
+        |      FROM e)
+        |SELECT md5(chunk) AS chunk_md5,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occ,
+        |  min(doc_id) AS first_doc,
+        |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_toks
+        |FROM c
+        |GROUP BY chunk
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_md5""".stripMargin,
     "dedup_exact_keep" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_copies

@@ -245,6 +245,55 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** IVF-PQ ANN — the production composition of the two scale legs
+    * ([[ivfAnn]] coarse pruning × [[pqAnn]] memory compression): every
+    * corpus vector lives in the Voronoi cell of its nearest coarse seed
+    * AND is stored as [[Similarity.PqM]] one-byte codewords; a query
+    * assigns itself to its cell against the tiny broadcast seed set and
+    * ADC-scans ONLY that cell's code postings — the classic inverted-file
+    * + product-quantization index (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): candidates shrink by the
+    * cell fan-out, bytes scanned shrink 64× vs raw doubles. Top-5 per
+    * query by (ADC asc, vec_id).
+    *
+    * Scale shape: cell assignment and PQ encoding are narrow broadcast/
+    * literal projections (no corpus shuffle); the probe is a cell
+    * equi-join against code rows that a real deployment stores bucketed
+    * on `cell` ([[ivfStored]] is exactly that persisted form), so the
+    * per-query cost tracks cell occupancy — never corpus size — and the
+    * scanned payload is 8 bytes/vector. Determinism: cell argmax on
+    * 4dp-rounded cosine (ties to lower seed id) and per-subspace 6dp
+    * rounding before both encode argmin and ADC — the same two rules the
+    * component queries pin, so the oracle reproduces codes and ranking
+    * exactly.
+    */
+  def ivfPqAnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val vecs = prepared(Tables.embeddings(s, d)).select("vec_id", "v")
+    val seeds = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("sid"), col("v").as("sv"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("sid"))
+    val assigned = vecs.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("v"), col("sid"),
+        round(cosineNative(col("v"), col("sv")), 4).as("cs"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("sid").as("cell"))
+    val cbs = Similarity.pqCodebooks(vecs)
+    // the stored index rows: (vec_id, cell, 8 code bytes) — `v` dropped
+    val codes = Similarity.pqEncode(assigned, cbs).drop("v")
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+    val codeCols = (0 until Similarity.PqM).map(m => col(s"c$m"))
+    val scored = codes.join(q, "cell")
+      .withColumn("adc", Similarity.pqAdc(col("qv"), codeCols, cbs))
+    val w = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id"), col("cell"),
+        round(col("adc"), 4).as("adc"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Posting-list cap for [[sparseTopk]]: tokens in more than this many
     * docs are dropped (and df=1 tokens can't pair). The cap is what makes
     * the inverted-index join scale: a token with df=f generates f² pair
@@ -395,6 +444,7 @@ object SimilarityQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_stored" -> (ivfStored _),
+    "sim_ivfpq_ann" -> (ivfPqAnn _),
     "sim_sparse_topk" -> (sparseTopk _),
     "sim_pq_ann" -> (pqAnn _),
     "c13_cosine_topk" -> (c13 _),
@@ -501,6 +551,37 @@ object SimilarityQueries {
          |  FROM codes x CROSS JOIN q
          |  $cbJoins)
          |SELECT qid, vec_id, round(adc, 4) AS adc,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS INTEGER) AS rnk
+         |FROM adc QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    },
+    "sim_ivfpq_ann" -> {
+      val codeJoin = (1 until Similarity.PqM)
+        .map(m => s"JOIN cq$m USING (vec_id)").mkString(" ")
+      val cbJoins = (0 until Similarity.PqM)
+        .map(m => s"JOIN cb cb$m ON cb$m.k = x.c$m").mkString("\n  ")
+      val adcSum = (0 until Similarity.PqM)
+        .map(m => pqSubDist("q.qv", s"cb$m.v", m)).mkString("\n    + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, s.sid, round(${duckCos("e.v", "s.sv")}, 4) AS cs
+         |  FROM e, s),
+         |asg AS (
+         |  SELECT vec_id, v, sid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid ASC) AS rn
+         |    FROM scored) t WHERE rn = 1),
+         |cb AS (SELECT CAST(vec_id AS INTEGER) AS k, v FROM e WHERE vec_id < ${Similarity.PqK}),
+         |$pqCodeCtes,
+         |codes AS (SELECT c.*, g.cell
+         |          FROM (SELECT * FROM cq0 $codeJoin) c
+         |          JOIN asg g ON c.vec_id = g.vec_id),
+         |q AS (SELECT vec_id AS qid, v AS qv, cell FROM asg WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT q.qid, x.vec_id, x.cell,
+         |    $adcSum AS adc
+         |  FROM codes x JOIN q USING (cell)
+         |  $cbJoins)
+         |SELECT qid, vec_id, cell, round(adc, 4) AS adc,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS INTEGER) AS rnk
          |FROM adc QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin
     },

@@ -480,6 +480,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("sim_ivfpq_ann: cell probe is an equi-join, never a cartesian scan") {
+    val plan = finalPlan(SimilarityQueries.ivfPqAnn(spark, sf()))
+    // the seed-assignment crossJoin against the broadcast 10-row seed set
+    // may plan as BroadcastNestedLoopJoin (sanctioned literal-broadcast
+    // pattern); the cell probe itself must hash on `cell`
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("hashpartitioning\\(cell#\\d+".r.findFirstIn(plan).isDefined
+           || plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("c23: binned range join is an equi-join, not a nested loop") {
     val plan = finalPlan(JoinQueries.rangeJoin(spark, sf()))
     // the whole point of binning: the range-only predicate would otherwise

@@ -133,6 +133,8 @@ class QueriesSpec extends SparkSpec {
     "sim_ivf_stored" -> 300L,
     "c27_dense_ids" -> 500L,
     "sample_bootstrap" -> 15L,
+    "sim_ivfpq_ann" -> 50L,
+    "dedup_cdc_chunks" -> 215L,
   )
 
   test("every query has an oracle and vice versa") {
