@@ -275,6 +275,57 @@ object Multimodal {
     }(enc)
   }
 
+  /** Average-hash (aHash) perceptual fingerprint of the opaque payload —
+    * the classic image near-dup signature (downsample, threshold each cell
+    * against the global mean), applied at byte granularity so it works on
+    * any modality this environment can't truly decode: bit i of the
+    * `bits`-bit hash is 1 iff the mean of bytes in stripe i (positions
+    * ≡ i mod bits) exceeds the whole-payload mean. The threshold compares
+    * exact integer cross-products (stripe_sum·n > total_sum·stripe_count)
+    * so no float mean ever materializes and the bit pattern is
+    * engine-reproducible. A real deployment swaps the byte stripes for
+    * decoded-pixel cells ([[ImageIoCodec]]'s strip means are exactly that
+    * shape) and nothing downstream changes.
+    *
+    * Same per-partition batch shape as [[decode]]: one narrow pass,
+    * payload never leaves the executor, output is (media_id, ahash,
+    * n_bytes) — 8 bytes of fingerprint per blob for the downstream
+    * Hamming-banded pair search.
+    */
+  def ahash(media: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits > 0 && bits <= 60, s"ahash bits must be in [1, 60], got $bits")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      val sums = new Array[Long](bits)
+      val counts = new Array[Long](bits)
+      rows.map { r =>
+        val p = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+        java.util.Arrays.fill(sums, 0L)
+        java.util.Arrays.fill(counts, 0L)
+        var total = 0L
+        var j = 0
+        while (j < p.length) {
+          val v = (p(j) & 0xff).toLong
+          sums(j % bits) += v
+          counts(j % bits) += 1
+          total += v
+          j += 1
+        }
+        var h = 0L
+        var i = 0
+        while (i < bits) {
+          if (counts(i) > 0 && sums(i) * p.length > total * counts(i)) h |= 1L << i
+          i += 1
+        }
+        Row(r.getAs[Long]("media_id"), h, p.length.toLong)
+      }
+    }(enc)
+  }
+
   /** Build a media table from any (id, text) source — test/demo helper that
     * treats utf-8 bytes as the opaque payload.
     */

@@ -623,16 +623,32 @@ object Dedup {
     * and [[graft.pipeline.CorpusJob]]'s curation stage.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4x15-bit pigeonhole banding is complete only for Hamming <= 3, got $maxHamming")
-    val sh = simhash(df, idCol, textCol)
-    val banded = sh.select(col(idCol) +: (0 until 4).map { j =>
-      shiftrightunsigned(col("simhash"), 15 * j).bitwiseAND(lit(0x7fffL)).as(s"band$j")
+                   maxHamming: Int): DataFrame =
+    hammingPairs(simhash(df, idCol, textCol), idCol, "simhash",
+      bits = 60, nBands = 4, maxHamming = maxHamming)
+
+  /** Banded Hamming near-dup pairs `(a, b, hamming)` over ANY precomputed
+    * `bits`-bit hash column — the pigeonhole blocking [[simhashPairs]]
+    * introduced, factored out so every bit-fingerprint family (simhash,
+    * multimodal aHash, ...) shares the one candidate-formation path: the
+    * hash splits into `nBands` equal bands, and a pair within Hamming
+    * distance `maxHamming` ≤ nBands−1 must agree EXACTLY on some band, so
+    * candidates come from a band equi-join — never an all-pairs scan.
+    * Verification is one codegen'd `bit_count(xor)` per candidate.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                   bits: Int, nBands: Int, maxHamming: Int): DataFrame = {
+    require(bits % nBands == 0, s"bits=$bits not divisible into $nBands bands")
+    require(maxHamming >= 0 && maxHamming <= nBands - 1,
+      s"$nBands-band pigeonhole is complete only for Hamming <= ${nBands - 1}, got $maxHamming")
+    val bw = bits / nBands
+    val mask = (1L << bw) - 1
+    val banded = hashes.select(col(idCol) +: (0 until nBands).map { j =>
+      shiftrightunsigned(col(hashCol), bw * j).bitwiseAND(lit(mask)).as(s"band$j")
     }: _*)
-    val cand = lshCandidatePairs(banded, idCol, 4)
-    cand.join(sh.select(col(idCol).as("a"), col("simhash").as("ha")), "a")
-      .join(sh.select(col(idCol).as("b"), col("simhash").as("hb")), "b")
+    val cand = lshCandidatePairs(banded, idCol, nBands)
+    cand.join(hashes.select(col(idCol).as("a"), col(hashCol).as("ha")), "a")
+      .join(hashes.select(col(idCol).as("b"), col(hashCol).as("hb")), "b")
       .select(col("a"), col("b"),
               bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -56,9 +56,32 @@ object MultimodalQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** mm_phash_pairs — perceptual-hash near-dup pairs over the media table:
+    * every blob gets a 32-bit byte-stripe aHash ([[Multimodal.ahash]], the
+    * mapPartitions codec path), and pairs within Hamming distance 3 come
+    * from the SAME pigeonhole band blocking the simhash path uses
+    * ([[graft.operators.Dedup.hammingPairs]], 4 bands × 8 bits) — the
+    * multimodal member of the dedup family: 8-byte fingerprints instead of
+    * payload comparisons, band equi-join instead of all pairs, one
+    * codegen'd bit_count(xor) per candidate.
+    */
+  def phashPairs(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaFromText(
+      Tables.documents(s, d), "doc_id", "text", "image", "documents")
+    // hashes feed three consumers (band explode + both verify joins);
+    // each re-read would re-run the byte-level decode over the corpus
+    val hashes = Multimodal.ahash(media, 32)
+      .filter(col("n_bytes") > 0).localCheckpoint(true)
+    graft.operators.Dedup.hammingPairs(hashes, "media_id", "ahash",
+        bits = 32, nBands = 4, maxHamming = 3)
+      .select(col("a").as("media_a"), col("b").as("media_b"), col("hamming"))
+      .orderBy("media_a", "media_b")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> (decodeMeta _),
     "mm_frame_sample" -> (frameSample _),
+    "mm_phash_pairs" -> (phashPairs _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -98,5 +121,38 @@ object MultimodalQueries {
         |    j -> ascii(substring(text, CAST(frame_idx * 16 + j AS INTEGER), 1))))
         |    / 16.0, 4) AS f_mean
         |FROM idx ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_phash_pairs" ->
+      // replays the byte-stripe aHash (exact integer cross-product
+      // threshold — no float mean) and the 4x8-bit pigeonhole banding;
+      // ascii(substring(...)) IS byte j-1 of the utf-8 payload because the
+      // fixture is pure ASCII (same contract as mm_decode_meta)
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |p AS (SELECT media_id, n, text, unnest(range(1, n + 1)) AS j FROM m),
+        |v AS (SELECT media_id, n, CAST((j - 1) % 32 AS INTEGER) AS stripe,
+        |        CAST(ascii(substring(text, CAST(j AS INTEGER), 1)) AS BIGINT) AS b
+        |      FROM p),
+        |st AS (SELECT media_id, n, stripe,
+        |         CAST(sum(b) AS BIGINT) AS ssum, CAST(count(*) AS BIGINT) AS scnt
+        |       FROM v GROUP BY media_id, n, stripe),
+        |tot AS (SELECT media_id, CAST(sum(b) AS BIGINT) AS total
+        |        FROM v GROUP BY media_id),
+        |h AS (SELECT st.media_id,
+        |        CAST(sum(CASE WHEN st.ssum * st.n > tot.total * st.scnt
+        |                      THEN (CAST(1 AS BIGINT) << st.stripe) ELSE 0 END) AS BIGINT) AS ahash
+        |      FROM st JOIN tot USING (media_id) GROUP BY st.media_id),
+        |bl AS (SELECT media_id, (ahash >> CAST(8 * j AS INTEGER)) & 255 AS bv, j
+        |       FROM h, range(0, 4) AS r(j)),
+        |cand AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b
+        |         FROM bl x JOIN bl y
+        |           ON x.j = y.j AND x.bv = y.bv AND x.media_id < y.media_id)
+        |SELECT c.a AS media_a, c.b AS media_b,
+        |  CAST(bit_count(xor(ha.ahash, hb.ahash)) AS INTEGER) AS hamming
+        |FROM cand c
+        |JOIN h ha ON c.a = ha.media_id
+        |JOIN h hb ON c.b = hb.media_id
+        |WHERE bit_count(xor(ha.ahash, hb.ahash)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
   )
 }

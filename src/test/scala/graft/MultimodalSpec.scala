@@ -124,6 +124,30 @@ class MultimodalSpec extends SparkSpec {
     same("image")
   }
 
+  test("ahash: documented stripe arithmetic, perturbation robustness, banded pair recovery") {
+    // 64 bytes, 8-bit hash: stripes 0-3 hold 200s, stripes 4-7 hold 10s —
+    // global mean 105, so bits 0-3 set, 4-7 clear: ahash = 0x0F exactly
+    val base = Array.tabulate(64)(j => if (j % 8 < 4) 200.toByte else 10.toByte)
+    val bumped = base.clone(); bumped(17) = 201.toByte // stripe 1, +1: far from threshold
+    val other = Array.tabulate(64)(j => if (j % 8 < 4) 10.toByte else 200.toByte)
+    val df = Seq((1L, base), (2L, bumped), (3L, other))
+      .toDF("media_id", "payload")
+    val got = Multimodal.ahash(df, bits = 8)
+      .select($"media_id", $"ahash").as[(Long, Long)].collect().toMap
+    assert(got(1L) === 0x0FL, s"ahash = ${got(1L).toBinaryString}")
+    assert(got(3L) === 0xF0L, s"inverted payload ahash = ${got(3L).toBinaryString}")
+    // a small byte perturbation leaves every stripe on its side of the
+    // global mean: identical fingerprint, Hamming 0
+    assert(got(2L) === got(1L))
+    // and the banded pair search recovers exactly the near pair (1,2);
+    // (1,3)/(2,3) sit at Hamming 8 — no shared band, never candidates
+    val pairs = graft.operators.Dedup.hammingPairs(
+        Multimodal.ahash(df, bits = 8), "media_id", "ahash",
+        bits = 8, nBands = 4, maxHamming = 3)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("png round trip is lossless: re-encoding decoded pixels is stable") {
     val bytes = Multimodal.pngBytes(9, 4, 99L)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

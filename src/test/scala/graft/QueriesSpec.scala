@@ -135,6 +135,7 @@ class QueriesSpec extends SparkSpec {
     "sample_bootstrap" -> 15L,
     "sim_ivfpq_ann" -> 50L,
     "dedup_cdc_chunks" -> 215L,
+    "mm_phash_pairs" -> 29L,
   )
 
   test("every query has an oracle and vice versa") {
