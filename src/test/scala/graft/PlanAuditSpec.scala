@@ -480,6 +480,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("top-k-per-group windows keep Spark's rank-limit pushdown (WindowGroupLimit)") {
+    // row_number()<=k filters rewrite to WindowGroupLimit: a PARTIAL limit
+    // runs map-side before the shuffle, so each partition ships at most k
+    // rows per group instead of every row — the difference between a
+    // bounded exchange and a full sort of the fact table at 100 TB. Pin it
+    // for the top-k family: an expression that blocks the rewrite (e.g. a
+    // second window function in the same select) would silently regress.
+    for ((name, df) <- Seq(
+        "sim_knn" -> SimilarityQueries.knn(spark, sf()),
+        "sample_topk" -> SamplingQueries.defs("sample_topk")(spark, sf())))
+      assert(finalPlan(df).contains("WindowGroupLimit"),
+        s"$name lost the WindowGroupLimit rewrite")
+  }
+
   test("sim_ivfpq_ann: cell probe is an equi-join, never a cartesian scan") {
     val plan = finalPlan(SimilarityQueries.ivfPqAnn(spark, sf()))
     // the seed-assignment crossJoin against the broadcast 10-row seed set

@@ -223,6 +223,38 @@ class StreamingSpec extends SparkSpec {
       s"streaming pairs ${got.size} != batch pairs ${expected.size}")
   }
 
+  test("streaming CDC chunking equals batch: content-defined cuts are batch-boundary-free") {
+    // cdcChunks is a stateless per-row map, so a streaming ingest must
+    // produce the identical chunk rows no matter how docs split across
+    // micro-batches — the property that lets the chunk census run as a
+    // rolling ingest (per-batch chunk rows appended, census incrementally
+    // refreshed) with zero reprocessing
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val source = Tables.documents(spark, sf()).filter($"doc_id" < 100)
+    val docs = source.select("doc_id", "text").as[Doc].collect().sortBy(_.doc_id)
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val mem = MemoryStream[Doc]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = Dedup.cdcChunks(batch, "doc_id", "text")
+          .select($"doc_id", $"chunk_idx", $"chunk_md5")
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+        got.synchronized { got ++= rows }
+        ()
+      }.start()
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      mem.addData(first); q.processAllAvailable()
+      mem.addData(second); q.processAllAvailable()
+    } finally q.stop()
+    val expected = Dedup.cdcChunks(source, "doc_id", "text")
+      .select($"doc_id", $"chunk_idx", $"chunk_md5")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    assert(got.size === expected.size, "duplicate or missing chunk emissions")
+    assert(got.toSet === expected)
+  }
+
   test("stream-stream interval join matches its batch analog") {
     val clicks = Seq(
       Ev(10, t(50), 1, "click", 0.0),   // joins user 1's view at t(40) only
