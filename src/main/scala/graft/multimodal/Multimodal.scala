@@ -292,7 +292,7 @@ object Multimodal {
     * n_bytes) — 8 bytes of fingerprint per blob for the downstream
     * Hamming-banded pair search.
     */
-  def ahash(media: DataFrame, bits: Int = 32): DataFrame = {
+  def ahash(media: DataFrame, bits: Int = 60): DataFrame = {
     require(bits > 0 && bits <= 60, s"ahash bits must be in [1, 60], got $bits")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),

@@ -550,40 +550,61 @@ object Dedup {
     * (CdcSpec pins exactly that prepend-invariance).
     *
     * Output: one row per chunk — (id, chunk_idx, n_toks, chunk_md5).
-    * Everything is per-row array algebra (boundary scan, cut-point fold,
-    * slice-and-hash) — a pure map stage with NO shuffle and no explode of
-    * token rows, so at 100 TB this costs one corpus scan; the duplicate
-    * census downstream is one groupBy on chunk_md5. The window hash is the
-    * portable md5-hex-prefix integer every other dedup op uses, so the SQL
-    * oracle replays boundaries bit-for-bit.
+    * Everything is per-row array algebra — a pure map stage with NO
+    * shuffle and no explode of token rows, so at 100 TB this costs one
+    * corpus scan; the duplicate census downstream is one groupBy on
+    * chunk_md5.
+    *
+    * The window hash is a 31-weighted polynomial over PER-TOKEN portable
+    * hashes (the md5-hex-prefix integer every other dedup op uses), and
+    * the whole boundary-scan + chunk-build runs as ONE `aggregate` fold
+    * that visits every token exactly once, carrying the w−1 hash lags and
+    * the open chunk in the accumulator. The shape matters: HOF lambdas run
+    * interpreted and Catalyst's project collapse INLINES a `withColumn`
+    * hash array into any lambda that reads it, so the natural
+    * filter-positions-then-slice formulation re-derives the full md5
+    * array per position — measured O(n²) digests/row and a >10-minute
+    * sf0.1 pass where this fold takes seconds. The SQL oracle replays the
+    * identical polynomial + cut-point rule relationally (its engine has no
+    * such re-evaluation trap), producing bit-equal chunks.
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 w: Int = 4, divisor: Int = 8): DataFrame = {
+    require(w == 4, s"the boundary fold carries exactly 3 hash lags (w = 4), got $w")
     val toked = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .withColumn("n", size(col("toks")).cast("long"))
-      .filter(col("n") > 0)
-    // boundary positions (1-based, ascending); sequence() flips to a
-    // descending range when start > stop, so guard docs shorter than w
-    val bnds = filter(
-      when(col("n") >= w, sequence(lit(w.toLong), col("n"))).otherwise(array()),
-      p => conv(substring(md5(concat_ws(" ",
-             slice(col("toks"), (p - (w - 1)).cast("int"), lit(w)))), 1, 15), 16, 10)
-             .cast("long") % divisor === 0L)
-    // cut points: the boundaries plus the doc end (dropped by array_distinct
-    // if the last boundary already sits there); ascending by construction
-    val chunks = toked
-      .withColumn("ends", array_distinct(concat(bnds, array(col("n")))))
-      .withColumn("chunks", transform(sequence(lit(1), size(col("ends"))), j => {
-        val start = when(j === 1, lit(0L))
-          .otherwise(element_at(col("ends"), (j - 1).cast("int"))) + 1
-        val end = element_at(col("ends"), j.cast("int"))
-        concat_ws(" ", slice(col("toks"), start.cast("int"), (end - start + 1).cast("int")))
-      }))
-      .select(col(idCol), posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
-    chunks.select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
-      (size(split(col("chunk"), " "))).cast("long").as("n_toks"),
-      md5(col("chunk")).as("chunk_md5"))
+      .filter(size(col("toks")) > 0)
+      // one struct per token: (token, 32-bit portable hash) — built once,
+      // consumed once by the fold below
+      .withColumn("zipped", zip_with(col("toks"),
+        transform(col("toks"), t => TextAnalysis.tokenHash(t)),
+        (t, h) => struct(t.as("t"), h.as("h"))))
+    val zero = struct(lit(0L).as("p"), lit(0L).as("h1"), lit(0L).as("h2"),
+      lit(0L).as("h3"), lit("").as("cur"), typedLit(Seq.empty[String]).as("chunks"))
+    val folded = aggregate(col("zipped"), zero,
+      (acc, e) => {
+        val p = acc.getField("p") + 1
+        val h = e.getField("h")
+        val poly = h + acc.getField("h1") * 31 + acc.getField("h2") * 961 +
+          acc.getField("h3") * 29791
+        val isBoundary = p >= w && poly % divisor === 0L
+        val cur2 = when(acc.getField("cur") === "", e.getField("t"))
+          .otherwise(concat(acc.getField("cur"), lit(" "), e.getField("t")))
+        struct(p.as("p"), h.as("h1"), acc.getField("h1").as("h2"),
+          acc.getField("h2").as("h3"),
+          when(isBoundary, lit("")).otherwise(cur2).as("cur"),
+          when(isBoundary, array_append(acc.getField("chunks"), cur2))
+            .otherwise(acc.getField("chunks")).as("chunks"))
+      },
+      // the doc end is always a cut point: flush the open chunk unless the
+      // last token already closed one
+      acc => when(acc.getField("cur") === "", acc.getField("chunks"))
+        .otherwise(array_append(acc.getField("chunks"), acc.getField("cur"))))
+    toked
+      .select(col(idCol), posexplode(folded).as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(split(col("chunk"), " ")).cast("long").as("n_toks"),
+        md5(col("chunk")).as("chunk_md5"))
   }
 
   /** 60-bit SimHash over term frequencies. Bit b of md5(token)'s leading

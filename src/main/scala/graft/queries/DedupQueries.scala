@@ -1191,17 +1191,20 @@ object DedupQueries {
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_md5
         |FROM documents""".stripMargin,
     "dedup_cdc_chunks" ->
-      // replays the identical content-defined boundary rule (4-token
-      // window, md5-hex-prefix integer ≡ 0 mod 8) and cut-point fold, so
-      // chunk identities are bit-equal across engines
+      // replays the identical content-defined boundary rule (31-weighted
+      // polynomial of the 4 per-token md5-prefix hashes ending at p,
+      // ≡ 0 mod 8) and cut-point fold, so chunk identities are bit-equal
+      // across engines
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
         |  FROM documents),
-        |tt AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        |tt AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |         list_transform(toks,
+        |           tk -> CAST('0x' || substring(md5(tk), 1, 8) AS BIGINT)) AS th
         |       FROM t WHERE len(toks) > 0),
         |b AS (SELECT doc_id, toks, n,
         |        list_filter(range(4, n + 1),
-        |          p -> CAST('0x' || substring(md5(array_to_string(toks[p-3:p], ' ')), 1, 15) AS BIGINT) % 8 = 0) AS bnds
+        |          p -> (th[p] + th[p-1]*31 + th[p-2]*961 + th[p-3]*29791) % 8 = 0) AS bnds
         |      FROM tt),
         |e AS (SELECT doc_id, toks,
         |        CASE WHEN len(bnds) > 0 AND bnds[-1] = n THEN bnds

@@ -57,23 +57,28 @@ object MultimodalQueries {
   }
 
   /** mm_phash_pairs — perceptual-hash near-dup pairs over the media table:
-    * every blob gets a 32-bit byte-stripe aHash ([[Multimodal.ahash]], the
+    * every blob gets a 60-bit byte-stripe aHash ([[Multimodal.ahash]], the
     * mapPartitions codec path), and pairs within Hamming distance 3 come
     * from the SAME pigeonhole band blocking the simhash path uses
-    * ([[graft.operators.Dedup.hammingPairs]], 4 bands × 8 bits) — the
+    * ([[graft.operators.Dedup.hammingPairs]], 4 bands × 15 bits) — the
     * multimodal member of the dedup family: 8-byte fingerprints instead of
     * payload comparisons, band equi-join instead of all pairs, one
-    * codegen'd bit_count(xor) per candidate.
+    * codegen'd bit_count(xor) per candidate. 60 bits (not a toy 16/32)
+    * deliberately: at corpus scale a b-bit fingerprint produces
+    * ~n²·V(b,3)/2^(b+1) birthday-accident pairs (V = Hamming-ball volume);
+    * 32 bits would drown 500k blobs in ~10⁵ random collisions where 60
+    * bits keeps the expected accident count below 10⁻⁵ — the same width
+    * the simhash family uses, for the same reason.
     */
   def phashPairs(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.mediaFromText(
       Tables.documents(s, d), "doc_id", "text", "image", "documents")
     // hashes feed three consumers (band explode + both verify joins);
     // each re-read would re-run the byte-level decode over the corpus
-    val hashes = Multimodal.ahash(media, 32)
+    val hashes = Multimodal.ahash(media, 60)
       .filter(col("n_bytes") > 0).localCheckpoint(true)
     graft.operators.Dedup.hammingPairs(hashes, "media_id", "ahash",
-        bits = 32, nBands = 4, maxHamming = 3)
+        bits = 60, nBands = 4, maxHamming = 3)
       .select(col("a").as("media_a"), col("b").as("media_b"), col("hamming"))
       .orderBy("media_a", "media_b")
   }
@@ -123,14 +128,14 @@ object MultimodalQueries {
         |FROM idx ORDER BY media_id, frame_idx""".stripMargin,
     "mm_phash_pairs" ->
       // replays the byte-stripe aHash (exact integer cross-product
-      // threshold — no float mean) and the 4x8-bit pigeonhole banding;
+      // threshold — no float mean) and the 4x15-bit pigeonhole banding;
       // ascii(substring(...)) IS byte j-1 of the utf-8 payload because the
       // fixture is pure ASCII (same contract as mm_decode_meta)
       """WITH m AS (
         |  SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS n
         |  FROM documents WHERE length(text) > 0),
         |p AS (SELECT media_id, n, text, unnest(range(1, n + 1)) AS j FROM m),
-        |v AS (SELECT media_id, n, CAST((j - 1) % 32 AS INTEGER) AS stripe,
+        |v AS (SELECT media_id, n, CAST((j - 1) % 60 AS INTEGER) AS stripe,
         |        CAST(ascii(substring(text, CAST(j AS INTEGER), 1)) AS BIGINT) AS b
         |      FROM p),
         |st AS (SELECT media_id, n, stripe,
@@ -142,7 +147,7 @@ object MultimodalQueries {
         |        CAST(sum(CASE WHEN st.ssum * st.n > tot.total * st.scnt
         |                      THEN (CAST(1 AS BIGINT) << st.stripe) ELSE 0 END) AS BIGINT) AS ahash
         |      FROM st JOIN tot USING (media_id) GROUP BY st.media_id),
-        |bl AS (SELECT media_id, (ahash >> CAST(8 * j AS INTEGER)) & 255 AS bv, j
+        |bl AS (SELECT media_id, (ahash >> CAST(15 * j AS INTEGER)) & 32767 AS bv, j
         |       FROM h, range(0, 4) AS r(j)),
         |cand AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b
         |         FROM bl x JOIN bl y

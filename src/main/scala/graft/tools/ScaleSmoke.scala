@@ -82,6 +82,8 @@ object ScaleSmoke {
     val (tBigram, nBigram) = timedIn(graft.queries.TextQueries.defs)("text_bigram_logprob")
     val (tPrefix, nPrefix) = timed("dedup_prefix_pairs")
     val (tTri, nTri) = timedIn(graft.queries.GraphQueries.defs)("graph_triangles")
+    val (tCdc, nCdc) = timed("dedup_cdc_chunks")
+    val (tPhash, nPhash) = timedIn(graft.queries.MultimodalQueries.defs)("mm_phash_pairs")
 
     // replicas are structurally identical with disjoint vocabularies, so
     // span duplicates and heavy shingles scale EXACTLY linearly: 10x the
@@ -150,6 +152,24 @@ object ScaleSmoke {
     // domain-sized at any corpus scale (sources are shared across replicas)
     require(nTri == nGraph,
       s"triangle census must cover every domain: $nTri != $nGraph")
+    // CDC chunk identity is content-local and replica vocabularies are
+    // disjoint, so the duplicate-chunk census scales EXACTLY linearly —
+    // 10x corpus, 10x duplicated chunks, never 100x (a census that paired
+    // across replicas would mean chunk hashes collide across vocabularies)
+    val nCdcBase = graft.queries.DedupQueries.defs("dedup_cdc_chunks")(spark, base).count()
+    require(nCdc == nCdcBase * copies,
+      s"cdc chunk census must scale linearly: $nCdc != $nCdcBase x $copies")
+    // 60-bit perceptual fingerprints: replica texts differ byte-wise, and
+    // the expected birthday-accident pair count at 500k blobs is ~1e-5 —
+    // so every Hamming<=3 pair must sit inside one replica (a cross-
+    // replica pair means the fingerprint is too narrow for the corpus)
+    val phashFrame = graft.queries.MultimodalQueries.defs("mm_phash_pairs")(spark, dir)
+      .localCheckpoint(true)
+    val crossPhash = phashFrame
+      .filter(floor(col("media_a") / Offset) =!= floor(col("media_b") / Offset)).count()
+    require(crossPhash == 0L,
+      s"$crossPhash cross-replica phash pairs — fingerprint width insufficient at scale")
+    require(nPhash > 0, "phash census found no pairs at 10x")
 
     // the flagship curation job end-to-end at 10x: funnel must narrow
     // monotonically and stay inside the same wall budget
@@ -167,16 +187,16 @@ object ScaleSmoke {
       s"corpus funnel broken at 10x: $funnel")
 
     val total = tPairs + tClusters + tNgram + tContain + tSpans + tSpansMin +
-      tHeavy + tGraph + tBigram + tPrefix + tTri + tCorpus
+      tHeavy + tGraph + tBigram + tPrefix + tTri + tCdc + tPhash + tCorpus
     require(total <= budgetSec,
       f"budget blown: pairs $tPairs%.1f + clusters $tClusters%.1f + ngram $tNgram%.1f + " +
         f"containment $tContain%.1f + spans $tSpans%.1f + spans_min $tSpansMin%.1f + " +
         f"heavy $tHeavy%.1f + graph $tGraph%.1f + bigram $tBigram%.1f + " +
-        f"prefix $tPrefix%.1f + triangles $tTri%.1f + " +
-        f"corpus $tCorpus%.1f > ${budgetSec}s")
+        f"prefix $tPrefix%.1f + triangles $tTri%.1f + cdc $tCdc%.1f + " +
+        f"phash $tPhash%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
 
     val json =
-      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"budget_sec":$budgetSec}"""
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

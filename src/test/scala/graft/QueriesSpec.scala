@@ -134,8 +134,8 @@ class QueriesSpec extends SparkSpec {
     "c27_dense_ids" -> 500L,
     "sample_bootstrap" -> 15L,
     "sim_ivfpq_ann" -> 50L,
-    "dedup_cdc_chunks" -> 215L,
-    "mm_phash_pairs" -> 29L,
+    "dedup_cdc_chunks" -> 208L,
+    "mm_phash_pairs" -> 28L,
   )
 
   test("every query has an oracle and vice versa") {
