@@ -112,6 +112,32 @@ object DedupQueries {
     */
   private val splitSql = "(SELECT (max(doc_id) + 1) * 4 // 5 FROM documents)"
 
+  /** DuckDB CTE chain for [[Dedup.cdcChunks]] over documents matching
+    * `pred`: emits `<alias>(doc_id, chunk)` via the identical 31-weighted
+    * token-hash polynomial boundary rule and cut-point fold, so both CDC
+    * oracles share one statement of the chunking semantics.
+    */
+  private def cdcChunksSql(pred: String, alias: String): String =
+    s"""${alias}_t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE $pred),
+       |${alias}_tt AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+       |         list_transform(toks,
+       |           tk -> CAST('0x' || substring(md5(tk), 1, 8) AS BIGINT)) AS th
+       |       FROM ${alias}_t WHERE len(toks) > 0),
+       |${alias}_b AS (SELECT doc_id, toks, n,
+       |        list_filter(range(4, n + 1),
+       |          p -> (th[p] + th[p-1]*31 + th[p-2]*961 + th[p-3]*29791) % 8 = 0) AS bnds
+       |      FROM ${alias}_tt),
+       |${alias}_e AS (SELECT doc_id, toks,
+       |        CASE WHEN len(bnds) > 0 AND bnds[-1] = n THEN bnds
+       |             ELSE list_append(bnds, n) END AS ends
+       |      FROM ${alias}_b),
+       |$alias AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, len(ends) + 1),
+       |          j -> array_to_string(toks[(CASE WHEN j = 1 THEN 0 ELSE ends[j-1] END) + 1 : ends[j]], ' '))) AS chunk
+       |      FROM ${alias}_e)""".stripMargin
+
   /** Distinct-token rows + per-doc band table — the expensive upstream every
     * MinHash consumer shares (K md5 hashes per (doc, token)). Under the same
     * `sharePairs` flag both frames are localCheckpointed once per (session,
@@ -419,6 +445,40 @@ object DedupQueries {
            max(col("n_toks")).as("n_toks"))
       .filter(col("n_docs") >= 2)
       .orderBy("chunk_md5")
+
+  /** Chunk-level ingest decontamination — the incremental member of the
+    * CDC family, mirroring [[incremental]]/[[spansIncremental]]: the
+    * INCOMING batch (doc_id >= [[splitId]]) is chunked and its chunk
+    * hashes probed against the STANDING corpus's distinct chunk-hash set
+    * (doc_id < split; a real deployment persists it bucketed on chunk_md5
+    * like [[DedupState]] and pays the build once per epoch). Output: one
+    * row per new doc that carries ≥ 1 corpus passage — total chunks,
+    * corpus-hit chunks, containment fraction — the passage-level "have we
+    * already trained on this?" signal, robust to the surrounding edits
+    * that break document-hash dedup because CDC boundaries are
+    * content-local.
+    *
+    * Scale: both sides are shuffle-free chunk maps; the probe is a
+    * semi-join on chunk_md5 (batch-sized left, corpus set right); no pair
+    * join exists. The batch chunk frame feeds two consumers (totals +
+    * probe), so it is checkpointed rather than re-chunked.
+    */
+  def cdcIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sp = splitId(s, d)
+    val corpus = Dedup.cdcChunks(docs.filter(col("doc_id") < sp), "doc_id", "text")
+      .select("chunk_md5").distinct()
+    val batch = Dedup.cdcChunks(docs.filter(col("doc_id") >= sp), "doc_id", "text")
+      .localCheckpoint(true)
+    val tot = batch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val hits = batch.join(corpus, Seq("chunk_md5"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_corpus_chunks"))
+    tot.join(hits, "doc_id")
+      .select(col("doc_id").as("new_id"), col("n_chunks"), col("n_corpus_chunks"),
+        round(col("n_corpus_chunks").cast("double") / col("n_chunks").cast("double"), 4)
+          .as("containment"))
+      .orderBy("new_id")
+  }
 
   /** Incremental near-dup: match an INCOMING batch (doc_id >= [[splitId]]) against
     * the STANDING corpus (doc_id < [[splitId]]) without re-pairing the corpus with
@@ -916,6 +976,7 @@ object DedupQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_cdc_chunks" -> (cdcDup _),
+    "dedup_cdc_incremental" -> (cdcIncremental _),
     "dedup_bow" -> (bow _),
     "dedup_spans" -> (spans _),
     "dedup_spans_cut" -> (spansCut _),
@@ -1195,34 +1256,32 @@ object DedupQueries {
       // polynomial of the 4 per-token md5-prefix hashes ending at p,
       // ≡ 0 mod 8) and cut-point fold, so chunk identities are bit-equal
       // across engines
-      """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |tt AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
-        |         list_transform(toks,
-        |           tk -> CAST('0x' || substring(md5(tk), 1, 8) AS BIGINT)) AS th
-        |       FROM t WHERE len(toks) > 0),
-        |b AS (SELECT doc_id, toks, n,
-        |        list_filter(range(4, n + 1),
-        |          p -> (th[p] + th[p-1]*31 + th[p-2]*961 + th[p-3]*29791) % 8 = 0) AS bnds
-        |      FROM tt),
-        |e AS (SELECT doc_id, toks,
-        |        CASE WHEN len(bnds) > 0 AND bnds[-1] = n THEN bnds
-        |             ELSE list_append(bnds, n) END AS ends
-        |      FROM b),
-        |c AS (SELECT doc_id,
-        |        unnest(list_transform(range(1, len(ends) + 1),
-        |          j -> array_to_string(toks[(CASE WHEN j = 1 THEN 0 ELSE ends[j-1] END) + 1 : ends[j]], ' '))) AS chunk
-        |      FROM e)
-        |SELECT md5(chunk) AS chunk_md5,
-        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |  CAST(count(*) AS BIGINT) AS n_occ,
-        |  min(doc_id) AS first_doc,
-        |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_toks
-        |FROM c
-        |GROUP BY chunk
-        |HAVING count(DISTINCT doc_id) >= 2
-        |ORDER BY chunk_md5""".stripMargin,
+      s"""WITH ${cdcChunksSql("TRUE", "c")}
+         |SELECT md5(chunk) AS chunk_md5,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occ,
+         |  min(doc_id) AS first_doc,
+         |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_toks
+         |FROM c
+         |GROUP BY chunk
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_md5""".stripMargin,
+    "dedup_cdc_incremental" ->
+      // the SAME chunk CTE chain on both split halves; the probe is a
+      // semi-join on the chunk hash, then per-doc totals
+      s"""WITH ${cdcChunksSql(s"doc_id >= $splitSql", "bc")},
+         |${cdcChunksSql(s"doc_id < $splitSql", "cc")},
+         |corp AS (SELECT DISTINCT md5(chunk) AS h FROM cc),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+         |        FROM bc GROUP BY doc_id),
+         |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_corpus_chunks
+         |        FROM (SELECT doc_id, md5(chunk) AS h FROM bc) x
+         |        JOIN corp USING (h)
+         |        GROUP BY doc_id)
+         |SELECT t.doc_id AS new_id, t.n_chunks, h.n_corpus_chunks,
+         |  round(h.n_corpus_chunks / CAST(t.n_chunks AS DOUBLE), 4) AS containment
+         |FROM tot t JOIN hit h USING (doc_id)
+         |ORDER BY new_id""".stripMargin,
     "dedup_exact_keep" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_copies

@@ -136,6 +136,7 @@ class QueriesSpec extends SparkSpec {
     "sim_ivfpq_ann" -> 50L,
     "dedup_cdc_chunks" -> 208L,
     "mm_phash_pairs" -> 28L,
+    "dedup_cdc_incremental" -> 58L,
   )
 
   test("every query has an oracle and vice versa") {
