@@ -365,4 +365,41 @@ object GraftAlgoProperties extends Properties("graft.algo") {
             probes.forall(p => p >= 0L && p < 256L)
         }
     }
+
+  // plain-Scala reference for the CDC fold: same per-token md5-prefix hash,
+  // 31-weighted 4-lag boundary polynomial, cut-point partition
+  private def refCdcChunkMd5s(toks: Seq[String]): Seq[String] = {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (toks.isEmpty) return Seq.empty // the operator filters empty docs
+    val hs = toks.map(t => java.lang.Long.parseLong(md5hex(t).take(8), 16))
+    val n = toks.length
+    val bnds = (4 to n).filter { p =>
+      (hs(p - 1) + hs(p - 2) * 31 + hs(p - 3) * 961 + hs(p - 4) * 29791) % 8 == 0
+    }
+    val ends = (bnds :+ n).distinct
+    val starts = 0 +: ends.dropRight(1)
+    starts.zip(ends).map { case (s, e) => md5hex(toks.slice(s, e).mkString(" ")) }
+  }
+
+  private val tokenGen: Gen[String] = for {
+    len <- Gen.chooseNum(1, 8)
+    cs <- Gen.listOfN(len, Gen.alphaNumChar)
+  } yield cs.mkString
+
+  property("cdcChunks fold equals a plain-Scala reference on random docs") =
+    Prop.forAll(Gen.listOfN(3, Gen.chooseNum(0, 60).flatMap(Gen.listOfN(_, tokenGen)))) {
+      docToks =>
+        import spark.implicits._
+        val df = docToks.zipWithIndex
+          .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val got = graft.operators.Dedup.cdcChunks(df, "doc_id", "text")
+          .select($"doc_id", $"chunk_idx", $"chunk_md5")
+          .as[(Long, Long, String)].collect()
+          .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+        docToks.zipWithIndex.forall { case (ts, i) =>
+          got.getOrElse(i.toLong, Seq.empty) == refCdcChunkMd5s(ts)
+        }
+    }
 }
