@@ -317,7 +317,105 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE pair statistics — the counting step of byte-pair-encoding
+    * tokenizer training: the corpus reduces to its word-TYPE relation
+    * (token, tf) — the classic BPE trick, so everything downstream is
+    * types-sized, never corpus-sized — each type splits into
+    * single-character symbols, and every ADJACENT symbol pair is counted
+    * weighted by its type's corpus frequency. Output: the top-20 merge
+    * candidates by (weighted count desc, pair asc) — the argmax the first
+    * BPE merge would take ([[bpeMerges]] iterates it).
+    *
+    * Scale: the corpus-sized work is the one tf groupBy every text query
+    * shares; the pair explode is vocab × word-length rows (tens of
+    * thousands), then one more groupBy. Exact integer counts, total
+    * deterministic order.
+    */
+  def bpePairs(s: SparkSession, d: String): DataFrame = {
+    val tf = TextAnalysis.tokenRows(Tables.documents(s, d), "doc_id", "text")
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    tf.filter(length(col("token")) >= 2)
+      .select(col("tf"), col("token"),
+        explode(sequence(lit(1), length(col("token")) - 1)).as("i"))
+      .select(col("tf"),
+        col("token").substr(col("i"), lit(1)).as("sym_a"),
+        col("token").substr(col("i") + 1, lit(1)).as("sym_b"))
+      .groupBy("sym_a", "sym_b").agg(sum("tf").as("pair_count"))
+      .orderBy(desc("pair_count"), asc("sym_a"), asc("sym_b"))
+      .limit(20)
+  }
+
+  /** BPE merge learning — [[bpePairs]] iterated: 3 rounds of (count
+    * adjacent symbol pairs weighted by type frequency → take the argmax
+    * pair by (count desc, pair asc) → merge its adjacent occurrences
+    * greedy-left) over the word-TYPE symbol relation, the core loop of
+    * byte-pair-encoding tokenizer training. Output: one row per merge —
+    * step, the merged pair, its weighted count, and the symbol-vocabulary
+    * size after the merge.
+    *
+    * Greedy-left on overlaps is stated NON-recursively so both engines
+    * compute it with plain window functions: within each maximal run of
+    * consecutive matching positions, the even-offset positions merge
+    * (leftmost first, a merged pair consumes its right symbol) — for
+    * "aaa" under (a,a): positions 1,2 match, offset-0 position 1 merges,
+    * position 2 is consumed-adjacent → ["aa","a"], exactly reference BPE.
+    *
+    * Scale: every round is windows + one groupBy over the types×symbols
+    * relation (vocab-sized, NEVER corpus-sized — the classic BPE trick);
+    * the merge rule is one collected row per round re-entering as a
+    * literal (the k-means centroid pattern). The corpus is scanned once,
+    * for the type frequencies.
+    */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = TextAnalysis.tokenRows(Tables.documents(s, d), "doc_id", "text")
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val wTok = Window.partitionBy("token").orderBy("pos")
+    // split BETWEEN characters: not-at-start AND followed-by-a-char — a
+    // bare "(?!^)" also matches at end-of-string, and Spark's split keeps
+    // trailing empties (limit -1), which would mint a phantom "" symbol
+    var syms = tf
+      .select(col("token"), col("tf"),
+        posexplode(split(col("token"), "(?!^)(?=.)")).as(Seq("p0", "sym")))
+      .select(col("token"), col("tf"), (col("p0") + 1).cast("long").as("pos"), col("sym"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]()
+    for (r <- 1 to 3) {
+      val p = syms.withColumn("nxt", lead(col("sym"), 1).over(wTok))
+      val top = p.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum("tf").as("c"))
+        .orderBy(desc("c"), asc("a"), asc("b")).head()
+      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      val mm = p
+        .withColumn("m", when(col("sym") === a && col("nxt") === b, 1).otherwise(0))
+        .withColumn("st", when(col("m") === 1 &&
+          coalesce(lag(col("m"), 1).over(wTok), lit(0)) === 0, 1).otherwise(0))
+        .withColumn("rid", sum(col("st")).over(wTok))
+      val taken = mm.filter(col("m") === 1)
+        .withColumn("off",
+          col("pos") - min(col("pos")).over(Window.partitionBy("token", "rid")))
+        .filter(col("off") % 2 === 0)
+        .select(col("token"), col("pos"), lit(1).as("tk"))
+      val consumed = taken.select(col("token"), (col("pos") + 1).as("pos"), lit(1).as("cons"))
+      syms = mm.join(taken, Seq("token", "pos"), "left_outer")
+        .join(consumed, Seq("token", "pos"), "left_outer")
+        .filter(col("cons").isNull)
+        .withColumn("sym", when(col("tk").isNotNull, lit(a + b)).otherwise(col("sym")))
+        .withColumn("npos", row_number().over(wTok).cast("long"))
+        .select(col("token"), col("tf"), col("npos").as("pos"), col("sym"))
+        .localCheckpoint(true)
+      val vocabAfter = syms.select(countDistinct(col("sym"))).head().getLong(0)
+      out += ((r.toLong, a, b, c, vocabAfter))
+    }
+    import s.implicits._
+    out.toSeq.toDF("step", "sym_a", "sym_b", "pair_count", "n_symbol_types")
+      .orderBy("step")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merges" -> (bpeMerges _),
+    "text_bpe_pairs" -> (bpePairs _),
     "text_entropy" -> (entropy _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_bigram_logprob" -> (bigramLogprob _),
@@ -335,7 +433,69 @@ object TextQueries {
     "text_fingerprint" -> (fingerprint _),
   )
 
+  /** One BPE round in DuckDB off symbol relation s{r}: pair counts → top
+    * merge → run/parity greedy-left application → s{r+1} + vocab v{r}.
+    * The same window algebra [[bpeMerges]] runs — stated once, chained.
+    */
+  private def bpeRoundSql(r: Int): String = {
+    val sIn = s"s$r"; val sOut = s"s${r + 1}"
+    s"""p$r AS (SELECT token, tf, pos, sym,
+       |  lead(sym) OVER (PARTITION BY token ORDER BY pos) AS nxt FROM $sIn),
+       |top$r AS (SELECT sym AS a, nxt AS b, CAST(sum(tf) AS BIGINT) AS c
+       |  FROM p$r WHERE nxt IS NOT NULL GROUP BY sym, nxt
+       |  ORDER BY c DESC, a, b LIMIT 1),
+       |mm$r AS (SELECT p.token, p.tf, p.pos, p.sym,
+       |  CASE WHEN p.sym = t.a AND p.nxt = t.b THEN 1 ELSE 0 END AS m
+       |  FROM p$r p, top$r t),
+       |ri$r AS (SELECT *, sum(st) OVER (PARTITION BY token ORDER BY pos) AS rid FROM (
+       |  SELECT *, CASE WHEN m = 1 AND
+       |      coalesce(lag(m) OVER (PARTITION BY token ORDER BY pos), 0) = 0
+       |    THEN 1 ELSE 0 END AS st
+       |  FROM mm$r) x),
+       |tk$r AS (SELECT token, pos FROM (
+       |  SELECT token, pos, pos - min(pos) OVER (PARTITION BY token, rid) AS off
+       |  FROM ri$r WHERE m = 1) y WHERE off % 2 = 0),
+       |$sOut AS (SELECT z.token, z.tf,
+       |  CAST(row_number() OVER (PARTITION BY z.token ORDER BY z.pos) AS BIGINT) AS pos,
+       |  CASE WHEN tk.pos IS NOT NULL THEN t.a || t.b ELSE z.sym END AS sym
+       |  FROM ri$r z
+       |  CROSS JOIN top$r t
+       |  LEFT JOIN tk$r tk ON tk.token = z.token AND tk.pos = z.pos
+       |  LEFT JOIN tk$r cons ON cons.token = z.token AND cons.pos = z.pos - 1
+       |  WHERE cons.pos IS NULL),
+       |v$r AS (SELECT CAST(count(DISTINCT sym) AS BIGINT) AS nv FROM $sOut)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_bpe_merges" -> {
+      val rounds = (1 to 3).map(bpeRoundSql).mkString(",\n")
+      val rows = (1 to 3).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS step, t.a AS sym_a, t.b AS sym_b, " +
+          s"t.c AS pair_count, v$r.nv AS n_symbol_types FROM top$r t, v$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok WHERE token <> '' GROUP BY token),
+         |pos0 AS (SELECT token, tf, unnest(range(1, len(token) + 1)) AS pos FROM tf),
+         |s1 AS (SELECT token, tf, CAST(pos AS BIGINT) AS pos,
+         |       substring(token, CAST(pos AS INTEGER), 1) AS sym FROM pos0),
+         |$rounds
+         |$rows
+         |ORDER BY step""".stripMargin
+    },
+    "text_bpe_pairs" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE token <> '' GROUP BY token),
+        |pos AS (SELECT tf, token, unnest(range(1, len(token))) AS i
+        |        FROM tf WHERE len(token) >= 2),
+        |pr AS (SELECT substring(token, CAST(i AS INTEGER), 1) AS sym_a,
+        |              substring(token, CAST(i AS INTEGER) + 1, 1) AS sym_b, tf
+        |       FROM pos)
+        |SELECT sym_a, sym_b, CAST(sum(tf) AS BIGINT) AS pair_count
+        |FROM pr GROUP BY sym_a, sym_b
+        |ORDER BY pair_count DESC, sym_a, sym_b LIMIT 20""".stripMargin,
     "text_entropy" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -137,6 +137,8 @@ class QueriesSpec extends SparkSpec {
     "dedup_cdc_chunks" -> 208L,
     "mm_phash_pairs" -> 28L,
     "dedup_cdc_incremental" -> 58L,
+    "text_bpe_pairs" -> 20L,
+    "text_bpe_merges" -> 3L,
   )
 
   test("every query has an oracle and vice versa") {
