@@ -181,10 +181,13 @@ object Bench {
     // weak are ALWAYS included (env-overridable pin list) so their
     // noise-vs-regression question is answerable from the tail alone;
     // every query still lands in bench_out.json at full precision.
+    // Pin list rotates each round to the CURRENT top cost tier (round 7:
+    // the round-6 verdict's watch set) — round 5's five flags all cleared
+    // and pinning them forever would waste the budget on solved queries.
     val pinned = sys.env.get("SPARK_GRAFT_BENCH_PIN")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("c8b_from_json", "c9_tumbling_hour", "c9b_sliding",
-        "cms_heavy_hitters", "dedup_clusters_incremental"))
+      .getOrElse(Set("dedup_clusters_incremental", "dedup_prefix_pairs",
+        "dedup_spans", "dedup_ngram_pairs", "dedup_containment"))
     val byCost = perQuery.sortBy(-_._2)
     def line(n: Int): String = {
       val pin = byCost.filter(t => pinned(t._1))

@@ -304,6 +304,15 @@ object Multimodal {
       val counts = new Array[Long](bits)
       rows.map { r =>
         val p = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+        // the per-stripe mean comparison below is sums(i)*len > total*counts(i)
+        // in Long arithmetic; both products are bounded by 255·len²/bits, which
+        // stays under 2^63 only while len < ~1.47e9 bytes. Past that the
+        // products wrap and hash bits silently flip — fail loudly instead
+        // (a payload this size should be chunked upstream, not fingerprinted
+        // whole).
+        require(p.length.toLong < (1L << 30),
+          s"ahash payload is ${p.length} bytes; the stripe-mean products " +
+          "overflow Long past ~1 GiB — chunk oversized media before hashing")
         java.util.Arrays.fill(sums, 0L)
         java.util.Arrays.fill(counts, 0L)
         var total = 0L

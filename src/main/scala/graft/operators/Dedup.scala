@@ -288,7 +288,21 @@ object Dedup {
     *   large vocabularies (target ~10^5–10^6 tokens per bucket).
     */
   def bitsetPairStats(cand: DataFrame, tokenRows: DataFrame, idCol: String,
-                      idBuckets: Int = 1 << 10): DataFrame = {
+                      idBuckets: Int = 1 << 10): DataFrame =
+    bitsetPairStatsFromMasks(cand, tokenMasks(tokenRows, idCol, idBuckets), idCol)
+
+  /** The per-id bitset masks [[bitsetPairStats]] probes: `(id, mm, sz)`
+    * where `mm` maps 64-bit word index → mask over a dense numbering of
+    * the DISTINCT tokens in `tokenRows`, and `sz` is the id's distinct
+    * token count. Exposed so consumers sharing one token relation (the
+    * 3-gram shingle verifiers) can build the mask table ONCE and probe it
+    * per candidate set — the numbering depends on the token set, but
+    * every quantity a verify reads (`n_inter`, `sz_a`, `sz_b`) is
+    * invariant under renumbering, so probing a superset-built mask table
+    * returns bit-identical stats to a per-query build.
+    */
+  def tokenMasks(tokenRows: DataFrame, idCol: String,
+                 idBuckets: Int = 1 << 10): DataFrame = {
     require(idBuckets > 0, s"idBuckets must be positive, got $idBuckets")
     // Distributed dense-id assignment, entirely inside Catalyst (no RDD
     // round-trip, no extra zipWithIndex job): hash each distinct token into
@@ -318,7 +332,7 @@ object Dedup {
     // has a vocabulary far beyond driver/executor broadcast limits, so this
     // must stay a plain equi-join on `token`; AQE still picks broadcast on
     // its own when the vocab actually fits.
-    val masks = tokenRows.join(vocab, "token")
+    tokenRows.join(vocab, "token")
       .select(col(idCol),
               (col("tid") / 64).cast("long").as("w"),
               expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))").as("m"))
@@ -326,13 +340,20 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(map_from_entries(sort_array(collect_list(struct(col("w"), col("mask"))))).as("mm"),
            sum(expr("bit_count(mask)")).as("sz"))
+  }
+
+  /** The pair-probe half of [[bitsetPairStats]]: join each candidate side
+    * to a prebuilt [[tokenMasks]] table and popcount the intersection.
+    */
+  def bitsetPairStatsFromMasks(cand: DataFrame, masks: DataFrame,
+                               idCol: String): DataFrame = {
     val ma = masks.select(col(idCol).as("a"), col("mm").as("__ma"), col("sz").as("__za"))
     val mb = masks.select(col(idCol).as("b"), col("mm").as("__mb"), col("sz").as("__zb"))
     // |A∩B| runs once per CANDIDATE PAIR — the hottest expression in the
     // dedup path. The native merge-intersect expression stays inside
     // whole-stage codegen (the equivalent aggregate(map_keys(...)) HOF is
     // an interpreted per-pair lambda with per-element map probes).
-    graft.functions.BitsetFunctions.register(tokenRows.sparkSession)
+    graft.functions.BitsetFunctions.register(masks.sparkSession)
     val inter = graft.functions.BitsetFunctions.bitsetIntersect(col("__ma"), col("__mb"))
     cand.join(ma, "a").join(mb, "b") // AQE broadcasts when the mask table is small
       .withColumn("__i", inter)
@@ -540,8 +561,13 @@ object Dedup {
 
   /** Content-defined chunking (token-granularity FastCDC/rsync family):
     * cut a doc into variable-size chunks whose BOUNDARIES depend only on
-    * local content — after token p whenever the w-token window ending at p
-    * hashes to 0 mod `divisor` (expected chunk length ≈ divisor tokens).
+    * local content — after token p whenever the 4-token window ending at p
+    * hashes to 0 mod 8 (expected chunk length ≈ 8 tokens). The window
+    * width and divisor are deliberately FIXED, not parameters: the DuckDB
+    * oracles ([[graft.queries.DedupQueries]]'s `cdcChunksSql`), the
+    * plain-Scala property reference (GraftProperties' `refCdcChunkMd5s`)
+    * and CdcSpec all pin this exact (4, mod 8) rule, so a tunable knob
+    * here would let a caller silently leave every cross-engine contract.
     * Because a boundary looks at w tokens and nothing else, an edit
     * anywhere in a doc reshapes only the chunks it touches: every chunk
     * lying fully inside an untouched region keeps its identity, which is
@@ -568,9 +594,9 @@ object Dedup {
     * identical polynomial + cut-point rule relationally (its engine has no
     * such re-evaluation trap), producing bit-equal chunks.
     */
-  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
-                w: Int = 4, divisor: Int = 8): DataFrame = {
-    require(w == 4, s"the boundary fold carries exactly 3 hash lags (w = 4), got $w")
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = 4      // the boundary fold carries exactly 3 hash lags
+    val divisor = 8
     val toked = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)

@@ -380,12 +380,23 @@ object TextQueries {
       .select(col("token"), col("tf"), (col("p0") + 1).cast("long").as("pos"), col("sym"))
       .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]()
-    for (r <- 1 to 3) {
+    var exhausted = false
+    for (r <- 1 to 3 if !exhausted) {
       val p = syms.withColumn("nxt", lead(col("sym"), 1).over(wTok))
-      val top = p.filter(col("nxt").isNotNull)
+      val topOpt = p.filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("a"), col("nxt").as("b"))
         .agg(sum("tf").as("c"))
-        .orderBy(desc("c"), asc("a"), asc("b")).head()
+        .orderBy(desc("c"), asc("a"), asc("b")).limit(1).collect().headOption
+      if (topOpt.isEmpty) {
+        // every type is down to a single symbol — nothing left to merge.
+        // Emit the rounds learned so far rather than dying mid-loop with a
+        // bare NoSuchElementException.
+        System.err.println(
+          s"[graft] bpeMerges: no adjacent symbol pair left at round $r; " +
+          s"emitting ${r - 1} merge rows")
+        exhausted = true
+      } else {
+      val top = topOpt.get
       val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
       val mm = p
         .withColumn("m", when(col("sym") === a && col("nxt") === b, 1).otherwise(0))
@@ -407,6 +418,7 @@ object TextQueries {
         .localCheckpoint(true)
       val vocabAfter = syms.select(countDistinct(col("sym"))).head().getLong(0)
       out += ((r.toLong, a, b, c, vocabAfter))
+      }
     }
     import s.implicits._
     out.toSeq.toDF("step", "sym_a", "sym_b", "pair_count", "n_symbol_types")
