@@ -700,4 +700,45 @@ object Dedup {
               bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** [[hammingPairs]] across a PROBE frame and a STANDING frame with
+    * disjoint id sets — the incremental-epoch form: per-band equi-joins
+    * probe × standing replace the self-join (the standing side is never
+    * self-paired — its internal pairs were found in their own epochs), and
+    * the same codegen popcount verifies. A candidate sharing several bands
+    * is emitted once via the first-matching-band rule, so no `distinct()`
+    * exchange is paid. Output `(a, b, hamming)` with a = probe id.
+    */
+  def hammingCrossPairs(probe: DataFrame, standing: DataFrame, idCol: String,
+                        hashCol: String, bits: Int, nBands: Int,
+                        maxHamming: Int): DataFrame = {
+    require(bits % nBands == 0, s"bits=$bits not divisible into $nBands bands")
+    require(maxHamming >= 0 && maxHamming <= nBands - 1,
+      s"$nBands-band pigeonhole is complete only for Hamming <= ${nBands - 1}, got $maxHamming")
+    val bw = bits / nBands
+    val mask = (1L << bw) - 1
+    def long(df: DataFrame, p: String): DataFrame = {
+      val bandCols = (0 until nBands).map { j =>
+        shiftrightunsigned(col(hashCol), bw * j).bitwiseAND(lit(mask))
+          .as(s"${p}_band$j")
+      }
+      val wide = df.select(
+        Seq(col(idCol).as(p), col(hashCol).as(s"${p}_h")) ++ bandCols: _*)
+      val entries = array((0 until nBands).map(j =>
+        struct(lit(j).as("bi"), col(s"${p}_band$j").as("bv"))): _*)
+      wide.select(wide.columns.map(col) :+ explode(entries).as("e"): _*)
+        .select(wide.columns.map(col) :+
+          col("e.bi").as(s"${p}_bi") :+ col("e.bv").as(s"${p}_bv"): _*)
+    }
+    val a = long(probe, "a")
+    val b = long(standing, "b")
+    val firstMatchOnly = (0 until nBands).map { i =>
+      (col("a_bi") <= lit(i)) || (col(s"a_band$i") =!= col(s"b_band$i"))
+    }.reduce(_ && _)
+    a.join(b, col("a_bi") === col("b_bi") && col("a_bv") === col("b_bv") &&
+        firstMatchOnly)
+      .select(col("a"), col("b"),
+              bit_count(col("a_h").bitwiseXOR(col("b_h"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

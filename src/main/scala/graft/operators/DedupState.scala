@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Persisted standing-corpus dedup state — the piece that turns
   * incremental near-dup detection from "recompute the corpus" into "scan
@@ -61,6 +62,94 @@ object DedupState {
       Dedup.minhashSignatures(toks, idCol, k), idCol, k, r)
     Layout.writeBucketed(Dedup.longBands(bands, idCol, k / r), "band_key", n.bands, buckets)
     Layout.writeBucketed(toks, idCol, n.toks, buckets)
+  }
+
+  /** Bucket-aligned APPEND into an existing state table: Spark validates
+    * the bucket spec against the catalog, so a mismatched layout fails
+    * loudly instead of silently degrading the exchange-free probe
+    * contract. Appending adds new files per bucket (multiple files per
+    * bucket is legal; the bucketed-join co-partitioning guarantee is on
+    * the bucket hash, not file count).
+    */
+  private def append(df: DataFrame, key: String, table: String, buckets: Int): Unit =
+    df.write.mode("append").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Epoch-advance: absorb one processed batch into the standing state —
+    * `merge(state, batch) ≡ write(corpus ∪ batch)` on all four tables
+    * (DedupStateMergeSpec pins the row-for-row equivalence) WITHOUT the
+    * full rebuild a naive `state := write(corpus ∪ batch)` pays every
+    * ingest epoch. The rolling-ingest cost profile this buys at 100 TB:
+    *
+    *  - bands / toks / spans: bucket-aligned APPENDS of batch-sized
+    *    frames — the standing tables are never rewritten or even read.
+    *    (Batch ids are disjoint from corpus ids by the ingest contract,
+    *    so per-doc rows from the batch union cleanly with the standing
+    *    rows; that is exactly what a from-scratch build would emit.)
+    *  - comps: the already-proven contraction (see
+    *    [[graft.queries.DedupQueries.clustersIncremental]]) — corpus
+    *    endpoints of the verified batch edges collapse through their
+    *    stored comp id, CC runs on the BATCH-sized contracted graph, and
+    *    the standing assignments are rewritten through a bounded relabel
+    *    map (only comps actually bridged by the batch change labels).
+    *    The assignment table is one row per doc — the only standing table
+    *    this touches wholesale, and the smallest by orders of magnitude.
+    *
+    * Comp ids stay the component's min member doc id: a standing comp id
+    * IS its min member, every batch id is newer than every corpus id, so
+    * the contracted min is the true global min.
+    *
+    * Callers supply the batch-side frames (token rows, long-form bands,
+    * winnowed spans) and the VERIFIED near-dup edges among batch∪corpus
+    * ids — the query layer owns K/R/threshold; this owns the state
+    * transition. All inputs are materialized before any write so the
+    * probe frames can never observe a half-advanced state.
+    */
+  def merge(s: SparkSession, idCol: String, batchIds: DataFrame,
+            batchToks: DataFrame, batchBands: DataFrame,
+            batchSpans: DataFrame, verifiedEdges: DataFrame,
+            n: Names, buckets: Int): Unit = {
+    val updated = mergedComps(s, idCol, batchIds, verifiedEdges, comps(s, n))
+    append(batchBands, "band_key", n.bands, buckets)
+    append(batchToks, idCol, n.toks, buckets)
+    append(batchSpans, "span_md5", n.spans, buckets)
+    writeComps(updated, idCol, n, buckets)
+  }
+
+  /** The comps transition [[merge]] applies, reusable against ANY standing
+    * assignment frame (the streaming curation twin maintains its own):
+    * contract corpus endpoints of the verified batch edges through
+    * `standing`, CC the batch-sized contracted graph, and return the full
+    * updated assignment — standing rows relabeled through the bounded
+    * comp→comp map, batch rows appended. The result is EAGERLY
+    * materialized (localCheckpoint) so callers can overwrite the table or
+    * state it was derived from.
+    */
+  def mergedComps(s: SparkSession, idCol: String, batchIds: DataFrame,
+                  verifiedEdges: DataFrame, standing: DataFrame): DataFrame = {
+    val cmap = standing.select(col(idCol).as("cdoc"), col("comp").as("cid"))
+    val contracted = verifiedEdges
+      .join(cmap.withColumnRenamed("cdoc", "a").withColumnRenamed("cid", "ca"),
+            Seq("a"), "left")
+      .join(cmap.withColumnRenamed("cdoc", "b").withColumnRenamed("cid", "cb"),
+            Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+              coalesce(col("cb"), col("b")).as("b"))
+      .localCheckpoint(true)
+    val touched = contracted.select(col("a").as(idCol))
+      .unionByName(contracted.select(col("b").as(idCol)))
+    val nodes = batchIds.select(col(idCol)).unionByName(touched).distinct()
+    val cc = Dedup.connectedComponents(contracted, nodes, idCol)
+    val batchAssign = cc.join(batchIds.select(idCol), Seq(idCol), "left_semi")
+    val relabel = cc.join(batchIds.select(idCol), Seq(idCol), "left_anti")
+      .select(col(idCol).as("__oldc"), col("comp").as("__newc"))
+    standing
+      .join(relabel, col("comp") === col("__oldc"), "left")
+      .select(col(idCol), coalesce(col("__newc"), col("comp")).as("comp"))
+      .unionByName(batchAssign)
+      // materialize BEFORE the caller overwrites the frame this reads
+      .localCheckpoint(true)
   }
 
   /** Persist the standing component assignments `(id, comp)` — the third

@@ -167,6 +167,26 @@ object CorpusJob {
     val clean0 = Bloom.decontaminate(
       near.filter(col("doc_id") % 10 =!= 0), md5(col("text")), blocklist)
 
+    val (out, t) = curateTail(spark, clean0, nInput, cfg)
+    (out, Funnel(nInput, nExact, nBow, nNear, t.spanCutDocs, t.cleanKept,
+                 t.screenedKept, t.qualityKept, t.mixKept, t.nBins, t.perSplit))
+  }
+
+  /** Release-tail counts — the [[Funnel]] fields stages 3b→6 own. */
+  final case class TailCounts(
+      spanCutDocs: Long, cleanKept: Long, screenedKept: Long,
+      qualityKept: Long, mixKept: Long, nBins: Long,
+      perSplit: Map[String, Long])
+
+  /** Stages 3b→6 (span cut → screens → LM → mix → packing → split →
+    * write), factored out of [[execute]] and shared VERBATIM with the
+    * streaming twin ([[CorpusStream]]): the per-release tail is one code
+    * path, so "N micro-batch publishes ≡ one batch run" holds for it by
+    * construction and the equivalence spec only has to prove the
+    * incremental dedup head.
+    */
+  private[pipeline] def curateTail(spark: SparkSession, clean0: DataFrame,
+                                   nInput: Long, cfg: Config): (DataFrame, TailCounts) = {
     // 3b. substring-span cut (the RefinedWeb-style exact-substring pass):
     // delete every later copy of a cross-doc duplicated 8-token span,
     // keeping the first. Document COUNT is unchanged (texts shrink, docs
@@ -277,8 +297,8 @@ object CorpusJob {
     }
     val perSplit = out.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (out, Funnel(nInput, nExact, nBow, nNear, nSpanCutDocs, nClean,
-                 nScreened, nQuality, nMixed, nBins, perSplit))
+    (out, TailCounts(nSpanCutDocs, nClean, nScreened, nQuality, nMixed,
+                     nBins, perSplit))
   }
 
   def main(args: Array[String]): Unit = {

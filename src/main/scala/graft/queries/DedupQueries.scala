@@ -646,28 +646,12 @@ object DedupQueries {
   private[graft] def corpusState(s: SparkSession, d: String): DedupState.Names =
     memo(stateCache, (s, d), () => {
       val n = DedupState.names("graft_corpus", d)
-      DedupState.write(Tables.documents(s, d).filter(col("doc_id") < splitId(s, d)),
-        "doc_id", "text", K, R, n, buckets = 16)
-      // the standing component assignments: corpus-only pairs off the
-      // just-written state, verified, clustered — [[clustersIncremental]]
-      // contracts corpus endpoints through this table so a batch merge
-      // never touches the corpus row set
-      val cand = Dedup.lshSelfCandidatePairsLong(
-        DedupState.bands(s, n), "doc_id", K / R).localCheckpoint(true)
-      val parts = cand.select(col("a").as("doc_id"))
-        .union(cand.select(col("b").as("doc_id"))).distinct()
-      val toks = DedupState.toks(s, n).join(parts, Seq("doc_id"), "left_semi")
-      val edges = Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
-        .filter(col("jaccard") >= 0.7).select("a", "b")
-      val comps = Dedup.connectedComponents(edges,
-        Tables.documents(s, d).filter(col("doc_id") < splitId(s, d)).select("doc_id"), "doc_id")
-      DedupState.writeComps(comps, "doc_id", n, buckets = 16)
-      // the span-level state: the standing corpus's winnowed window
-      // fingerprints, bucketed on span_md5 — [[spansIncremental]] probes
-      // this table instead of re-winnowing the corpus per batch
-      DedupState.writeSpans(
-        winnowSelect(Tables.documents(s, d).filter(col("doc_id") < splitId(s, d)),
-          SpanW, WinnowW), n, buckets = 16)
+      // bands/toks, the standing component assignments ([[clustersIncremental]]
+      // contracts corpus endpoints through them so a batch merge never
+      // touches the corpus row set), and the winnowed span fingerprints
+      // ([[spansIncremental]] probes them instead of re-winnowing)
+      buildFullState(s,
+        Tables.documents(s, d).filter(col("doc_id") < splitId(s, d)), n)
       n
     })
 
@@ -786,20 +770,69 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def storedVerifiedEdges(s: SparkSession, d: String): DataFrame = {
-    def build(): DataFrame = {
-      val st = fullCorpusState(s, d)
-      // candidate pairs feed both the participant set and the verify join;
-      // candidate-sized, so checkpoint rather than re-probe the state
-      val cand = Dedup.lshSelfCandidatePairsLong(
-        DedupState.bands(s, st), "doc_id", K / R).localCheckpoint(true)
-      val parts = cand.select(col("a").as("doc_id"))
-        .union(cand.select(col("b").as("doc_id"))).distinct()
-      val toks = DedupState.toks(s, st).join(parts, Seq("doc_id"), "left_semi")
-      Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
-        .filter(col("jaccard") >= 0.7).select("a", "b")
-    }
+    def build(): DataFrame = stateVerifiedEdges(s, fullCorpusState(s, d))
     if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build()
     else memo(storedEdgesCache, (s, d), () => build().localCheckpoint(true))
+  }
+
+  /** Verified near-dup edges read entirely off a persisted state `n` —
+    * shared by [[storedVerifiedEdges]], [[buildFullState]] and the
+    * merge-equivalence spec.
+    */
+  private[graft] def stateVerifiedEdges(s: SparkSession, n: DedupState.Names): DataFrame = {
+    // candidate pairs feed both the participant set and the verify join;
+    // candidate-sized, so checkpoint rather than re-probe the state
+    val cand = Dedup.lshSelfCandidatePairsLong(
+      DedupState.bands(s, n), "doc_id", K / R).localCheckpoint(true)
+    val parts = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val toks = DedupState.toks(s, n).join(parts, Seq("doc_id"), "left_semi")
+    Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
+      .filter(col("jaccard") >= 0.7).select("a", "b")
+  }
+
+  /** Build the complete 4-table state (bands/toks/comps/spans) for
+    * `corpus` under names `n` — the from-scratch transition whose
+    * incremental equivalent is [[mergeEpoch]] (DedupStateMergeSpec pins
+    * merge ≡ rebuild row-for-row on all four tables).
+    */
+  private[graft] def buildFullState(s: SparkSession, corpus: DataFrame,
+                                    n: DedupState.Names, buckets: Int = 16): Unit = {
+    DedupState.write(corpus, "doc_id", "text", K, R, n, buckets)
+    val comps = Dedup.connectedComponents(
+      stateVerifiedEdges(s, n), corpus.select("doc_id"), "doc_id")
+    DedupState.writeComps(comps, "doc_id", n, buckets)
+    DedupState.writeSpans(winnowSelect(corpus, SpanW, WinnowW), n, buckets)
+  }
+
+  /** Epoch-advance orchestration over [[DedupState.merge]]: derive the
+    * batch-side frames (distinct token rows, long-form bands, winnowed
+    * spans) and the VERIFIED near-dup edges of `batch` against
+    * batch∪standing-corpus, then advance the state `n` in place. The
+    * probe reads pre-bucketed standing tables (the same exchange-free
+    * shape the incremental queries pin); all batch work is batch-sized.
+    * Batch ids must be disjoint from — and by the ingest contract greater
+    * than — every id already in the state.
+    */
+  private[graft] def mergeEpoch(s: SparkSession, batch: DataFrame,
+                                n: DedupState.Names, buckets: Int = 16): Unit = {
+    val toks = Dedup.distinctTokenRows(batch, "doc_id", "text").localCheckpoint(true)
+    val longB = Dedup.longBands(
+      Dedup.minhashBands(Dedup.minhashSignatures(toks, "doc_id", K), "doc_id", K, R),
+      "doc_id", K / R).localCheckpoint(true)
+    val candNN = Dedup.lshSelfCandidatePairsLong(longB, "doc_id", K / R)
+    val candNC = Dedup.lshCrossCandidatePairsLong(
+      longB, DedupState.bands(s, n), "doc_id", K / R)
+    // NN (both ids in batch) and NC (exactly one corpus side) are disjoint
+    val cand = candNN.unionByName(candNC).localCheckpoint(true)
+    val parts = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val tokenRows = toks.join(parts, Seq("doc_id"), "left_semi")
+      .unionByName(DedupState.toks(s, n).join(parts, Seq("doc_id"), "left_semi"))
+    val edges = Dedup.jaccardVerifyBitset(cand, tokenRows, "doc_id")
+      .filter(col("jaccard") >= 0.7).select("a", "b")
+    DedupState.merge(s, "doc_id", batch.select("doc_id"), toks, longB,
+      winnowSelect(batch, SpanW, WinnowW), edges, n, buckets)
   }
 
   /** The stored-state candidate self-join — exposed so PlanAuditSpec can

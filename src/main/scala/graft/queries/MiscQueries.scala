@@ -280,10 +280,28 @@ object MiscQueries {
     * same query shape — the sketch trade documented in SketchQueries.
     */
   def profileQuantiles(s: SparkSession, d: String): DataFrame =
+    profileQuantilesShape(s, d,
+      "percentile(o_totalprice, array(0.25D, 0.5D, 0.9D, 0.99D))")
+
+  /** The mergeable-sketch twin of [[profileQuantiles]] — the swap SURVEY §8
+    * tells a 100 TB deployment to make: `approx_percentile` (Spark's
+    * Greenwald–Khanna summary) is bounded-memory and partial-merge
+    * aggregable, where exact `percentile` buffers each group's value
+    * multiset. IDENTICAL query shape by construction (both build on
+    * [[profileQuantilesShape]]), so the swap is a one-expression change;
+    * ApproxAggSpec pins the error envelope against the exact twin at the
+    * bench scale instead of leaving the claim asserted.
+    */
+  def profileQuantilesApprox(s: SparkSession, d: String,
+                             accuracy: Int = 10000): DataFrame =
+    profileQuantilesShape(s, d,
+      s"approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.9D, 0.99D), $accuracy)")
+
+  private def profileQuantilesShape(s: SparkSession, d: String,
+                                    quantileExpr: String): DataFrame =
     Tables.orders(s, d)
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"),
-           expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.9D, 0.99D))").as("q"))
+      .agg(count(lit(1)).as("n"), expr(quantileExpr).as("q"))
       .select(col("o_orderstatus"), col("n"),
         round(element_at(col("q"), 1), 4).as("p25"),
         round(element_at(col("q"), 2), 4).as("p50"),

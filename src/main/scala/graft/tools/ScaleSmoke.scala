@@ -193,6 +193,55 @@ object ScaleSmoke {
     require(nPhash <= 30L * nDocs,
       s"phash pair count not linear in corpus: $nPhash pairs for $nDocs docs")
 
+    // BPE family at 10x — PURE duplication this time (unchanged text,
+    // offset doc_ids), because the claim under test is the opposite of the
+    // suffixed replicas': training reduces the corpus to its word-TYPE
+    // relation, so a 10x corpus with the SAME vocabulary must (1) keep the
+    // type relation exactly base-sized — the "types-sized, never
+    // corpus-sized" docstring claim, (2) learn the IDENTICAL merge
+    // sequence with pair counts exactly 10x and unchanged post-merge
+    // vocab sizes, and (3) encode every replica of a doc to identical
+    // token counts. The suffixed replicas would instead grow the type
+    // relation by exactly `copies` (disjoint vocabularies) — true but not
+    // the scale claim BPE makes.
+    val bpeDir = java.nio.file.Files.createTempDirectory("graft-sf1-bpe").toString
+    (0 until copies).map { i =>
+      Tables.documents(spark, base).select(
+        (col("doc_id") + lit(i * Offset)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$bpeDir/documents.parquet")
+    val t0Bpe = System.nanoTime()
+    val merges10 = graft.queries.TextQueries.defs("text_bpe_merges")(spark, bpeDir)
+      .collect()
+    val tBpe = (System.nanoTime() - t0Bpe) / 1e9
+    val typesBase = graft.operators.TextAnalysis
+      .tokenRows(Tables.documents(spark, base), "doc_id", "text")
+      .select("token").distinct().count()
+    val types10 = graft.operators.TextAnalysis
+      .tokenRows(Tables.documents(spark, bpeDir), "doc_id", "text")
+      .select("token").distinct().count()
+    require(types10 == typesBase,
+      s"word-TYPE relation grew under pure duplication: $types10 != $typesBase")
+    val mergesBase = graft.queries.TextQueries.defs("text_bpe_merges")(spark, base)
+      .collect()
+    require(merges10.length == mergesBase.length,
+      s"merge count drift at 10x: ${merges10.length} != ${mergesBase.length}")
+    merges10.zip(mergesBase).foreach { case (m10, mb) =>
+      require(m10.getString(1) == mb.getString(1) &&
+        m10.getString(2) == mb.getString(2) &&
+        m10.getLong(3) == mb.getLong(3) * copies &&
+        m10.getLong(4) == mb.getLong(4),
+        s"merge sequence drift at 10x: $m10 vs $mb")
+    }
+    // every replica of a doc must encode identically: collapsing encode
+    // output on (doc_id mod Offset, counts) must land on exactly nBase rows
+    val encDistinct = graft.queries.TextQueries.defs("text_bpe_encode")(spark, bpeDir)
+      .select((col("doc_id") % Offset).as("bd"), col("n_toks"), col("n_bpe"))
+      .distinct().count()
+    require(encDistinct == nBase,
+      s"encode not replica-invariant: $encDistinct distinct vs $nBase base docs")
+
     // the flagship curation job end-to-end at 10x: funnel must narrow
     // monotonically and stay inside the same wall budget
     val t0Corpus = System.nanoTime()
@@ -209,16 +258,16 @@ object ScaleSmoke {
       s"corpus funnel broken at 10x: $funnel")
 
     val total = tPairs + tClusters + tNgram + tContain + tSpans + tSpansMin +
-      tHeavy + tGraph + tBigram + tPrefix + tTri + tCdc + tPhash + tCorpus
+      tHeavy + tGraph + tBigram + tPrefix + tTri + tCdc + tPhash + tBpe + tCorpus
     require(total <= budgetSec,
       f"budget blown: pairs $tPairs%.1f + clusters $tClusters%.1f + ngram $tNgram%.1f + " +
         f"containment $tContain%.1f + spans $tSpans%.1f + spans_min $tSpansMin%.1f + " +
         f"heavy $tHeavy%.1f + graph $tGraph%.1f + bigram $tBigram%.1f + " +
         f"prefix $tPrefix%.1f + triangles $tTri%.1f + cdc $tCdc%.1f + " +
-        f"phash $tPhash%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
+        f"phash $tPhash%.1f + bpe $tBpe%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
 
     val json =
-      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"bpe_sec":$tBpe%.2f,"bpe_types":$types10,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

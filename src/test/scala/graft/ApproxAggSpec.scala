@@ -32,6 +32,37 @@ class ApproxAggSpec extends SparkSpec {
     }
   }
 
+  test("profile_quantiles approx twin stays inside the sketch envelope at bench scale") {
+    // the swap SURVEY §8 asserts for 100 TB, tested instead of claimed:
+    // the approx twin runs the IDENTICAL query shape at sf0.1 and every
+    // per-group quantile must land inside the exact percentiles at
+    // q ± 2/accuracy (the GK rank guarantee mapped to value space), with
+    // 1e-4 slack for the 4dp output rounding both twins apply
+    val d = sf("sf0.1")
+    val acc = 10000
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val lo = qs.map(q => math.max(0.0, q - 2.0 / acc))
+    val hi = qs.map(q => math.min(1.0, q + 2.0 / acc))
+    val env = Tables.orders(spark, d).groupBy("o_orderstatus")
+      .agg(expr(s"percentile(o_totalprice, array(${lo.mkString("D, ")}D))").as("lo"),
+           expr(s"percentile(o_totalprice, array(${hi.mkString("D, ")}D))").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getSeq[Double](2))).toMap
+    val approx = queries.MiscQueries.profileQuantilesApprox(spark, d, acc).collect()
+    val exact = queries.MiscQueries.profileQuantiles(spark, d).collect()
+    assert(approx.map(_.getString(0)).toSeq === exact.map(_.getString(0)).toSeq)
+    assert(approx.map(_.getLong(1)).toSeq === exact.map(_.getLong(1)).toSeq,
+      "the twins must aggregate the same groups and counts — shape identity")
+    approx.foreach { r =>
+      val (l, h) = env(r.getString(0))
+      qs.indices.foreach { i =>
+        val v = r.getDouble(2 + i)
+        assert(v >= l(i) - 1e-4 && v <= h(i) + 1e-4,
+          s"group=${r.getString(0)} q=${qs(i)} approx=$v outside [${l(i)}, ${h(i)}]")
+      }
+    }
+  }
+
   test("percentile_approx is deterministic across repeated runs") {
     val df = Tables.orders(spark, sf("sf0.01"))
     def run() = df.groupBy("o_orderpriority")

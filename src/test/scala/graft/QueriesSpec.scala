@@ -139,6 +139,7 @@ class QueriesSpec extends SparkSpec {
     "dedup_cdc_incremental" -> 58L,
     "text_bpe_pairs" -> 20L,
     "text_bpe_merges" -> 3L,
+    "text_bpe_encode" -> 500L,
   )
 
   test("every query has an oracle and vice versa") {

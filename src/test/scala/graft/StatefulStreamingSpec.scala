@@ -222,4 +222,43 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(got.toSet === expected,
       s"streaming probe ${got.size} != stored batch ${expected.size}")
   }
+
+  test("streaming corpus curation: N micro-batch publishes equal one batch run on the union") {
+    // the full curation funnel as a rolling ingest (CorpusStream): three
+    // ascending micro-batches advance the persisted dedup head state with
+    // batch-sized work and republish the snapshot through the SHARED
+    // release tail. Equivalence is exact, not monotone-approximate: the
+    // comps transition is the proven contraction, retractions (cluster
+    // merges, late-arriving eval twins) are absorbed by the snapshot
+    // republish, and the final publish must be row-identical to one batch
+    // CorpusJob.execute over the union.
+    import graft.pipeline.{CorpusJob, CorpusStream}
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    val docs = Tables.documents(spark, d).as[CorpusDoc].collect().sortBy(_.doc_id)
+    val outStream = java.nio.file.Files.createTempDirectory("graft-cstream").toString
+    val outBatch = java.nio.file.Files.createTempDirectory("graft-cbatch").toString
+    val n = CorpusStream.names("graft_cstream_spec")
+    CorpusStream.reset(spark, n)
+    val mem = MemoryStream[CorpusDoc]
+    val q = CorpusStream.run(mem.toDF(),
+      CorpusJob.Config(input = d, out = outStream), n)
+    try {
+      docs.grouped(math.ceil(docs.length / 3.0).toInt).foreach { p =>
+        mem.addData(p); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val (batchOut, f) = CorpusJob.execute(spark,
+      CorpusJob.Config(input = d, out = outBatch))
+    val streamOut = spark.read.parquet(outStream)
+    assert(streamOut.count() === f.mixKept,
+      "streamed snapshot size differs from the batch funnel")
+    assert(streamOut.exceptAll(batchOut).isEmpty &&
+           batchOut.exceptAll(streamOut).isEmpty,
+      "streamed curated corpus differs from the batch run on the union")
+  }
 }
+
+/** Full documents-table row for the streaming curation twin. */
+case class CorpusDoc(doc_id: Long, text: String, lang: String,
+                     source: String, n_chars: Long)
