@@ -144,7 +144,8 @@ object Bench {
         s""","duck_sec":${"%.3f".format(dTotal)},"spark_on_duck_sec":${"%.3f".format(sparkOnDuck)},"vs_duck":${"%.3f".format(sparkOnDuck / dTotal)}""")
     }
     val ratioJson = duckFields.map(_._3).getOrElse("")
-    val memoStats = graft.queries.DedupQueries.pairsMemoStats
+    val memoStats = graft.queries.DedupQueries.pairsMemoStats +
+      ",bpe=" + graft.queries.TextQueries.bpeMemoStats
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$ratioJson,"pairs_memo":"$memoStats","queries":$qs,"spread":$spread,"qmin":$qmin,"sf":"$sfDir"}"""
     // persist the FULL-precision JSON (all queries + spreads) so a
     // truncated log tail can't lose the official numbers (round 2's BENCH

@@ -182,6 +182,30 @@ object TextQueries {
       .orderBy("lang", "bin")
   }
 
+  /** [[packBins]] with the budget a trained tokenizer actually bills:
+    * per-doc BPE token counts from [[bpeEncode]] replace whitespace
+    * counts — the context-window packing a training pipeline runs AFTER
+    * tokenizer training, and the natural consumer of the encode pass.
+    * Same per-language window algebra; the doc relation joins the encode
+    * output (doc-sized), so the only extra cost over [[packBins]] is the
+    * encode pass itself. Token-free docs carry no BPE tokens and fall out
+    * of the encode join — they cannot occupy context-window space.
+    */
+  def packBinsBpe(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val enc = bpeEncode(s, d).select(col("doc_id"), col("n_bpe"))
+    Tables.documents(s, d).select("lang", "doc_id")
+      .join(enc, "doc_id")
+      .withColumn("cum", sum("n_bpe").over(w))
+      .withColumn("bin", floor((col("cum") - col("n_bpe")) / lit(2048L)))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("bin_toks"),
+           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
   /** Repetition signals (the Gopher-rule family): fraction of the doc made
     * of its most-frequent token, of its most-frequent 2-gram, and the
     * distinct-token ratio — the cheap screens that catch boilerplate and
@@ -383,6 +407,15 @@ object TextQueries {
     */
   private val trainCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (Seq[(Long, String, String, Long, Long)], DataFrame)]()
+  private val bpeMemoHits = new java.util.concurrent.atomic.AtomicLong
+  private val bpeMemoMisses = new java.util.concurrent.atomic.AtomicLong
+
+  /** Bench-artifact marker (same contract as DedupQueries.pairsMemoStats):
+    * a near-zero `text_bpe_merges` median means the memoized training ran
+    * once under the flag — the hit/miss counts make that attributable
+    * instead of suspicious.
+    */
+  def bpeMemoStats: String = s"${bpeMemoHits.get}/${bpeMemoMisses.get}"
 
   private def bpeTrain(s: SparkSession, d: String):
       (Seq[(Long, String, String, Long, Long)], DataFrame) = {
@@ -390,6 +423,8 @@ object TextQueries {
       bpeTrainBuild(s, d)
     else {
       if (trainCache.size > 3) trainCache.clear()
+      (if (trainCache.containsKey((s, d))) bpeMemoHits else bpeMemoMisses)
+        .incrementAndGet()
       trainCache.computeIfAbsent((s, d), _ => bpeTrainBuild(s, d))
     }
   }
@@ -494,6 +529,7 @@ object TextQueries {
     "text_pii_mask" -> (piiMask _),
     "text_tfidf" -> (tfidf _),
     "text_pack_bins" -> (packBins _),
+    "text_pack_bins_bpe" -> (packBinsBpe _),
     "c12_tokens" -> (c12Tokens _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "c12_lang" -> (c12Lang _),
@@ -729,6 +765,34 @@ object TextQueries {
         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
         |  CAST(max(doc_id) AS BIGINT) AS last_doc
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "text_pack_bins_bpe" -> {
+      val rounds = (1 to 3).map(bpeRoundSql).mkString(",\n")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok WHERE token <> '' GROUP BY token),
+         |pos0 AS (SELECT token, tf, unnest(range(1, len(token) + 1)) AS pos FROM tf),
+         |s1 AS (SELECT token, tf, CAST(pos AS BIGINT) AS pos,
+         |       substring(token, CAST(pos AS INTEGER), 1) AS sym FROM pos0),
+         |$rounds,
+         |sc AS (SELECT token, CAST(count(*) AS BIGINT) AS n_sym FROM s4 GROUP BY token),
+         |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM dtok WHERE token <> '' GROUP BY doc_id, token),
+         |e AS (SELECT doc_id, CAST(sum(dt.tf * sc.n_sym) AS BIGINT) AS n_bpe
+         |      FROM dt JOIN sc USING (token) GROUP BY doc_id),
+         |dl AS (SELECT d.lang, e.doc_id, e.n_bpe
+         |       FROM documents d JOIN e ON d.doc_id = e.doc_id),
+         |c AS (SELECT lang, doc_id, n_bpe,
+         |        sum(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM dl)
+         |SELECT lang, CAST((cum - n_bpe) // 2048 AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_bpe) AS BIGINT) AS bin_toks,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(max(doc_id) AS BIGINT) AS last_doc
+         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+    },
     "text_vocab_coverage" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq

@@ -140,6 +140,7 @@ class QueriesSpec extends SparkSpec {
     "text_bpe_pairs" -> 20L,
     "text_bpe_merges" -> 3L,
     "text_bpe_encode" -> 500L,
+    "text_pack_bins_bpe" -> 59L,
   )
 
   test("every query has an oracle and vice versa") {
