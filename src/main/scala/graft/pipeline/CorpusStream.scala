@@ -139,4 +139,27 @@ object CorpusStream {
         ()
       }
       .start()
+
+  /** spark-submit entry — the rolling-ingest sibling of [[CorpusJob.main]]:
+    * `--input` names a LANDING directory watched as a parquet file stream
+    * (each arriving file is a document batch; the ingest contract requires
+    * batches to land in ascending doc_id order), `--out` receives the
+    * republished curated snapshot after every micro-batch; the remaining
+    * flags are [[CorpusJob.parse]]'s. State tables are derived from the
+    * output path (same injective naming rule as DedupState.names).
+    */
+  def main(args: Array[String]): Unit = {
+    val cfg = CorpusJob.parse(args)
+    val b0 = SparkSession.builder().appName("graft-corpus-stream")
+    val b = sys.env.get("SPARK_GRAFT_MASTER").fold(b0)(b0.master)
+    val spark = graft.Sessions.withGraftConf(b).getOrCreate()
+    val sfx = cfg.out.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(cfg.out.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val source = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(cfg.input)
+    run(source, cfg, names(s"corpus_stream_${sfx}_$tag")).awaitTermination()
+  }
 }

