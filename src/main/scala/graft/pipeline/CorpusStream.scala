@@ -113,8 +113,8 @@ object CorpusStream {
     * re-hashing — the head already did that work), then run the shared
     * release tail. Returns what [[CorpusJob.execute]] returns.
     */
-  def publish(s: SparkSession, n: StateNames,
-              cfg: CorpusJob.Config): (DataFrame, CorpusJob.TailCounts) = {
+  def publish(s: SparkSession, n: StateNames, cfg: CorpusJob.Config,
+              snapshotRoot: Option[String] = None): (DataFrame, CorpusJob.TailCounts) = {
     Bloom.register(s) // no-op when GraftExtensions installed them already
     val raw = s.table(n.raw)
     val keepers = s.table(n.comps)
@@ -123,19 +123,26 @@ object CorpusStream {
     val clean0 = Bloom.decontaminate(
       near.filter(col("doc_id") % 10 =!= 0), md5(col("text")),
       s.table(n.block))
-    CorpusJob.curateTail(s, clean0, raw.count(), cfg)
+    val res = CorpusJob.curateTail(s, clean0, raw.count(), cfg)
+    // optional versioned release: every epoch's snapshot goes through the
+    // transactional SnapshotStore swap too — readers follow `_CURRENT` and
+    // can never observe a half-written corpus, each epoch is a time-travel
+    // version, and `vacuum` bounds retention. cfg.out stays the plain
+    // latest-snapshot path either way (the batch-twin equivalence surface).
+    snapshotRoot.foreach(root => graft.sinks.SnapshotStore.publish(res._1, root))
+    res
   }
 
   /** Attach the rolling ingest to a streaming documents source: every
     * micro-batch advances the head state and republishes the snapshot.
     */
-  def run(source: DataFrame, cfg: CorpusJob.Config,
-          n: StateNames): StreamingQuery =
+  def run(source: DataFrame, cfg: CorpusJob.Config, n: StateNames,
+          snapshotRoot: Option[String] = None): StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         ingest(s, batch, n)
-        publish(s, n, cfg)
+        publish(s, n, cfg, snapshotRoot)
         ()
       }
       .start()

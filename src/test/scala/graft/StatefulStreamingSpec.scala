@@ -238,11 +238,12 @@ class StatefulStreamingSpec extends SparkSpec {
     val docs = Tables.documents(spark, d).as[CorpusDoc].collect().sortBy(_.doc_id)
     val outStream = java.nio.file.Files.createTempDirectory("graft-cstream").toString
     val outBatch = java.nio.file.Files.createTempDirectory("graft-cbatch").toString
+    val snapRoot = java.nio.file.Files.createTempDirectory("graft-csnap").toString
     val n = CorpusStream.names("graft_cstream_spec")
     CorpusStream.reset(spark, n)
     val mem = MemoryStream[CorpusDoc]
     val q = CorpusStream.run(mem.toDF(),
-      CorpusJob.Config(input = d, out = outStream), n)
+      CorpusJob.Config(input = d, out = outStream), n, Some(snapRoot))
     try {
       docs.grouped(math.ceil(docs.length / 3.0).toInt).foreach { p =>
         mem.addData(p); q.processAllAvailable()
@@ -256,6 +257,16 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(streamOut.exceptAll(batchOut).isEmpty &&
            batchOut.exceptAll(streamOut).isEmpty,
       "streamed curated corpus differs from the batch run on the union")
+    // the versioned-release leg: one SnapshotStore version per epoch, the
+    // _CURRENT pointer resolves to the final (batch-equal) corpus
+    import graft.sinks.SnapshotStore
+    assert(SnapshotStore.currentVersion(snapRoot) === Some(2L),
+      "three epochs must publish three corpus releases (versions 0..2)")
+    val released = SnapshotStore.read(spark, snapRoot)
+      .select(batchOut.columns.map(col): _*)
+    assert(released.exceptAll(batchOut).isEmpty &&
+           batchOut.exceptAll(released).isEmpty,
+      "the _CURRENT release differs from the batch run")
   }
 }
 
