@@ -35,77 +35,168 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * row-identical to one batch [[CorpusJob.execute]] over the union
   * (StatefulStreamingSpec).
   *
-  * State lives in five catalog tables per stream (hash keepers, bow
-  * keepers, survivor rows, simhash fingerprints, component assignments,
-  * eval blocklist) — the same parquet-backed shape as
-  * [[graft.operators.DedupState]].
+  * ## Crash consistency (the foreachBatch retry contract)
+  *
+  * Structured Streaming may REPLAY a micro-batch after a failure — with
+  * the same batchId — and the failure can land between any two state
+  * writes. A naive multi-table append is not retry-safe: if the hash
+  * table advanced but the survivor table didn't, the replay computes
+  * "no new hashes" and the batch's documents are lost forever. The state
+  * transition is therefore epoch-keyed and idempotent:
+  *
+  *  - every state table is partitioned by `epoch`; an epoch's writes go
+  *    into its own partition via dynamic partition OVERWRITE, so a replay
+  *    rewrites exactly what the failed attempt wrote;
+  *  - every read filters to COMMITTED epochs (a marker row appended to
+  *    the meta table as the LAST write of the epoch), so a half-applied
+  *    epoch is invisible to its own replay and to publish;
+  *  - the comps table stores one full assignment snapshot per epoch
+  *    (derived from the previous epoch's snapshot — never from its own
+  *    partial output), because the contraction transition is not
+  *    self-idempotent; superseded epoch partitions are the retention
+  *    lever, dropped like any cold partition;
+  *  - a replay of an ALREADY-committed epoch (crash after marker, before
+  *    the streaming checkpoint commit) is a no-op guard at entry.
+  *
+  * CorpusStreamCrashSpec kills the transition after every prefix of its
+  * seven writes and proves the replay converges to the clean-run state.
   */
 object CorpusStream {
 
   /** Catalog table names for one stream's standing state. */
   final case class StateNames(hashes: String, bows: String, raw: String,
-                              sims: String, comps: String, block: String)
+                              sims: String, comps: String, block: String,
+                              meta: String)
 
   def names(prefix: String): StateNames =
     StateNames(s"${prefix}_hashes", s"${prefix}_bows", s"${prefix}_raw",
-               s"${prefix}_sims", s"${prefix}_comps", s"${prefix}_block")
+               s"${prefix}_sims", s"${prefix}_comps", s"${prefix}_block",
+               s"${prefix}_meta")
 
   /** Drop all state tables (test hygiene / stream reset). */
   def reset(s: SparkSession, n: StateNames): Unit =
-    Seq(n.hashes, n.bows, n.raw, n.sims, n.comps, n.block)
+    Seq(n.hashes, n.bows, n.raw, n.sims, n.comps, n.block, n.meta)
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
 
   private def appendTable(df: DataFrame, table: String): Unit =
     df.write.mode("append").format("parquet").saveAsTable(table)
 
-  private def tableOr(s: SparkSession, table: String,
-                      empty: => DataFrame): DataFrame =
-    if (s.catalog.tableExists(table)) s.table(table) else empty
+  /** Replace exactly the `epoch` partition of `table` (creating the
+    * partitioned table on first write) — the idempotent write primitive
+    * every state mutation goes through: a replayed epoch overwrites its
+    * own partition and nothing else.
+    */
+  private def writeEpoch(df: DataFrame, table: String, epoch: Long): Unit = {
+    val s = df.sparkSession
+    val withE = df.withColumn("epoch", lit(epoch))
+    if (!s.catalog.tableExists(table)) {
+      withE.write.mode("overwrite").format("parquet")
+        .partitionBy("epoch").saveAsTable(table)
+    } else {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try withE.write.mode("overwrite").insertInto(table)
+      finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    }
+  }
 
-  /** Advance the head state with one micro-batch. Epoch contract: every
-    * `doc_id` in `batch` exceeds every id already in the state (the
+  /** Committed epoch ids (marker rows; duplicates from a replayed marker
+    * append are harmless — reads are distinct/max).
+    */
+  private def committedEpochs(s: SparkSession, n: StateNames): Set[Long] =
+    if (!s.catalog.tableExists(n.meta)) Set.empty
+    else s.table(n.meta).select("epoch").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+  /** A state table restricted to committed epochs, partition column
+    * dropped — the only read path; half-applied epochs are invisible.
+    */
+  private def stateTable(s: SparkSession, n: StateNames, table: String,
+                         done: Set[Long], empty: => DataFrame): DataFrame =
+    if (!s.catalog.tableExists(table) || done.isEmpty) empty
+    else s.table(table)
+      .filter(col("epoch").isInCollection(done)).drop("epoch")
+
+  /** The comps assignment AS OF the newest committed epoch (full snapshot
+    * per epoch — see the crash-consistency note).
+    */
+  private def compsAt(s: SparkSession, n: StateNames, done: Set[Long],
+                      empty: => DataFrame): DataFrame =
+    if (done.isEmpty || !s.catalog.tableExists(n.comps)) empty
+    else s.table(n.comps).filter(col("epoch") === done.max).drop("epoch")
+
+  /** Advance the head state with one micro-batch. Epoch contract: `epoch`
+    * strictly exceeds every committed epoch (streaming batchIds do), and
+    * every `doc_id` in `batch` exceeds every id already in the state (the
     * ingest-order invariant all incremental dedup state here relies on —
     * it is what makes min-id keepers append-only).
     */
-  def ingest(s: SparkSession, batch: DataFrame, n: StateNames): Unit = {
-    val b = batch.localCheckpoint(true)
+  def ingest(s: SparkSession, batch: DataFrame, n: StateNames,
+             epoch: Long): Unit =
+    ingestUpTo(s, batch, n, epoch, Int.MaxValue)
+
+  /** [[ingest]] with a write budget — the crash-injection hook
+    * CorpusStreamCrashSpec uses to kill the transition after every write
+    * prefix. All derived frames are EAGERLY materialized before the first
+    * write, so a partial run leaves exactly a write prefix behind.
+    */
+  private[graft] def ingestUpTo(s: SparkSession, batch0: DataFrame,
+                                n: StateNames, epoch: Long,
+                                maxWrites: Int): Unit = {
+    val done = committedEpochs(s, n)
+    if (done.contains(epoch)) return // replay of a committed epoch: no-op
+    require(done.forall(_ < epoch),
+      s"epoch $epoch is not beyond the committed set $done")
+    val b = batch0.localCheckpoint(true)
     // 1. exact dedup head: one row per NEW text hash, keeper = batch min
     val bh = b.select(col("doc_id"), md5(col("text")).as("h"))
       .groupBy("h").agg(min("doc_id").as("doc_id"))
     val newHashes = bh.join(
-        tableOr(s, n.hashes, bh.limit(0)).select("h"), Seq("h"), "left_anti")
+        stateTable(s, n, n.hashes, done, bh.limit(0)).select("h"),
+        Seq("h"), "left_anti")
       .localCheckpoint(true)
-    appendTable(newHashes, n.hashes)
     val exactKeep = b.join(newHashes.select("doc_id"), Seq("doc_id"), "left_semi")
     // 1b. bag-of-words head over the exact keepers
     val bbh = exactKeep.select(col("doc_id"),
         md5(concat_ws(" ", sort_array(TextAnalysis.tokens(col("text"))))).as("bh"))
       .groupBy("bh").agg(min("doc_id").as("doc_id"))
     val newBows = bbh.join(
-        tableOr(s, n.bows, bbh.limit(0)).select("bh"), Seq("bh"), "left_anti")
+        stateTable(s, n, n.bows, done, bbh.limit(0)).select("bh"),
+        Seq("bh"), "left_anti")
       .localCheckpoint(true)
-    appendTable(newBows, n.bows)
     val bowKeep = exactKeep
       .join(newBows.select("doc_id"), Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
-    appendTable(bowKeep, n.raw)
     // 2. near-dup head: batch fingerprints + edges vs (standing ∪ batch),
     // assignments advanced through the proven contraction transition
     val sim = Dedup.simhash(bowKeep, "doc_id", "text").localCheckpoint(true)
-    val standingSims = tableOr(s, n.sims, sim.limit(0))
+    val standingSims = stateTable(s, n, n.sims, done, sim.limit(0))
     val selfEdges = Dedup.hammingPairs(sim, "doc_id", "simhash",
       bits = 60, nBands = 4, maxHamming = 3).select("a", "b")
     val crossEdges = Dedup.hammingCrossPairs(sim, standingSims, "doc_id",
       "simhash", bits = 60, nBands = 4, maxHamming = 3).select("a", "b")
-    val standingComps = tableOr(s, n.comps,
+    val standingComps = compsAt(s, n, done,
       sim.select(col("doc_id"), col("doc_id").as("comp")).limit(0))
-    val updated = DedupState.mergedComps(s, "doc_id", bowKeep.select("doc_id"),
+    // mergedComps materializes its result eagerly (localCheckpoint)
+    val compsSnap = DedupState.mergedComps(s, "doc_id", bowKeep.select("doc_id"),
       selfEdges.unionByName(crossEdges), standingComps)
-    appendTable(sim, n.sims)
-    updated.write.mode("overwrite").format("parquet").saveAsTable(n.comps)
-    // 3. decontamination blocklist: eval docs hash their ORIGINAL text
-    appendTable(b.filter(col("doc_id") % 10 === 0)
-      .select(md5(col("text")).as("h")), n.block)
+    // 3. decontamination blocklist delta: eval docs hash ORIGINAL text
+    val blockDelta = b.filter(col("doc_id") % 10 === 0)
+      .select(md5(col("text")).as("h")).localCheckpoint(true)
+    // ---- writes: every one replaces only this epoch's partition; the
+    // marker goes LAST, so a crash anywhere leaves the epoch uncommitted
+    // and the replay overwrites the same partitions
+    import s.implicits._
+    var writes = 0
+    def w(f: => Unit): Unit = if (writes < maxWrites) { f; writes += 1 }
+    w(writeEpoch(newHashes, n.hashes, epoch))
+    w(writeEpoch(newBows, n.bows, epoch))
+    w(writeEpoch(bowKeep, n.raw, epoch))
+    w(writeEpoch(sim, n.sims, epoch))
+    w(writeEpoch(blockDelta, n.block, epoch))
+    w(writeEpoch(compsSnap, n.comps, epoch))
+    w(appendTable(Seq(epoch).toDF("epoch"), n.meta))
   }
 
   /** Republish the curated corpus snapshot from the standing state: derive
@@ -116,13 +207,16 @@ object CorpusStream {
   def publish(s: SparkSession, n: StateNames, cfg: CorpusJob.Config,
               snapshotRoot: Option[String] = None): (DataFrame, CorpusJob.TailCounts) = {
     Bloom.register(s) // no-op when GraftExtensions installed them already
-    val raw = s.table(n.raw)
-    val keepers = s.table(n.comps)
+    val done = committedEpochs(s, n)
+    require(done.nonEmpty, "publish before any committed ingest epoch")
+    val raw = stateTable(s, n, n.raw, done,
+      sys.error("raw state table missing"))
+    val keepers = compsAt(s, n, done, sys.error("comps state table missing"))
       .filter(col("doc_id") === col("comp")).select("doc_id")
     val near = raw.join(keepers, Seq("doc_id"), "left_semi")
     val clean0 = Bloom.decontaminate(
       near.filter(col("doc_id") % 10 =!= 0), md5(col("text")),
-      s.table(n.block))
+      stateTable(s, n, n.block, done, sys.error("block state table missing")))
     val res = CorpusJob.curateTail(s, clean0, raw.count(), cfg)
     // optional versioned release: every epoch's snapshot goes through the
     // transactional SnapshotStore swap too — readers follow `_CURRENT` and
@@ -134,14 +228,16 @@ object CorpusStream {
   }
 
   /** Attach the rolling ingest to a streaming documents source: every
-    * micro-batch advances the head state and republishes the snapshot.
+    * micro-batch advances the head state (epoch = the streaming batchId,
+    * which Structured Streaming reuses on replay — exactly what the
+    * idempotent transition needs) and republishes the snapshot.
     */
   def run(source: DataFrame, cfg: CorpusJob.Config, n: StateNames,
           snapshotRoot: Option[String] = None): StreamingQuery =
     source.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        ingest(s, batch, n)
+        ingest(s, batch, n, batchId)
         publish(s, n, cfg, snapshotRoot)
         ()
       }

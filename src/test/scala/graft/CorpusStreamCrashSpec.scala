@@ -1,0 +1,53 @@
+package graft
+
+import graft.pipeline.{CorpusJob, CorpusStream}
+import org.apache.spark.sql.functions._
+
+/** Crash consistency of the streaming curation state transition:
+  * Structured Streaming replays a failed micro-batch with the same
+  * batchId, and the failure can land between any two state writes. A
+  * naive multi-table append is not retry-safe — if the hash table
+  * advanced but the survivor table didn't, the replay computes "no new
+  * hashes" and silently loses the batch's documents. These tests kill
+  * the epoch-1 transition after every write prefix (0..7 of its 7
+  * writes — 7 = committed, exercising the replay no-op guard), replay
+  * it, ingest one more epoch, and require the final published corpus to
+  * be row-identical to the clean run: the SnapshotStoreSpec
+  * kill-at-every-point discipline applied to the multi-table head state.
+  */
+class CorpusStreamCrashSpec extends SparkSpec {
+
+  private val d = sf()
+  private def docs = Tables.documents(spark, d).filter(col("doc_id") < 240)
+  private def epochs = Seq(
+    docs.filter(col("doc_id") < 80),
+    docs.filter(col("doc_id") >= 80 && col("doc_id") < 160),
+    docs.filter(col("doc_id") >= 160))
+
+  private lazy val cleanOut = {
+    val out = java.nio.file.Files.createTempDirectory("graft-crash-clean").toString
+    val n = CorpusStream.names("graft_crash_clean")
+    CorpusStream.reset(spark, n)
+    epochs.zipWithIndex.foreach { case (b, i) =>
+      CorpusStream.ingest(spark, b, n, i.toLong)
+    }
+    CorpusStream.publish(spark, n, CorpusJob.Config(input = d, out = out))
+      ._1.localCheckpoint(true)
+  }
+
+  for (cut <- 0 to 7) {
+    test(s"replay after a crash $cut/7 writes into epoch 1 converges") {
+      val out = java.nio.file.Files.createTempDirectory(s"graft-crash-$cut").toString
+      val n = CorpusStream.names(s"graft_crash_$cut")
+      CorpusStream.reset(spark, n)
+      CorpusStream.ingest(spark, epochs(0), n, 0L)
+      CorpusStream.ingestUpTo(spark, epochs(1), n, 1L, cut) // the crash
+      CorpusStream.ingest(spark, epochs(1), n, 1L)          // the replay
+      CorpusStream.ingest(spark, epochs(2), n, 2L)
+      val (got, _) = CorpusStream.publish(spark, n,
+        CorpusJob.Config(input = d, out = out))
+      assert(got.exceptAll(cleanOut).isEmpty && cleanOut.exceptAll(got).isEmpty,
+        s"state diverged after a crash at write $cut")
+    }
+  }
+}
