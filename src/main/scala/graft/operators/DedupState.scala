@@ -105,6 +105,16 @@ object DedupState {
     * ids — the query layer owns K/R/threshold; this owns the state
     * transition. All inputs are materialized before any write so the
     * probe frames can never observe a half-advanced state.
+    *
+    * CRASH CONTRACT: the four writes are individually atomic (Spark
+    * job-level) but not jointly — merge is NOT safe to blindly re-run
+    * after a mid-transition crash (the appends would duplicate batch
+    * rows). A driver that can crash between writes must either key
+    * epochs idempotently ([[graft.pipeline.CorpusStream]] is the
+    * reference implementation: epoch-partitioned tables, per-epoch
+    * partition overwrite, committed-epoch marker read-side filter,
+    * kill-at-every-write-tested) or fall back to the from-scratch
+    * rebuild ([[write]] is idempotent) on recovery.
     */
   def merge(s: SparkSession, idCol: String, batchIds: DataFrame,
             batchToks: DataFrame, batchBands: DataFrame,

@@ -148,6 +148,32 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("hammingCrossPairs: probe×standing complete at the pigeonhole bound, no standing self-pairs") {
+    // 8-bit hashes, 4×2-bit bands, maxHamming 3: standing holds 0x0F and
+    // its inversion 0xF0 (Hamming 8 apart — a SELF pair the cross probe
+    // must never emit); probes hold exact twin, distance-1, distance-3
+    // (caught: 3 flips leave ≥1 of 4 bands intact) and distance-4 across
+    // all four bands (legitimately missed at this radius, and filtered by
+    // the popcount even when bands collide)
+    val standing = Seq((101L, 0x0FL), (102L, 0xF0L)).toDF("media_id", "h")
+    val probe = Seq(
+      (1L, 0x0FL),  // twin of 101          -> hamming 0
+      (2L, 0x0EL),  // 1 bit off 101        -> hamming 1
+      (3L, 0x3BL),  // bits 2,4,5 flipped   -> hamming 3 (band0 intact)
+      (4L, 0xAAL)   // hamming 4 from both  -> outside the radius
+    ).toDF("media_id", "h")
+    val got = graft.operators.Dedup.hammingCrossPairs(
+        probe, standing, "media_id", "h", bits = 8, nBands = 4, maxHamming = 3)
+      .select($"a", $"b", $"hamming").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 101L, 0L), (2L, 101L, 1L), (3L, 101L, 3L)))
+    // the standing side is never self-paired (101,102 share no band anyway,
+    // but even band-colliding standing rows must not pair): probe with an
+    // empty frame returns nothing
+    val none = graft.operators.Dedup.hammingCrossPairs(
+      probe.limit(0), standing, "media_id", "h", bits = 8, nBands = 4, maxHamming = 3)
+    assert(none.count() === 0L)
+  }
+
   test("png round trip is lossless: re-encoding decoded pixels is stable") {
     val bytes = Multimodal.pngBytes(9, 4, 99L)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
