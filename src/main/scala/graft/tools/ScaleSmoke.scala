@@ -242,6 +242,41 @@ object ScaleSmoke {
     require(encDistinct == nBase,
       s"encode not replica-invariant: $encDistinct distinct vs $nBase base docs")
 
+    // dedup-state epoch-advance at 10x: standing state = replicas 0..8,
+    // DedupState.merge absorbs replica 9. Row-level merge ≡ rebuild is
+    // pinned at fixture scale by DedupStateMergeSpec; here the scale
+    // evidence is (a) all four tables land row-count-identical to the
+    // from-scratch 10-replica build and (b) the measured wall ratio —
+    // the merge prices one batch + bucketed probes, the rebuild prices
+    // the whole corpus, and that gap is the entire point of keeping
+    // state at 100 TB (recorded in the JSON, not pinned: wall ratios on
+    // a shared box are evidence, not invariants)
+    val nineDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 9L * Offset)
+    val batchDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") >= 9L * Offset)
+    val nMerged = graft.operators.DedupState.names("graft_smoke_m", dir)
+    val nFull = graft.operators.DedupState.names("graft_smoke_f", dir)
+    graft.queries.DedupQueries.buildFullState(spark, nineDocs, nMerged)
+    val t0Merge = System.nanoTime()
+    graft.queries.DedupQueries.mergeEpoch(spark, batchDocs, nMerged)
+    val tMerge = (System.nanoTime() - t0Merge) / 1e9
+    val t0Rebuild = System.nanoTime()
+    graft.queries.DedupQueries.buildFullState(spark,
+      Tables.documents(spark, dir), nFull)
+    val tRebuild = (System.nanoTime() - t0Rebuild) / 1e9
+    Seq("bands" -> ((s: graft.operators.DedupState.Names) =>
+          graft.operators.DedupState.bands(spark, s)),
+        "toks" -> ((s: graft.operators.DedupState.Names) =>
+          graft.operators.DedupState.toks(spark, s)),
+        "spans" -> ((s: graft.operators.DedupState.Names) =>
+          graft.operators.DedupState.spans(spark, s)),
+        "comps" -> ((s: graft.operators.DedupState.Names) =>
+          graft.operators.DedupState.comps(spark, s))).foreach { case (what, t) =>
+      val (m, f) = (t(nMerged).count(), t(nFull).count())
+      require(m == f, s"epoch-advance $what table diverged at 10x: $m != $f")
+    }
+
     // the flagship curation job end-to-end at 10x: funnel must narrow
     // monotonically and stay inside the same wall budget
     val t0Corpus = System.nanoTime()
@@ -258,16 +293,18 @@ object ScaleSmoke {
       s"corpus funnel broken at 10x: $funnel")
 
     val total = tPairs + tClusters + tNgram + tContain + tSpans + tSpansMin +
-      tHeavy + tGraph + tBigram + tPrefix + tTri + tCdc + tPhash + tBpe + tCorpus
+      tHeavy + tGraph + tBigram + tPrefix + tTri + tCdc + tPhash + tBpe +
+      tMerge + tRebuild + tCorpus
     require(total <= budgetSec,
       f"budget blown: pairs $tPairs%.1f + clusters $tClusters%.1f + ngram $tNgram%.1f + " +
         f"containment $tContain%.1f + spans $tSpans%.1f + spans_min $tSpansMin%.1f + " +
         f"heavy $tHeavy%.1f + graph $tGraph%.1f + bigram $tBigram%.1f + " +
         f"prefix $tPrefix%.1f + triangles $tTri%.1f + cdc $tCdc%.1f + " +
-        f"phash $tPhash%.1f + bpe $tBpe%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
+        f"phash $tPhash%.1f + bpe $tBpe%.1f + merge $tMerge%.1f + " +
+        f"rebuild $tRebuild%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
 
     val json =
-      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"bpe_sec":$tBpe%.2f,"bpe_types":$types10,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"bpe_sec":$tBpe%.2f,"bpe_types":$types10,"merge_sec":$tMerge%.2f,"rebuild_sec":$tRebuild%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
