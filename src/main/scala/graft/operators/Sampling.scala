@@ -110,6 +110,21 @@ object Sampling {
   /** The hash-space size as the double both engines divide by. */
   def hashSpaceDouble: Double = HashSpace.toDouble
 
+  /** Deterministic standard-Gumbel draw for `key` under `salt`:
+    * g = −ln(−ln(u)) with u = (2·hash60+1)/2^61 — the MIDPOINT of the
+    * hash's cell, so u is strictly inside (0,1) for every hash value and
+    * both ln calls are total in both engines (u = 1 would make DuckDB's
+    * ln(0) raise; [[esPriority]]'s +1 construction admits it at
+    * hash = 2^60−1). 2h+1 is computed in INTEGER space; its one cast to
+    * double rounds identically everywhere (IEEE round-to-nearest), so
+    * the draw is bit-reproducible across runs/retries/engines. The
+    * Gumbel-max trick turns "sample ∝ exp(score)" into "top-k by
+    * score + g" — one narrow pass, no global resample.
+    */
+  def gumbel(key: Column, salt: String = ""): Column =
+    -log(-log((hash60(key, salt) * lit(2L) + lit(1L)).cast("double")
+      / lit(2.0 * HashSpace.toDouble)))
+
   /** Deterministic EXACT-SIZE sample: the k rows per group with the
     * smallest hash — a fixed per-source budget ("give me exactly 40 docs
     * per language, the same 40 every run"). Hash order is uniform, so this

@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Sampling
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Sampling, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic-sampling extension suite over `documents`: hash-membership
@@ -108,6 +108,77 @@ object SamplingQueries {
       .limit(50)
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
+
+  private val DsirBuckets = 256
+  private val DsirK = 100
+  private val DsirTarget = "src0"
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every doc by the
+    * log-likelihood RATIO of two hashed-unigram bag-of-words models — one
+    * fit on the target domain (source = src0, the in-corpus stand-in for
+    * "text like the domain we want more of"), one on the raw corpus —
+    * then select [[DsirK]] docs by Gumbel top-k on the score, which
+    * samples WITHOUT replacement with probability ∝ the importance weight
+    * (the Gumbel-max trick; [[Sampling.gumbel]] makes the draw
+    * deterministic). This is the published importance-resampling recipe
+    * for LLM pretraining-data selection, and the principled upgrade over
+    * [[weightedSample]]'s length weights: the weight is LEARNED from a
+    * target corpus, not hand-picked.
+    *
+    * Determinism across engines: token→bucket is the portable md5 hash
+    * mod [[DsirBuckets]]; both models are Laplace-smoothed and each
+    * bucket's log-prob is floor-quantized to integer MICRONATS before the
+    * subtraction, so λ(bucket) and every per-doc Σ tf·λ are exact 64-bit
+    * integers (the [[graft.operators.TextAnalysis.unigramLogprob]]
+    * recipe). Only the final priority (score + Gumbel) is a double, and
+    * both engines compute it from the same integers with the same op
+    * sequence.
+    *
+    * Scale shape: the corpus is touched by exactly TWO map-side-combined
+    * passes — the (doc, bucket) tf aggregation and the per-doc score —
+    * plus the final k-row id join; the model relation is
+    * [[DsirBuckets]]-sized and rides a broadcast join; target/raw counts
+    * reduce the checkpointed tf frame, not the corpus; selection is a
+    * per-partition top-k merged on the driver (TakeOrderedAndProject),
+    * never a global sort. Nothing downstream of the tf frame scales with
+    * corpus size except the two reductions themselves.
+    */
+  def dsirSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val db = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), col("source"),
+        pmod(TextAnalysis.tokenHash(col("token")), lit(DsirBuckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("tf"))
+      // consumed three times (raw counts, target counts, per-doc score):
+      // checkpoint so the corpus tokenizes once
+      .localCheckpoint(true)
+    val raw = db.groupBy("bucket").agg(sum("tf").as("rc"))
+    val tgt = db.filter(col("source") === DsirTarget)
+      .groupBy("bucket").agg(sum("tf").as("tc"))
+    val totals = raw.agg(sum("rc").as("rtot"))
+      .crossJoin(tgt.agg(coalesce(sum("tc"), lit(0L)).as("ttot")))
+    val micronats = (p: Column) => floor(log(p) * lit(1e6)).cast("long")
+    val lam = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (micronats((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double")
+            / (col("ttot").cast("double") + lit(DsirBuckets.toDouble)))
+          - micronats((col("rc") + lit(1L)).cast("double")
+            / (col("rtot").cast("double") + lit(DsirBuckets.toDouble)))).as("lam"))
+    val picked = db.join(broadcast(lam), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("lam")).as("logw_micro"))
+      .withColumn("__p", col("logw_micro").cast("double") / lit(1e6)
+        + Sampling.gumbel(col("doc_id"), "dsir"))
+      .orderBy(desc("__p"), asc("doc_id"))
+      .limit(DsirK)
+    picked.join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .select("doc_id", "lang", "source", "logw_micro")
+      .orderBy("doc_id")
+  }
 
   private val Targets = Seq("en" -> 0.50, "de" -> 0.20, "fr" -> 0.15,
                             "es" -> 0.10, "it" -> 0.05)
@@ -266,6 +337,7 @@ object SamplingQueries {
     "sample_split_grouped" -> (groupedSplit _),
     "sample_topk" -> (topkSample _),
     "sample_weighted" -> (weightedSample _),
+    "sample_dsir" -> (dsirSample _),
   )
 
   private def h60(salt: String, key: String): String =
@@ -409,6 +481,45 @@ object SamplingQueries {
          |               / CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rk
          |  FROM documents WHERE n_chars > 0) t
          |WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
+    "sample_dsir" -> {
+      val B = DsirBuckets
+      // 2^61 stated as an exact decimal literal: both engines convert it to
+      // the identical double (scientific-notation reprs risk a detour
+      // through DECIMAL parsing)
+      val u = s"CAST(${h60("dsir", "doc_id")} * 2 + 1 AS DOUBLE) / 2305843009213693952.0"
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, source,
+         |    CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % $B AS bucket,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE token <> '' GROUP BY doc_id, source, bucket),
+         |raw AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS rc FROM b GROUP BY bucket),
+         |tgt AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS tc FROM b
+         |        WHERE source = '$DsirTarget' GROUP BY bucket),
+         |tot AS (SELECT (SELECT CAST(sum(rc) AS BIGINT) FROM raw) AS rtot,
+         |               (SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) FROM tgt) AS ttot),
+         |lam AS (
+         |  SELECT raw.bucket,
+         |    CAST(floor(ln(CAST(coalesce(tgt.tc, 0) + 1 AS DOUBLE)
+         |                  / (CAST(tot.ttot AS DOUBLE) + $B.0)) * 1e6) AS BIGINT)
+         |    - CAST(floor(ln(CAST(raw.rc + 1 AS DOUBLE)
+         |                  / (CAST(tot.rtot AS DOUBLE) + $B.0)) * 1e6) AS BIGINT) AS lam
+         |  FROM raw LEFT JOIN tgt USING (bucket), tot),
+         |w AS (
+         |  SELECT b.doc_id, CAST(sum(b.tf * lam.lam) AS BIGINT) AS logw_micro
+         |  FROM b JOIN lam USING (bucket) GROUP BY b.doc_id),
+         |pick AS (
+         |  SELECT doc_id, logw_micro,
+         |    row_number() OVER (
+         |      ORDER BY CAST(logw_micro AS DOUBLE) / 1e6 + (- ln(- ln($u))) DESC,
+         |               doc_id ASC) AS rk
+         |  FROM w)
+         |SELECT p.doc_id, d.lang, d.source, p.logw_micro
+         |FROM pick p JOIN documents d USING (doc_id)
+         |WHERE p.rk <= $DsirK ORDER BY p.doc_id""".stripMargin
+    },
     "sample_topk" ->
       s"""SELECT lang, doc_id, n_chars FROM (
          |  SELECT lang, doc_id, n_chars,

@@ -129,6 +129,35 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() === docs.filter($"lang" === "en").count())
   }
 
+  test("gumbel draw is total, deterministic, and Gumbel-shaped") {
+    val keys = spark.range(0, 5000).select($"id".cast("long").as("k"))
+    val g = keys.select($"k", Sampling.gumbel($"k", "g1").as("g"))
+    // total: finite for every key (the midpoint u-construction keeps u
+    // strictly inside (0,1) — u=1 would blow up both engines' inner ln)
+    assert(g.filter($"g".isNull || isnan($"g") ||
+      $"g" === Double.PositiveInfinity || $"g" === Double.NegativeInfinity)
+      .count() === 0L)
+    // deterministic under repartitioning: bit-equal draws
+    val a = g.as[(Long, Double)].collect().toMap
+    val b = keys.repartition(7).select($"k", Sampling.gumbel($"k", "g1").as("g"))
+      .as[(Long, Double)].collect().toMap
+    assert(a === b)
+    // Gumbel(0,1) moments: mean = γ ≈ 0.5772, var = π²/6 ≈ 1.6449;
+    // 5000 hash draws should land well inside ±5·sd/√n of each
+    val xs = a.values.toSeq
+    val mean = xs.sum / xs.size
+    val varr = xs.map(x => (x - mean) * (x - mean)).sum / xs.size
+    assert(math.abs(mean - 0.5772) < 5 * math.sqrt(1.6449 / xs.size),
+      s"gumbel mean $mean too far from Euler–Mascheroni")
+    assert(math.abs(varr - 1.6449) < 0.35, s"gumbel variance $varr off")
+    // different salts decorrelate the draws (keyed covariance ≈ 0)
+    val c = keys.select($"k", Sampling.gumbel($"k", "g2").as("g"))
+      .as[(Long, Double)].collect().toMap
+    val cMean = c.values.sum / c.size
+    val cov = a.keys.map(k => (a(k) - mean) * (c(k) - cMean)).sum / a.size
+    assert(math.abs(cov) < 0.1, s"salted draws correlated: cov $cov")
+  }
+
   test("poisson bootstrap multiplicities: mean ~ 1 per replicate, replicates differ") {
     val docs = Tables.documents(spark, sf("sf0.01")).select("doc_id")
     val n = docs.count()
