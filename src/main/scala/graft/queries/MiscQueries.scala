@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.CentroidAgg
-import graft.operators.{AsOfJoin, Layout, Similarity}
+import graft.operators.{AggState, AsOfJoin, Layout, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -460,7 +460,67 @@ object MiscQueries {
       .orderBy("event_type")
   }
 
+  /** Per-key partials of the per-customer order rollup: count + exact
+    * integer cents (the [[AnalyticsQueries.runningTotal]] decimal-quantize
+    * rule, so partial sums reassociate bit-exactly).
+    */
+  private[graft] def orderPartials(df: DataFrame): DataFrame =
+    df.select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_part"), sum("cents").as("cents_part"))
+
+  /** Build the fixture view state once per (session, dir): partials from
+    * the standing 4/5 of orders (o_orderkey % 5 ≠ 0), then one epoch
+    * merge absorbing the remaining 1/5 — bucket-aligned append, the
+    * standing table never read (the [[AggState]] contract).
+    */
+  private val aggStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AggState.Name]()
+
+  private[graft] def orderAggState(s: SparkSession, d: String): AggState.Name = {
+    if (aggStateCache.size > 3) aggStateCache.clear()
+    aggStateCache.computeIfAbsent((s, d), _ => {
+      val n = AggState.name("graft_ordview", d)
+      val o = Tables.orders(s, d)
+      AggState.write(orderPartials(o.filter(pmod(col("o_orderkey"), lit(5L)) =!= 0L)),
+        "o_custkey", n, buckets = 16)
+      AggState.merge(orderPartials(o.filter(pmod(col("o_orderkey"), lit(5L)) === 0L)),
+        "o_custkey", n, buckets = 16)
+      n
+    })
+  }
+
+  /** Incremental materialized-view read ([[graft.operators.AggState]]):
+    * the per-customer order rollup served from PERSISTED partial
+    * aggregates — write once, absorb each ingest epoch as a bucket-aligned
+    * append of batch partials, serve reads by folding the partials. The
+    * query here is ONLY the read-side fold; because the state table is
+    * bucketed on the grouping key, the fold plans with NO exchange
+    * (AggStateSpec pins it), so serving the view after any number of
+    * epochs costs one co-located aggregation, never a fact rescan. The
+    * oracle is the plain rollup over ALL orders — merge ≡ rebuild stated
+    * as SQL, the same equivalence DedupStateMergeSpec pins for the dedup
+    * state family.
+    */
+  def aggIncremental(s: SparkSession, d: String): DataFrame = {
+    val n = orderAggState(s, d)
+    AggState.read(s, n)
+      .groupBy("o_custkey")
+      .agg(sum("n_part").as("n_orders"), sum("cents_part").as("sum_cents"))
+      // the average in exact integer MICRO-dollars (floor division):
+      // round(cents/n/100, 4) lands on exact half-boundaries whenever n
+      // divides a power of 2 (cents/8/100 terminates at the 4th decimal),
+      // where Spark's HALF_UP-via-decimal-string and DuckDB's
+      // binary-value rounding disagree by one ulp — integer arithmetic
+      // has no boundary to disagree on
+      .select(col("o_custkey"), col("n_orders"), col("sum_cents"),
+        expr("(sum_cents * 10000) div n_orders").as("avg_price_micro"))
+      .orderBy("o_custkey")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c28_agg_incremental" -> (aggIncremental _),
     "profile_drift" -> (profileDrift _),
     "profile_anomaly" -> (profileAnomaly _),
     "profile_quantiles" -> (profileQuantiles _),
@@ -483,6 +543,15 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "c28_agg_incremental" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST((sum(cents) * 10000) // count(*) AS BIGINT) AS avg_price_micro
+        |FROM c GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "c27_dense_ids" ->
       """WITH h AS (
         |  SELECT doc_id,
