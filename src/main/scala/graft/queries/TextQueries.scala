@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Classifier, Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -517,7 +517,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  private val ClfBuckets = 256
+  private val ClfRounds = 3
+  private val ClfTarget = "src0"
+
+  /** Trained quality-classifier scores ([[graft.operators.Classifier]]):
+    * label the [[ClfTarget]] source 1 ("trusted domain") and everything
+    * else 0, train [[ClfRounds]] rounds of deterministic full-batch
+    * logistic regression over [[ClfBuckets]] hashed-unigram features,
+    * and emit every doc's final margin — the fastText/CCNet-style
+    * learned quality filter (keep docs the model scores target-like),
+    * the model-based sibling of [[SamplingQueries.dsirSample]]'s
+    * closed-form importance weights on the same features. The oracle
+    * replays training round for round: weights in integer micro-logits,
+    * residuals floor-quantized per doc before the gradient sum, so both
+    * engines train the IDENTICAL model.
+    */
+  /** The classifier's labeled, doc-normalized hashed-feature relation
+    * (doc_id, y, bucket, xm), checkpointed — consumed every training
+    * round plus the scoring pass.
+    */
+  private[graft] def clfFeatures(s: SparkSession, d: String): DataFrame =
+    Classifier.milliFeatures(Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("source") === ClfTarget, lit(1L)).otherwise(lit(0L)).as("y"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), col("y"),
+        pmod(TextAnalysis.tokenHash(col("token")), lit(ClfBuckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "y", "bucket").agg(count(lit(1)).as("tf")))
+      .localCheckpoint(true)
+
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val db = clfFeatures(s, d)
+    val w = Classifier.trainLogreg(db, ClfBuckets, ClfRounds)
+    Classifier.score(db, w).orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_classifier" -> (qualityClassifier _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_pairs" -> (bpePairs _),
     "text_bpe_encode" -> (bpeEncode _),
@@ -572,7 +609,60 @@ object TextQueries {
        |v$r AS (SELECT CAST(count(DISTINCT sym) AS BIGINT) AS nv FROM $sOut)""".stripMargin
   }
 
+  /** One logreg GD round in DuckDB off weight relation w{k−1}: exact
+    * integer nano-logit margins → sigmoid → per-doc floor-quantized
+    * residual → class-split integer gradients → floored balanced-mean
+    * update. The identical algebra
+    * [[graft.operators.Classifier.trainLogreg]] runs.
+    */
+  private def clfRoundSql(k: Int): String =
+    s"""z$k AS (SELECT b.doc_id, b.y, CAST(sum(b.xm * w${k - 1}.w) AS BIGINT) AS z
+       |  FROM b JOIN w${k - 1} ON b.bucket = w${k - 1}.bucket
+       |  GROUP BY b.doc_id, b.y),
+       |r$k AS (SELECT doc_id,
+       |  CAST(floor((CAST(y AS DOUBLE)
+       |    - 1.0 / (1.0 + exp(- CAST(z AS DOUBLE) / 1e9))) * 1e6) AS BIGINT) AS r
+       |  FROM z$k),
+       |g$k AS (SELECT b.bucket,
+       |  CAST(sum(CASE WHEN b.y = 1 THEN b.xm * r$k.r ELSE 0 END) AS BIGINT) AS gp,
+       |  CAST(sum(CASE WHEN b.y = 0 THEN b.xm * r$k.r ELSE 0 END) AS BIGINT) AS gn
+       |  FROM b JOIN r$k ON b.doc_id = r$k.doc_id GROUP BY b.bucket),
+       |w$k AS (SELECT w.bucket,
+       |  w.w + CAST(floor(
+       |    (CAST(coalesce(g.gp, 0) AS DOUBLE) / (2.0 * n.npos)
+       |     + CAST(coalesce(g.gn, 0) AS DOUBLE) / (2.0 * n.nneg)) / 1000.0)
+       |    AS BIGINT) AS w
+       |  FROM w${k - 1} w LEFT JOIN g$k g ON w.bucket = g.bucket, n)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_quality_classifier" -> {
+      val rounds = (1 to ClfRounds).map(clfRoundSql).mkString(",\n")
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN source = '$ClfTarget' THEN 1 ELSE 0 END AS y,
+         |    unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tfq AS (
+         |  SELECT doc_id, y,
+         |    CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % $ClfBuckets AS bucket,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE token <> '' GROUP BY doc_id, y, bucket),
+         |b AS (
+         |  SELECT doc_id, y, bucket,
+         |    (tf * 1000) // sum(tf) OVER (PARTITION BY doc_id) AS xm
+         |  FROM tfq),
+         |n AS (SELECT
+         |    CAST(count(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS DOUBLE) AS npos,
+         |    CAST(count(DISTINCT CASE WHEN y = 0 THEN doc_id END) AS DOUBLE) AS nneg
+         |  FROM b),
+         |w0 AS (SELECT CAST(r AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+         |       FROM range(0, $ClfBuckets) t(r)),
+         |$rounds
+         |SELECT b.doc_id, CAST(b.y AS BIGINT) AS y,
+         |  CAST(sum(b.xm * w$ClfRounds.w) AS BIGINT) AS score_nano
+         |FROM b JOIN w$ClfRounds ON b.bucket = w$ClfRounds.bucket
+         |GROUP BY b.doc_id, b.y ORDER BY b.doc_id""".stripMargin
+    },
     "text_bpe_merges" -> {
       val rounds = (1 to 3).map(bpeRoundSql).mkString(",\n")
       val rows = (1 to 3).map(r =>

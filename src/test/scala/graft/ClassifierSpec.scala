@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Classifier, TextAnalysis}
+import graft.queries.TextQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The trained-quality-filter contract: gradient descent actually
+  * descends (class-balanced log-loss drops below the zero model's ln 2
+  * on a separable planted fixture), the learned margins separate the
+  * planted target from the background in the right direction, and
+  * training on the real corpus is bit-deterministic under repartitioning
+  * (the micronat-quantization claim).
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Buckets = 64
+
+  /** 40 docs, 5 positives; positives lean on token "aaa", negatives on
+    * "bbb" — linearly separable by construction, so three balanced GD
+    * rounds MUST move the margins apart (no reliance on corpus luck).
+    */
+  private def plantedFeatures: DataFrame = {
+    val docs = (0 until 40).map { i =>
+      val y = if (i % 8 == 0) 1L else 0L
+      val toks =
+        if (y == 1L) Seq.fill(10)("aaa") ++ Seq("bbb", "ccc")
+        else Seq.fill(10)("bbb") ++ Seq("ccc", "ddd")
+      (i.toLong, y, toks.mkString(" "))
+    }.toDF("doc_id", "y", "text")
+    Classifier.milliFeatures(docs
+      .select($"doc_id", $"y", explode(TextAnalysis.tokens($"text")).as("token"))
+      .select($"doc_id", $"y",
+        pmod(TextAnalysis.tokenHash($"token"), lit(Buckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "y", "bucket").agg(count(lit(1)).as("tf")))
+      .localCheckpoint(true)
+  }
+
+  /** Class-balanced log-loss over collected (y, nano-margin) rows. */
+  private def balancedLoss(scores: Seq[(Long, Long)]): Double = {
+    def meanLoss(rows: Seq[(Long, Long)]): Double = {
+      val ls = rows.map { case (y, nano) =>
+        val m = (2 * y - 1).toDouble * nano.toDouble / 1e9
+        math.log1p(math.exp(-m))
+      }
+      ls.sum / ls.size
+    }
+    (meanLoss(scores.filter(_._1 == 1L)) + meanLoss(scores.filter(_._1 == 0L))) / 2
+  }
+
+  test("balanced GD reduces balanced log-loss below the zero model's ln 2") {
+    val dbx = plantedFeatures
+    val w = Classifier.trainLogreg(dbx, Buckets, rounds = 3)
+    val scores = Classifier.score(dbx, w)
+      .select($"y", $"score_nano").as[(Long, Long)].collect().toSeq
+    val trained = balancedLoss(scores)
+    assert(trained < math.log(2.0) - 0.01,
+      s"balanced log-loss $trained did not drop below ln2 = ${math.log(2.0)}")
+  }
+
+  test("learned margins separate the planted target from the background") {
+    val dbx = plantedFeatures
+    val w = Classifier.trainLogreg(dbx, Buckets, rounds = 3)
+    val means = Classifier.score(dbx, w)
+      .groupBy("y").agg(avg($"score_nano".cast("double")).as("m"))
+      .as[(Long, Double)].collect().toMap
+    assert(means(1L) > means(0L) + 1e6,  // > 0.001 logits apart, not noise
+      s"target mean ${means(1L)} not above background ${means(0L)}")
+  }
+
+  test("corpus training is bit-deterministic under repartitioning") {
+    val dbx = TextQueries.clfFeatures(spark, sf())
+    val w1 = Classifier.trainLogreg(dbx, 256, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val w2 = Classifier.trainLogreg(dbx.repartition(7), 256, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(w1 === w2)
+  }
+}
