@@ -242,6 +242,25 @@ object ScaleSmoke {
     require(encDistinct == nBase,
       s"encode not replica-invariant: $encDistinct distinct vs $nBase base docs")
 
+    // trained-classifier replica invariance at 10x (the pure-duplication
+    // corpus again): features are per-doc-normalized, the balanced
+    // gradient is a pair of class MEANS, and IEEE division is correctly
+    // rounded — so (10·g)/(2·10·n) is bit-equal to g/(2·n) and the
+    // trained weight relation must be IDENTICAL at 10x. The pin that
+    // makes the quality filter a fixed point of corpus
+    // growth-by-duplication: re-training on a mirrored corpus cannot
+    // drift the filter.
+    val t0Clf = System.nanoTime()
+    val w10 = graft.operators.Classifier.trainLogreg(
+        graft.queries.TextQueries.clfFeatures(spark, bpeDir), 256, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val tClf = (System.nanoTime() - t0Clf) / 1e9
+    val wBase = graft.operators.Classifier.trainLogreg(
+        graft.queries.TextQueries.clfFeatures(spark, base), 256, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    require(w10 == wBase,
+      "trained classifier weights drifted under pure duplication")
+
     // dedup-state epoch-advance at 10x: standing state = replicas 0..8,
     // DedupState.merge absorbs replica 9. Row-level merge ≡ rebuild is
     // pinned at fixture scale by DedupStateMergeSpec; here the scale
@@ -294,17 +313,17 @@ object ScaleSmoke {
 
     val total = tPairs + tClusters + tNgram + tContain + tSpans + tSpansMin +
       tHeavy + tGraph + tBigram + tPrefix + tTri + tCdc + tPhash + tBpe +
-      tMerge + tRebuild + tCorpus
+      tClf + tMerge + tRebuild + tCorpus
     require(total <= budgetSec,
       f"budget blown: pairs $tPairs%.1f + clusters $tClusters%.1f + ngram $tNgram%.1f + " +
         f"containment $tContain%.1f + spans $tSpans%.1f + spans_min $tSpansMin%.1f + " +
         f"heavy $tHeavy%.1f + graph $tGraph%.1f + bigram $tBigram%.1f + " +
         f"prefix $tPrefix%.1f + triangles $tTri%.1f + cdc $tCdc%.1f + " +
-        f"phash $tPhash%.1f + bpe $tBpe%.1f + merge $tMerge%.1f + " +
+        f"phash $tPhash%.1f + bpe $tBpe%.1f + clf $tClf%.1f + merge $tMerge%.1f + " +
         f"rebuild $tRebuild%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
 
     val json =
-      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"bpe_sec":$tBpe%.2f,"bpe_types":$types10,"merge_sec":$tMerge%.2f,"rebuild_sec":$tRebuild%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"bpe_sec":$tBpe%.2f,"bpe_types":$types10,"clf_sec":$tClf%.2f,"merge_sec":$tMerge%.2f,"rebuild_sec":$tRebuild%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

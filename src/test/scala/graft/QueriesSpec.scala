@@ -141,6 +141,9 @@ class QueriesSpec extends SparkSpec {
     "text_bpe_merges" -> 3L,
     "text_bpe_encode" -> 500L,
     "text_pack_bins_bpe" -> 59L,
+    "sample_dsir" -> 100L,
+    "c28_agg_incremental" -> 150L,
+    "text_quality_classifier" -> 500L,
   )
 
   test("every query has an oracle and vice versa") {
