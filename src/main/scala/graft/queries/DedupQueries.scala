@@ -110,7 +110,7 @@ object DedupQueries {
   /** [[splitId]] as a DuckDB scalar subquery — the identical integer
     * expression, so the two engines can never disagree on the boundary.
     */
-  private val splitSql = "(SELECT (max(doc_id) + 1) * 4 // 5 FROM documents)"
+  private[graft] val splitSql = "(SELECT (max(doc_id) + 1) * 4 // 5 FROM documents)"
 
   /** DuckDB CTE chain for [[Dedup.cdcChunks]] over documents matching
     * `pred`: emits `<alias>(doc_id, chunk)` via the identical 31-weighted

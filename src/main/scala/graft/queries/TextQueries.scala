@@ -534,11 +534,15 @@ object TextQueries {
     * engines train the IDENTICAL model.
     */
   /** The classifier's labeled, doc-normalized hashed-feature relation
-    * (doc_id, y, bucket, xm), checkpointed — consumed every training
-    * round plus the scoring pass.
+    * (doc_id, y, bucket, xm) for an arbitrary documents frame,
+    * checkpointed — consumed every training round plus the scoring pass.
+    * Normalization is PER DOC, so features computed over a filtered
+    * frame are identical to filtering features computed over the corpus
+    * — the property that lets the stored-weights probe featurize only
+    * its batch.
     */
-  private[graft] def clfFeatures(s: SparkSession, d: String): DataFrame =
-    Classifier.milliFeatures(Tables.documents(s, d)
+  private[graft] def clfFeaturesOf(docs: DataFrame): DataFrame =
+    Classifier.milliFeatures(docs
       .select(col("doc_id"),
         when(col("source") === ClfTarget, lit(1L)).otherwise(lit(0L)).as("y"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -547,14 +551,55 @@ object TextQueries {
       .groupBy("doc_id", "y", "bucket").agg(count(lit(1)).as("tf")))
       .localCheckpoint(true)
 
+  private[graft] def clfFeatures(s: SparkSession, d: String): DataFrame =
+    clfFeaturesOf(Tables.documents(s, d))
+
   def qualityClassifier(s: SparkSession, d: String): DataFrame = {
     val db = clfFeatures(s, d)
     val w = Classifier.trainLogreg(db, ClfBuckets, ClfRounds)
     Classifier.score(db, w).orderBy("doc_id")
   }
 
+  /** Persist the quality filter trained on the STANDING corpus
+    * (doc_id < splitId) as a catalog table — built once per
+    * (session, dir), then only read: the model-deployment half of the
+    * rolling-ingest contract (train on the curated corpus, freeze,
+    * score every incoming batch against the frozen weights).
+    */
+  private val clfStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def clfState(s: SparkSession, d: String): String = {
+    if (clfStateCache.size > 3) clfStateCache.clear()
+    clfStateCache.computeIfAbsent((s, d), _ => {
+      val tbl = graft.operators.AggState.name("graft_clfw", d).parts
+      val corpus = Tables.documents(s, d)
+        .filter(col("doc_id") < DedupQueries.splitId(s, d))
+      val w = Classifier.trainLogreg(clfFeaturesOf(corpus), ClfBuckets, ClfRounds)
+      graft.operators.Layout.writeBucketed(w, "bucket", tbl, 4)
+      tbl
+    })
+  }
+
+  /** Incoming-batch scoring against the STORED frozen weights
+    * ([[clfState]]) — the classifier sibling of
+    * `dedup_incremental_stored`: per epoch the engine featurizes and
+    * scores ONLY the batch (per-doc normalization makes batch features
+    * identical to corpus-computed ones), reads the 2^b-row weight table,
+    * and never re-trains or re-touches the standing corpus. The oracle
+    * replays corpus-side training from scratch and scores the batch —
+    * frozen-weights scoring ≡ train-then-score, stated as SQL.
+    */
+  def clfStored(s: SparkSession, d: String): DataFrame = {
+    val tbl = clfState(s, d)
+    val batch = Tables.documents(s, d)
+      .filter(col("doc_id") >= DedupQueries.splitId(s, d))
+    Classifier.score(clfFeaturesOf(batch), s.table(tbl)).orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_classifier" -> (qualityClassifier _),
+    "text_clf_stored" -> (clfStored _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_pairs" -> (bpePairs _),
     "text_bpe_encode" -> (bpeEncode _),
@@ -662,6 +707,36 @@ object TextQueries {
          |  CAST(sum(b.xm * w$ClfRounds.w) AS BIGINT) AS score_nano
          |FROM b JOIN w$ClfRounds ON b.bucket = w$ClfRounds.bucket
          |GROUP BY b.doc_id, b.y ORDER BY b.doc_id""".stripMargin
+    },
+    "text_clf_stored" -> {
+      val rounds = (1 to ClfRounds).map(clfRoundSql).mkString(",\n")
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN source = '$ClfTarget' THEN 1 ELSE 0 END AS y,
+         |    unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tfq AS (
+         |  SELECT doc_id, y,
+         |    CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % $ClfBuckets AS bucket,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE token <> '' GROUP BY doc_id, y, bucket),
+         |allb AS (
+         |  SELECT doc_id, y, bucket,
+         |    (tf * 1000) // sum(tf) OVER (PARTITION BY doc_id) AS xm
+         |  FROM tfq),
+         |b AS (SELECT * FROM allb WHERE doc_id < ${DedupQueries.splitSql}),
+         |bs AS (SELECT * FROM allb WHERE doc_id >= ${DedupQueries.splitSql}),
+         |n AS (SELECT
+         |    CAST(count(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS DOUBLE) AS npos,
+         |    CAST(count(DISTINCT CASE WHEN y = 0 THEN doc_id END) AS DOUBLE) AS nneg
+         |  FROM b),
+         |w0 AS (SELECT CAST(r AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+         |       FROM range(0, $ClfBuckets) t(r)),
+         |$rounds
+         |SELECT bs.doc_id, CAST(bs.y AS BIGINT) AS y,
+         |  CAST(sum(bs.xm * w$ClfRounds.w) AS BIGINT) AS score_nano
+         |FROM bs JOIN w$ClfRounds ON bs.bucket = w$ClfRounds.bucket
+         |GROUP BY bs.doc_id, bs.y ORDER BY bs.doc_id""".stripMargin
     },
     "text_bpe_merges" -> {
       val rounds = (1 to 3).map(bpeRoundSql).mkString(",\n")

@@ -144,6 +144,7 @@ class QueriesSpec extends SparkSpec {
     "sample_dsir" -> 100L,
     "c28_agg_incremental" -> 150L,
     "text_quality_classifier" -> 500L,
+    "text_clf_stored" -> 100L,
   )
 
   test("every query has an oracle and vice versa") {

@@ -268,6 +268,43 @@ class StatefulStreamingSpec extends SparkSpec {
            batchOut.exceptAll(released).isEmpty,
       "the _CURRENT release differs from the batch run")
   }
+
+  test("foreachBatch scoring against the PERSISTED frozen weights equals text_clf_stored") {
+    // the model-deployment rolling ingest: the quality filter's weights
+    // live in a catalog table (trained once on the standing corpus);
+    // each micro-batch of incoming docs featurizes and scores ONLY
+    // itself against the frozen weights. Per-doc feature normalization
+    // makes batch scores independent of batching, so the union over
+    // micro-batches must equal the batch-mode stored query exactly.
+    import graft.queries.{DedupQueries, TextQueries}
+    implicit val sqlCtx = spark.sqlContext
+    val d = sf()
+    val tbl = TextQueries.clfState(spark, d) // memoized bucketed-table write
+    val split = DedupQueries.splitId(spark, d)
+    val incoming = Tables.documents(spark, d).filter($"doc_id" >= split)
+      .as[CorpusDoc].collect().sortBy(_.doc_id)
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val mem = MemoryStream[CorpusDoc]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = graft.operators.Classifier.score(
+            TextQueries.clfFeaturesOf(batch), spark.table(tbl))
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    try {
+      val (first, second) = incoming.splitAt(incoming.length / 2)
+      mem.addData(first); q.processAllAvailable()
+      mem.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val expected = TextQueries.defs("text_clf_stored")(spark, d)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got.toSet === expected,
+      s"streaming scores ${got.size} != stored batch scores ${expected.size}")
+  }
 }
 
 /** Full documents-table row for the streaming curation twin. */
