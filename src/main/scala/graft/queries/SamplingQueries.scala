@@ -180,6 +180,51 @@ object SamplingQueries {
       .orderBy("doc_id")
   }
 
+  private val MatchShare = 0.10
+
+  /** Distribution matching via per-stratum rejection — reshape the corpus
+    * LENGTH histogram toward a uniform target (share [[MatchShare]] per
+    * 100-char bin, capped at bin 9): each bin's acceptance rate is
+    * min(1, target·N/n_bin), realized by deterministic hash membership.
+    * The curation move behind "rebalance the length/quality/domain mix
+    * without upsampling": over-represented bins thin to the target,
+    * under-represented bins clip at rate 1 and surface their deficit
+    * (you cannot upsample by rejection — [[mixPlan]]'s clip rule, here
+    * EXECUTED rather than planned, with the rate derived from the data
+    * inside the query). Per bin: population, the EXACT integer hash
+    * threshold the rate compiles to, kept count, and the achieved share
+    * in integer micro-units ((n_kept·1e6) div total — no float share to
+    * round). Determinism: the only doubles are the rate expression both
+    * engines build from the same integers; the threshold floor lands in
+    * integer space before any row is tested.
+    *
+    * Scale shape: one corpus pass for the histogram, one for the
+    * filtered recount; rates ride a broadcast bin relation (≤ 10 rows).
+    */
+  def matchDist(s: SparkSession, d: String): DataFrame = {
+    val binned = Tables.documents(s, d)
+      .select(col("doc_id"), expr("least(n_chars div 100, 9)").as("bin"))
+    val perBin = binned.groupBy("bin").agg(count(lit(1)).as("n_docs"))
+    val total = binned.agg(count(lit(1)).as("n_total"))
+    val rates = perBin.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_docs"),
+        floor(least(lit(1.0), lit(MatchShare) * col("n_total").cast("double")
+            / col("n_docs").cast("double")) * lit(Sampling.hashSpaceDouble))
+          .cast("long").as("thresh"))
+    val kept = binned.join(broadcast(rates), Seq("bin"))
+      .filter(Sampling.hash60(col("doc_id"), "md1") < col("thresh"))
+      .groupBy("bin").agg(count(lit(1)).as("n_kept"))
+    val withKept = rates.join(kept, Seq("bin"), "left")
+      .select(col("bin"), col("n_docs"), col("thresh"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    val keptTotal = withKept.agg(sum("n_kept").as("kt"))
+    withKept.crossJoin(broadcast(keptTotal))
+      .select(col("bin"), col("n_docs"), col("thresh"), col("n_kept"),
+        when(col("kt") > 0, expr("(n_kept * 1000000) div kt"))
+          .otherwise(lit(0L)).as("share_micro"))
+      .orderBy("bin")
+  }
+
   private val Targets = Seq("en" -> 0.50, "de" -> 0.20, "fr" -> 0.15,
                             "es" -> 0.10, "it" -> 0.05)
 
@@ -338,6 +383,7 @@ object SamplingQueries {
     "sample_topk" -> (topkSample _),
     "sample_weighted" -> (weightedSample _),
     "sample_dsir" -> (dsirSample _),
+    "sample_match_dist" -> (matchDist _),
   )
 
   private def h60(salt: String, key: String): String =
@@ -481,6 +527,32 @@ object SamplingQueries {
          |               / CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rk
          |  FROM documents WHERE n_chars > 0) t
          |WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
+    "sample_match_dist" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, least(n_chars // 100, 9) AS bin FROM documents),
+         |p AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY bin),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b),
+         |r AS (
+         |  SELECT p.bin, p.n_docs,
+         |    CAST(floor(least(1.0, CAST($MatchShare AS DOUBLE)
+         |                          * CAST(t.n_total AS DOUBLE)
+         |                          / CAST(p.n_docs AS DOUBLE))
+         |               * 1152921504606846976.0) AS BIGINT) AS thresh
+         |  FROM p, t),
+         |k AS (
+         |  SELECT b.bin, CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM b JOIN r ON b.bin = r.bin
+         |  WHERE ${h60("md1", "doc_id")} < r.thresh
+         |  GROUP BY b.bin),
+         |w AS (
+         |  SELECT r.bin, r.n_docs, r.thresh,
+         |    CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+         |  FROM r LEFT JOIN k ON r.bin = k.bin),
+         |kt AS (SELECT CAST(sum(n_kept) AS BIGINT) AS kt FROM w)
+         |SELECT w.bin, w.n_docs, w.thresh, w.n_kept,
+         |  CASE WHEN kt.kt > 0 THEN (w.n_kept * 1000000) // kt.kt
+         |       ELSE 0 END AS share_micro
+         |FROM w, kt ORDER BY w.bin""".stripMargin,
     "sample_dsir" -> {
       val B = DsirBuckets
       // 2^61 stated as an exact decimal literal: both engines convert it to

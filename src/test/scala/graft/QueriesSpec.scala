@@ -145,6 +145,7 @@ class QueriesSpec extends SparkSpec {
     "c28_agg_incremental" -> 150L,
     "text_quality_classifier" -> 500L,
     "text_clf_stored" -> 100L,
+    "sample_match_dist" -> 6L,
   )
 
   test("every query has an oracle and vice versa") {
