@@ -155,16 +155,17 @@ object SamplingQueries {
       // consumed three times (raw counts, target counts, per-doc score):
       // checkpoint so the corpus tokenizes once
       .localCheckpoint(true)
-    val raw = db.groupBy("bucket").agg(sum("tf").as("rc"))
-    val tgt = db.filter(col("source") === DsirTarget)
-      .groupBy("bucket").agg(sum("tf").as("tc"))
-    val totals = raw.agg(sum("rc").as("rtot"))
-      .crossJoin(tgt.agg(coalesce(sum("tc"), lit(0L)).as("ttot")))
+    // raw and target model counts in ONE pass over the tf frame (the
+    // target is a conditional sum — not a second aggregation plus a
+    // left join, which cost a whole extra scan of the checkpointed frame)
+    val counts = db.groupBy("bucket").agg(
+      sum("tf").as("rc"),
+      sum(when(col("source") === DsirTarget, col("tf")).otherwise(0L)).as("tc"))
+    val totals = counts.agg(sum("rc").as("rtot"), sum("tc").as("ttot"))
     val micronats = (p: Column) => floor(log(p) * lit(1e6)).cast("long")
-    val lam = raw.join(tgt, Seq("bucket"), "left")
-      .crossJoin(broadcast(totals))
+    val lam = counts.crossJoin(broadcast(totals))
       .select(col("bucket"),
-        (micronats((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double")
+        (micronats((col("tc") + lit(1L)).cast("double")
             / (col("ttot").cast("double") + lit(DsirBuckets.toDouble)))
           - micronats((col("rc") + lit(1L)).cast("double")
             / (col("rtot").cast("double") + lit(DsirBuckets.toDouble)))).as("lam"))

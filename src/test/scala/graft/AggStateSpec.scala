@@ -72,6 +72,32 @@ class AggStateSpec extends SparkSpec {
     assert(folded(n) === before)
   }
 
+  test("sketch binaries ride the state table as monoid partials (HLL)") {
+    // AggState's docstring claims holistic aggregates decompose onto the
+    // same tables when carried as mergeable sketch binaries — tested:
+    // per-epoch HLL partials of distinct customers per order status,
+    // appended like any monoid partial; the merged read's union estimate
+    // must equal the one-shot sketch over all orders (HllSpec pins
+    // union == one-shot register-exact, so estimates are bit-equal)
+    graft.functions.Hll.register(spark)
+    val n = AggState.name("aggspec_hll", sf())
+    def partials(df: DataFrame) =
+      df.groupBy("o_orderstatus")
+        .agg(expr("hll_sketch(o_custkey)").as("sk"))
+    AggState.write(partials(orders.filter(pmod($"o_orderkey", lit(5L)) =!= 0L)),
+      "o_orderstatus", n, Buckets)
+    AggState.merge(partials(orders.filter(pmod($"o_orderkey", lit(5L)) === 0L)),
+      "o_orderstatus", n, Buckets)
+    val merged = AggState.read(spark, n)
+      .groupBy("o_orderstatus")
+      .agg(expr("hll_estimate(hll_union(sk))").as("est"))
+      .as[(String, Long)].collect().toMap
+    val oneShot = partials(orders)
+      .select($"o_orderstatus", expr("hll_estimate(sk)").as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(merged === oneShot)
+  }
+
   test("read-side fold plans with no exchange (bucketed on the grouping key)") {
     val n = MiscQueries.orderAggState(spark, sf())
     val df = fold(AggState.read(spark, n))
