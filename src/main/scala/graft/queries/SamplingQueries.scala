@@ -181,6 +181,24 @@ object SamplingQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-group weighted sample without replacement: the 10 highest
+    * A-ES-priority docs per LANGUAGE (weight = n_chars) — fixed
+    * per-language budgets drawn with the weighted rule, the grouped form
+    * of [[weightedSample]] (and the weighted form of [[topkSample]]).
+    * One window pass partitioned by the group key; no global sort.
+    */
+  def weightedGrouped(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .withColumn("__p", Sampling.esPriority(col("doc_id"), col("n_chars"), salt = "wg1"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("__p"), asc("doc_id"))))
+      .filter(col("__rk") <= 10)
+      .select("lang", "doc_id", "n_chars")
+      .orderBy("lang", "doc_id")
+  }
+
   private val MatchShare = 0.10
 
   /** Distribution matching via per-stratum rejection — reshape the corpus
@@ -385,6 +403,7 @@ object SamplingQueries {
     "sample_weighted" -> (weightedSample _),
     "sample_dsir" -> (dsirSample _),
     "sample_match_dist" -> (matchDist _),
+    "sample_weighted_grouped" -> (weightedGrouped _),
   )
 
   private def h60(salt: String, key: String): String =
@@ -528,6 +547,15 @@ object SamplingQueries {
          |               / CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rk
          |  FROM documents WHERE n_chars > 0) t
          |WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
+    "sample_weighted_grouped" ->
+      s"""SELECT lang, doc_id, n_chars FROM (
+         |  SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ln(CAST(${h60("wg1", "doc_id")} + 1 AS DOUBLE)
+         |                  / 1152921504606846976.0)
+         |               / CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rk
+         |  FROM documents WHERE n_chars > 0) t
+         |WHERE rk <= 10 ORDER BY lang, doc_id""".stripMargin,
     "sample_match_dist" ->
       s"""WITH b AS (
          |  SELECT doc_id, least(n_chars // 100, 9) AS bin FROM documents),

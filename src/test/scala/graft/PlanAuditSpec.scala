@@ -513,4 +513,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
       || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("sample_dsir: model joins broadcast; selection is a TakeOrdered, not a sort") {
+    val plan = finalPlan(SamplingQueries.dsirSample(spark, sf()))
+    // the 256-row λ relation must ride a broadcast, never shuffle the
+    // corpus-grain tf frame onto the bucket key
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // Gumbel top-k is per-partition top-k merged on the driver
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("text_quality_classifier: scoring joins the weight relation broadcast") {
+    val plan = finalPlan(TextQueries.qualityClassifier(spark, sf()))
+    // the final scoring stage (training rounds are checkpoint-truncated):
+    // 2^b weight rows broadcast against the feature frame, never a shuffle
+    // of the corpus side onto the bucket key
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

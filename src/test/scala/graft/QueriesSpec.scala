@@ -146,6 +146,7 @@ class QueriesSpec extends SparkSpec {
     "text_quality_classifier" -> 500L,
     "text_clf_stored" -> 100L,
     "sample_match_dist" -> 6L,
+    "sample_weighted_grouped" -> 50L,
   )
 
   test("every query has an oracle and vice versa") {
