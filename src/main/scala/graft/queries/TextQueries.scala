@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Classifier, Dedup, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Classifier, Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** C12 + the text-analysis extension suite over `documents` (SURVEY.md §2c
@@ -560,6 +560,42 @@ object TextQueries {
     Classifier.score(db, w).orderBy("doc_id")
   }
 
+  private[graft] val TierRates = Seq(1 -> 0.05, 2 -> 0.20, 3 -> 0.50, 4 -> 1.00)
+
+  /** Quality-TIERED keep rates (the FineWeb/DCLM-style move: don't
+    * hard-threshold the quality filter, keep progressively more of each
+    * quality quartile): score every doc with the trained classifier
+    * ([[qualityClassifier]]'s model — the shared SQL chain means the two
+    * queries cannot train different models), cut the score distribution
+    * into quartiles, and keep [[TierRates]] of each tier by
+    * deterministic hash membership. Tiering uses BROADCAST percentile
+    * cuts compared per row — not ntile over a global window, which would
+    * single-partition the corpus; rates compile to exact integer hash
+    * thresholds. Output: per tier, population and kept count.
+    */
+  def qualityTiers(s: SparkSession, d: String): DataFrame = {
+    val db = clfFeatures(s, d)
+    val w = Classifier.trainLogreg(db, ClfBuckets, ClfRounds)
+    val scored = Classifier.score(db, w)
+      .select("doc_id", "score_nano").localCheckpoint(true)
+    val cuts = scored.agg(
+      expr("percentile(score_nano, array(0.25D, 0.5D, 0.75D))").as("c"))
+    val thrCase = TierRates.foldRight(lit(0L): Column) { case ((t, f), acc) =>
+      when(col("tier") === t, lit(Sampling.threshold(f))).otherwise(acc)
+    }
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("tier", lit(1)
+        + (col("score_nano") > col("c").getItem(0)).cast("int")
+        + (col("score_nano") > col("c").getItem(1)).cast("int")
+        + (col("score_nano") > col("c").getItem(2)).cast("int"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(Sampling.hash60(col("doc_id"), "qt1") < thrCase, 1L)
+          .otherwise(0L)).as("n_kept"))
+      .select(col("tier").cast("long").as("tier"), col("n_docs"), col("n_kept"))
+      .orderBy("tier")
+  }
+
   /** Persist the quality filter trained on the STANDING corpus
     * (doc_id < splitId) as a catalog table — built once per
     * (session, dir), then only read: the model-deployment half of the
@@ -600,6 +636,7 @@ object TextQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_classifier" -> (qualityClassifier _),
     "text_clf_stored" -> (clfStored _),
+    "text_quality_tiers" -> (qualityTiers _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_pairs" -> (bpePairs _),
     "text_bpe_encode" -> (bpeEncode _),
@@ -654,6 +691,39 @@ object TextQueries {
        |v$r AS (SELECT CAST(count(DISTINCT sym) AS BIGINT) AS nv FROM $sOut)""".stripMargin
   }
 
+  private def h60sql(salt: String, key: String): String =
+    s"CAST('0x' || substring(md5('$salt:' || CAST($key AS VARCHAR)), 1, 15) AS BIGINT)"
+
+  /** The shared classifier-training CTE chain (tok → tfq → b → n → w0 →
+    * [[ClfRounds]] GD rounds) — stated ONCE so `text_quality_classifier`,
+    * `text_quality_tiers`, and any future weight consumer can never
+    * desynchronize on the model.
+    */
+  private def clfChainSql: String = {
+    val rounds = (1 to ClfRounds).map(clfRoundSql).mkString(",\n")
+    s"""tok AS (
+       |  SELECT doc_id,
+       |    CASE WHEN source = '$ClfTarget' THEN 1 ELSE 0 END AS y,
+       |    unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |tfq AS (
+       |  SELECT doc_id, y,
+       |    CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % $ClfBuckets AS bucket,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok WHERE token <> '' GROUP BY doc_id, y, bucket),
+       |b AS (
+       |  SELECT doc_id, y, bucket,
+       |    (tf * 1000) // sum(tf) OVER (PARTITION BY doc_id) AS xm
+       |  FROM tfq),
+       |n AS (SELECT
+       |    CAST(count(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS DOUBLE) AS npos,
+       |    CAST(count(DISTINCT CASE WHEN y = 0 THEN doc_id END) AS DOUBLE) AS nneg
+       |  FROM b),
+       |w0 AS (SELECT CAST(r AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+       |       FROM range(0, $ClfBuckets) t(r)),
+       |$rounds""".stripMargin
+  }
+
   /** One logreg GD round in DuckDB off weight relation w{k−1}: exact
     * integer nano-logit margins → sigmoid → per-doc floor-quantized
     * residual → class-split integer gradients → floored balanced-mean
@@ -680,33 +750,33 @@ object TextQueries {
        |  FROM w${k - 1} w LEFT JOIN g$k g ON w.bucket = g.bucket, n)""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    "text_quality_classifier" -> {
-      val rounds = (1 to ClfRounds).map(clfRoundSql).mkString(",\n")
-      s"""WITH tok AS (
-         |  SELECT doc_id,
-         |    CASE WHEN source = '$ClfTarget' THEN 1 ELSE 0 END AS y,
-         |    unnest(string_split(text, ' ')) AS token
-         |  FROM documents),
-         |tfq AS (
-         |  SELECT doc_id, y,
-         |    CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % $ClfBuckets AS bucket,
-         |    CAST(count(*) AS BIGINT) AS tf
-         |  FROM tok WHERE token <> '' GROUP BY doc_id, y, bucket),
-         |b AS (
-         |  SELECT doc_id, y, bucket,
-         |    (tf * 1000) // sum(tf) OVER (PARTITION BY doc_id) AS xm
-         |  FROM tfq),
-         |n AS (SELECT
-         |    CAST(count(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS DOUBLE) AS npos,
-         |    CAST(count(DISTINCT CASE WHEN y = 0 THEN doc_id END) AS DOUBLE) AS nneg
-         |  FROM b),
-         |w0 AS (SELECT CAST(r AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
-         |       FROM range(0, $ClfBuckets) t(r)),
-         |$rounds
+    "text_quality_classifier" ->
+      s"""WITH $clfChainSql
          |SELECT b.doc_id, CAST(b.y AS BIGINT) AS y,
          |  CAST(sum(b.xm * w$ClfRounds.w) AS BIGINT) AS score_nano
          |FROM b JOIN w$ClfRounds ON b.bucket = w$ClfRounds.bucket
-         |GROUP BY b.doc_id, b.y ORDER BY b.doc_id""".stripMargin
+         |GROUP BY b.doc_id, b.y ORDER BY b.doc_id""".stripMargin,
+    "text_quality_tiers" -> {
+      val Seq(t1, t2, t3) = Seq(0, 1, 2).map(i => s"cut.c[${i + 1}]")
+      val keepCase = TierRates.map { case (t, f) =>
+        s"WHEN $t THEN ${graft.operators.Sampling.threshold(f)}"
+      }.mkString("CASE tier ", " ", " ELSE 0 END")
+      s"""WITH $clfChainSql,
+         |sc AS (
+         |  SELECT b.doc_id, CAST(sum(b.xm * w$ClfRounds.w) AS BIGINT) AS score_nano
+         |  FROM b JOIN w$ClfRounds ON b.bucket = w$ClfRounds.bucket
+         |  GROUP BY b.doc_id),
+         |cut AS (SELECT quantile_cont(score_nano, [0.25, 0.5, 0.75]) AS c FROM sc),
+         |tiers AS (
+         |  SELECT sc.doc_id,
+         |    1 + CAST(sc.score_nano > $t1 AS INTEGER)
+         |      + CAST(sc.score_nano > $t2 AS INTEGER)
+         |      + CAST(sc.score_nano > $t3 AS INTEGER) AS tier
+         |  FROM sc, cut)
+         |SELECT CAST(tier AS BIGINT) AS tier, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN ${h60sql("qt1", "doc_id")} < $keepCase
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM tiers GROUP BY tier ORDER BY tier""".stripMargin
     },
     "text_clf_stored" -> {
       val rounds = (1 to ClfRounds).map(clfRoundSql).mkString(",\n")

@@ -147,6 +147,7 @@ class QueriesSpec extends SparkSpec {
     "text_clf_stored" -> 100L,
     "sample_match_dist" -> 6L,
     "sample_weighted_grouped" -> 50L,
+    "text_quality_tiers" -> 4L,
   )
 
   test("every query has an oracle and vice versa") {
