@@ -514,6 +514,14 @@ class PlanAuditSpec extends SparkSpec {
       || plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("profile_median_scalable: exact median with no global sort of the fact table") {
+    val plan = finalPlan(MiscQueries.medianScalable(spark, sf()))
+    // the whole point of histogram selection: the only allowed serial
+    // gather is the candidate-bin window, never a range-partitioned sort
+    // of the full relation
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("sample_dsir: model joins broadcast; selection is a TakeOrdered, not a sort") {
     val plan = finalPlan(SamplingQueries.dsirSample(spark, sf()))
     // the 256-row λ relation must ride a broadcast, never shuffle the

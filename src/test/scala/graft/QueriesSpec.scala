@@ -148,6 +148,7 @@ class QueriesSpec extends SparkSpec {
     "sample_match_dist" -> 6L,
     "sample_weighted_grouped" -> 50L,
     "text_quality_tiers" -> 4L,
+    "profile_median_scalable" -> 1L,
   )
 
   test("every query has an oracle and vice versa") {
