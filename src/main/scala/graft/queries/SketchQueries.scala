@@ -167,6 +167,45 @@ object SketchQueries {
   /** KMV sketch size for the pairwise audience-overlap estimates. */
   private val KmvOverlapK = 64
 
+  /** Rolling-window distinct users served from STORED DAILY SKETCHES —
+    * the pre-aggregation pattern that answers any window without ever
+    * rescanning the events: one pass builds a [[KmvK]]-slot KMV sketch
+    * per day (the 1 KiB/day state a deployment keeps), and each day's
+    * trailing-3-day unique-user count is the estimate of the UNION of
+    * its window's daily sketches. Mergeability is exact, not
+    * approximate-on-approximate: the K smallest distinct hashes of a
+    * window are each among the K smallest of their own day, so the
+    * union-of-daily-sketches IS the sketch of the window — the oracle
+    * replays precisely that truncation algebra (bottom-K per day, then
+    * bottom-K of the window union) next to the exact windowed distinct.
+    * The day-grid join touches only the days relation (tens of rows);
+    * the corpus is scanned once.
+    */
+  def kmvRolling(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Kmv.register(s)
+    val h = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"),
+        graft.operators.Sampling.hash60(col("user_id"), "kmvr").as("hv"))
+      .distinct()
+      .localCheckpoint(true)
+    val daily = h.groupBy("day")
+      .agg(graft.functions.Kmv.sketch(col("hv"), KmvK).as("sk"))
+    val days = daily.select(col("day").as("d0"))
+    val win = days.join(daily,
+        col("day").between(date_sub(col("d0"), 2), col("d0")))
+      .groupBy("d0")
+      .agg(count(lit(1)).as("n_days"),
+        graft.functions.Kmv.estimate(
+          graft.functions.Kmv.union(col("sk"), KmvK), KmvK).as("est_users"))
+    val exact = days.join(h,
+        col("day").between(date_sub(col("d0"), 2), col("d0")))
+      .groupBy("d0").agg(countDistinct("hv").as("exact_users"))
+    win.join(exact, Seq("d0"))
+      .select(date_format(col("d0"), "yyyy-MM-dd").as("day"),
+        col("n_days"), col("est_users"), col("exact_users"))
+      .orderBy("day")
+  }
+
   /** Per-event-type distinct user-day estimate from a K-minimum-values
     * sketch, next to the exact count — the error measurement a deployment
     * sizes K with. Unlike HLL (engine-tested, register arithmetic has no
@@ -240,6 +279,7 @@ object SketchQueries {
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "sketch_kmv_users" -> (kmvUsers _),
     "sketch_kmv_overlap" -> (kmvOverlap _),
+    "sketch_kmv_rolling" -> (kmvRolling _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -293,6 +333,44 @@ object SketchQueries {
          |            // CAST(theta AS HUGEINT) AS BIGINT) END AS est_user_days,
          |  nd AS exact_user_days
          |FROM agg ORDER BY event_type""".stripMargin,
+    "sketch_kmv_rolling" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         |    CAST('0x' || substring(md5('kmvr:' || CAST(user_id AS VARCHAR)),
+         |      1, 15) AS BIGINT) AS hv
+         |  FROM events),
+         |dk AS (
+         |  SELECT day, hv FROM (
+         |    SELECT day, hv, row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+         |    FROM h) t WHERE rn <= $KmvK),
+         |days AS (SELECT DISTINCT day AS d0 FROM h),
+         |wd AS (
+         |  SELECT DISTINCT d.d0, dk.hv
+         |  FROM days d JOIN dk ON dk.day BETWEEN d.d0 - 2 AND d.d0),
+         |nd AS (
+         |  SELECT d.d0, CAST(count(DISTINCT dk.day) AS BIGINT) AS n_days
+         |  FROM days d JOIN dk ON dk.day BETWEEN d.d0 - 2 AND d.d0
+         |  GROUP BY d.d0),
+         |ur AS (
+         |  SELECT d0, hv, row_number() OVER (PARTITION BY d0 ORDER BY hv) AS rn,
+         |         count(*) OVER (PARTITION BY d0) AS nu
+         |  FROM wd),
+         |agg AS (
+         |  SELECT d0, CAST(min(nu) AS BIGINT) AS nu,
+         |         max(CASE WHEN rn <= $KmvK THEN hv END) AS theta
+         |  FROM ur GROUP BY d0),
+         |ex AS (
+         |  SELECT d.d0, CAST(count(DISTINCT h.hv) AS BIGINT) AS exact_users
+         |  FROM days d JOIN h ON h.day BETWEEN d.d0 - 2 AND d.d0
+         |  GROUP BY d.d0)
+         |SELECT strftime(agg.d0, '%Y-%m-%d') AS day, nd.n_days,
+         |  CASE WHEN agg.nu < $KmvK THEN agg.nu
+         |       ELSE CAST((CAST(${KmvK - 1} AS HUGEINT)
+         |            * CAST(${KmvOps.HashSpace} AS HUGEINT))
+         |            // CAST(agg.theta AS HUGEINT) AS BIGINT) END AS est_users,
+         |  ex.exact_users
+         |FROM agg JOIN nd ON agg.d0 = nd.d0 JOIN ex ON agg.d0 = ex.d0
+         |ORDER BY day""".stripMargin,
     "sketch_kmv_overlap" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type AS t,

@@ -149,6 +149,7 @@ class QueriesSpec extends SparkSpec {
     "sample_weighted_grouped" -> 50L,
     "text_quality_tiers" -> 4L,
     "profile_median_scalable" -> 1L,
+    "sketch_kmv_rolling" -> 30L,
   )
 
   test("every query has an oracle and vice versa") {
