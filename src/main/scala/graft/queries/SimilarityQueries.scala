@@ -148,6 +148,43 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** FILTERED vector search — the metadata-predicate form every real
+    * vector deployment needs ("nearest neighbours with the SAME label":
+    * same language, same modality, same tenant): the predicate is pushed
+    * INTO the probe's join key, (cell, label) instead of (cell), so the
+    * posting scan touches only eligible rows and the top-k ranks among
+    * eligible candidates. The trap this avoids is POST-filtering: top-k
+    * first, filter second silently returns fewer than k (or zero) rows
+    * whenever the unfiltered neighbourhood is dominated by other labels
+    * — pre-filtering is the correct semantics and also the cheaper plan
+    * (the equi-join key tightens, candidates shrink by the label
+    * selectivity). Same deterministic IVF machinery as [[ivfAnn]].
+    */
+  def ivfFiltered(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val vecs = prepared(Tables.embeddings(s, d))
+    val seeds = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("sid"), col("v").as("sv"))
+    val scored = vecs.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("v"), col("label"), col("sid"),
+              round(cosineNative(col("v"), col("sv")), 4).as("cs"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("sid"))
+    val assigned = scored.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("label"), col("sid").as("cell"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("label").as("qlabel"), col("cell").as("qcell"))
+    val sims = assigned.join(q,
+        col("cell") === col("qcell") && col("label") === col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("label"),
+              round(cosineNative(col("v"), col("qv")), 4).as("sim"))
+    val wTop = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    sims.withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 3)
+      .select("qid", "vec_id", "label", "sim", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
   /** Distributed Lloyd k-means (k=5, 2 update rounds) over the embedding
     * corpus — the clustering primitive behind semantic dedup and
     * diversity-aware sampling of training data. Deterministic and
@@ -455,6 +492,7 @@ object SimilarityQueries {
     "sim_lsh_multiprobe" -> (lshMultiprobe _),
     "sim_lsh_banded" -> (lshBanded _),
     "sim_ivf_ann" -> (ivfAnn _),
+    "sim_ivf_filtered" -> (ivfFiltered _),
   )
 
   /** Lloyd assignment in DuckDB, the ONE statement of the distance+argmin
@@ -665,6 +703,24 @@ object SimilarityQueries {
          |  SELECT q.qid, a.vec_id, a.cell, round(${duckCos("a.v", "q.qv")}, 4) AS sim
          |  FROM asg a JOIN q USING (cell))
          |SELECT qid, vec_id, cell, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+         |FROM p QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "sim_ivf_filtered" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+         |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, e.label, s.sid, round(${duckCos("e.v", "s.sv")}, 4) AS cs
+         |  FROM e, s),
+         |asg AS (
+         |  SELECT vec_id, v, label, sid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid ASC) AS rn
+         |    FROM scored) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel, cell AS qcell
+         |      FROM asg WHERE vec_id < 10),
+         |p AS (
+         |  SELECT q.qid, a.vec_id, a.label, round(${duckCos("a.v", "q.qv")}, 4) AS sim
+         |  FROM asg a JOIN q ON a.cell = q.qcell AND a.label = q.qlabel)
+         |SELECT qid, vec_id, label, sim,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
          |FROM p QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "sim_lsh_banded" ->

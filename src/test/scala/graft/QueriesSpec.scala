@@ -150,6 +150,7 @@ class QueriesSpec extends SparkSpec {
     "text_quality_tiers" -> 4L,
     "profile_median_scalable" -> 1L,
     "sketch_kmv_rolling" -> 30L,
+    "sim_ivf_filtered" -> 30L,
   )
 
   test("every query has an oracle and vice versa") {
