@@ -144,41 +144,101 @@ object SamplingQueries {
     * never a global sort. Nothing downstream of the tf frame scales with
     * corpus size except the two reductions themselves.
     */
-  def dsirSample(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val db = docs
+  /** The hashed-unigram tf relation (doc_id, source, bucket, tf) for an
+    * arbitrary documents frame, checkpointed — the probe featurizes only
+    * its batch with exactly this builder.
+    */
+  private def dsirFeatures(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
       .select(col("doc_id"), col("source"),
         pmod(TextAnalysis.tokenHash(col("token")), lit(DsirBuckets.toLong)).as("bucket"))
       .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("tf"))
-      // consumed three times (raw counts, target counts, per-doc score):
-      // checkpoint so the corpus tokenizes once
       .localCheckpoint(true)
-    // raw and target model counts in ONE pass over the tf frame (the
-    // target is a conditional sum — not a second aggregation plus a
-    // left join, which cost a whole extra scan of the checkpointed frame)
+
+  /** The λ model over the FULL bucket range (unseen buckets score as
+    * smoothed out-of-vocabulary): raw and target counts in ONE
+    * conditional-sum pass over the model-side tf frame, Laplace-smoothed
+    * micronat log-ratio per bucket.
+    */
+  private def dsirLam(s: SparkSession, db: DataFrame): DataFrame = {
     val counts = db.groupBy("bucket").agg(
       sum("tf").as("rc"),
       sum(when(col("source") === DsirTarget, col("tf")).otherwise(0L)).as("tc"))
     val totals = counts.agg(sum("rc").as("rtot"), sum("tc").as("ttot"))
     val micronats = (p: Column) => floor(log(p) * lit(1e6)).cast("long")
-    val lam = counts.crossJoin(broadcast(totals))
+    s.range(0, DsirBuckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
       .select(col("bucket"),
-        (micronats((col("tc") + lit(1L)).cast("double")
+        (micronats((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double")
             / (col("ttot").cast("double") + lit(DsirBuckets.toDouble)))
-          - micronats((col("rc") + lit(1L)).cast("double")
+          - micronats((coalesce(col("rc"), lit(0L)) + lit(1L)).cast("double")
             / (col("rtot").cast("double") + lit(DsirBuckets.toDouble)))).as("lam"))
-    val picked = db.join(broadcast(lam), Seq("bucket"))
-      .groupBy("doc_id")
-      .agg(sum(col("tf") * col("lam")).as("logw_micro"))
+  }
+
+  /** Gumbel-top-k selection of `k` docs by importance weight. */
+  private def dsirPick(scored: DataFrame, docs: DataFrame, salt: String,
+                       k: Int): DataFrame =
+    scored
       .withColumn("__p", col("logw_micro").cast("double") / lit(1e6)
-        + Sampling.gumbel(col("doc_id"), "dsir"))
+        + Sampling.gumbel(col("doc_id"), salt))
       .orderBy(desc("__p"), asc("doc_id"))
-      .limit(DsirK)
-    picked.join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .limit(k)
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
       .select("doc_id", "lang", "source", "logw_micro")
       .orderBy("doc_id")
+
+  def dsirSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val db = dsirFeatures(docs)
+    val scored = db.join(broadcast(dsirLam(s, db)), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("lam")).as("logw_micro"))
+    dsirPick(scored, docs, "dsir", DsirK)
+  }
+
+  private val DsirStoredK = 50
+
+  /** The stored DSIR model: λ trained on the STANDING corpus
+    * (doc_id < the shared 4/5 boundary) persisted as a catalog table —
+    * built once per (session, dir), then only read.
+    */
+  private val dsirStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def dsirState(s: SparkSession, d: String): String = {
+    if (dsirStateCache.size > 3) dsirStateCache.clear()
+    dsirStateCache.computeIfAbsent((s, d), _ => {
+      val tbl = graft.operators.AggState.name("graft_dsirlam", d).parts
+      val corpus = Tables.documents(s, d)
+        .filter(col("doc_id") < DedupQueries.splitId(s, d))
+      graft.operators.Layout.writeBucketed(
+        dsirLam(s, dsirFeatures(corpus)), "bucket", tbl, 4)
+      tbl
+    })
+  }
+
+  /** Incoming-batch DSIR selection against the STORED λ model
+    * ([[dsirState]]) — the data-selection sibling of the stored
+    * classifier probe: per epoch the engine featurizes ONLY the batch,
+    * reads the 256-row model table, and draws the batch's Gumbel top-k
+    * by frozen importance weight. Unseen buckets hit the model's
+    * smoothed OOV rows (λ is defined on the full bucket range), so no
+    * batch token can fall off the model. The oracle replays model
+    * fitting on the standing corpus and scores the batch — frozen-model
+    * selection ≡ fit-then-select, stated as SQL.
+    */
+  def dsirStored(s: SparkSession, d: String): DataFrame = {
+    val tbl = dsirState(s, d)
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") >= DedupQueries.splitId(s, d))
+    val scored = dsirFeatures(batch)
+      .join(broadcast(s.table(tbl)), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("lam")).as("logw_micro"))
+    dsirPick(scored, docs, "dsirs", DsirStoredK)
   }
 
   /** Per-group weighted sample without replacement: the 10 highest
@@ -404,10 +464,52 @@ object SamplingQueries {
     "sample_dsir" -> (dsirSample _),
     "sample_match_dist" -> (matchDist _),
     "sample_weighted_grouped" -> (weightedGrouped _),
+    "sample_dsir_stored" -> (dsirStored _),
   )
 
   private def h60(salt: String, key: String): String =
     s"CAST('0x' || substring(md5('$salt:' || CAST($key AS VARCHAR)), 1, 15) AS BIGINT)"
+
+  /** The Gumbel draw's u as SQL: the midpoint (2h+1)/2^61, strictly inside
+    * (0,1) so both ln calls are total. 2^61 stated as an exact decimal
+    * literal — both engines convert it to the identical double
+    * (scientific-notation reprs risk a detour through DECIMAL parsing).
+    */
+  private def gumbelSql(salt: String): String =
+    s"CAST(${h60(salt, "doc_id")} * 2 + 1 AS DOUBLE) / 2305843009213693952.0"
+
+  /** The DSIR model chain in DuckDB: hashed-unigram tf per doc (`b`, ALL
+    * docs), model counts over the MODEL-SIDE rows only (`modelPred`),
+    * Laplace-smoothed micronat log-ratio λ on the FULL bucket range
+    * (unseen buckets score as smoothed OOV) — shared by `sample_dsir`
+    * (model = everything) and `sample_dsir_stored` (model = the standing
+    * corpus), so the two cannot fit different models.
+    */
+  private def dsirChainSql(modelPred: String): String = {
+    val B = DsirBuckets
+    s"""tok AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, source,
+       |    CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % $B AS bucket,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok WHERE token <> '' GROUP BY doc_id, source, bucket),
+       |bt AS (SELECT * FROM b WHERE $modelPred),
+       |cnt AS (
+       |  SELECT bucket, CAST(sum(tf) AS BIGINT) AS rc,
+       |    CAST(sum(CASE WHEN source = '$DsirTarget' THEN tf ELSE 0 END) AS BIGINT) AS tc
+       |  FROM bt GROUP BY bucket),
+       |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS rtot,
+       |               CAST(sum(tc) AS BIGINT) AS ttot FROM cnt),
+       |lam AS (
+       |  SELECT CAST(r.r AS BIGINT) AS bucket,
+       |    CAST(floor(ln(CAST(coalesce(cnt.tc, 0) + 1 AS DOUBLE)
+       |                  / (CAST(tot.ttot AS DOUBLE) + $B.0)) * 1e6) AS BIGINT)
+       |    - CAST(floor(ln(CAST(coalesce(cnt.rc, 0) + 1 AS DOUBLE)
+       |                  / (CAST(tot.rtot AS DOUBLE) + $B.0)) * 1e6) AS BIGINT) AS lam
+       |  FROM range(0, $B) r(r) LEFT JOIN cnt ON r.r = cnt.bucket, tot)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "sample_mix_plan" -> {
@@ -583,43 +685,37 @@ object SamplingQueries {
          |       ELSE 0 END AS share_micro
          |FROM w, kt ORDER BY w.bin""".stripMargin,
     "sample_dsir" -> {
-      val B = DsirBuckets
-      // 2^61 stated as an exact decimal literal: both engines convert it to
-      // the identical double (scientific-notation reprs risk a detour
-      // through DECIMAL parsing)
-      val u = s"CAST(${h60("dsir", "doc_id")} * 2 + 1 AS DOUBLE) / 2305843009213693952.0"
-      s"""WITH tok AS (
-         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
-         |  FROM documents),
-         |b AS (
-         |  SELECT doc_id, source,
-         |    CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % $B AS bucket,
-         |    CAST(count(*) AS BIGINT) AS tf
-         |  FROM tok WHERE token <> '' GROUP BY doc_id, source, bucket),
-         |raw AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS rc FROM b GROUP BY bucket),
-         |tgt AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS tc FROM b
-         |        WHERE source = '$DsirTarget' GROUP BY bucket),
-         |tot AS (SELECT (SELECT CAST(sum(rc) AS BIGINT) FROM raw) AS rtot,
-         |               (SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) FROM tgt) AS ttot),
-         |lam AS (
-         |  SELECT raw.bucket,
-         |    CAST(floor(ln(CAST(coalesce(tgt.tc, 0) + 1 AS DOUBLE)
-         |                  / (CAST(tot.ttot AS DOUBLE) + $B.0)) * 1e6) AS BIGINT)
-         |    - CAST(floor(ln(CAST(raw.rc + 1 AS DOUBLE)
-         |                  / (CAST(tot.rtot AS DOUBLE) + $B.0)) * 1e6) AS BIGINT) AS lam
-         |  FROM raw LEFT JOIN tgt USING (bucket), tot),
+      s"""WITH ${dsirChainSql(modelPred = "TRUE")},
          |w AS (
          |  SELECT b.doc_id, CAST(sum(b.tf * lam.lam) AS BIGINT) AS logw_micro
          |  FROM b JOIN lam USING (bucket) GROUP BY b.doc_id),
          |pick AS (
          |  SELECT doc_id, logw_micro,
          |    row_number() OVER (
-         |      ORDER BY CAST(logw_micro AS DOUBLE) / 1e6 + (- ln(- ln($u))) DESC,
+         |      ORDER BY CAST(logw_micro AS DOUBLE) / 1e6
+         |               + (- ln(- ln(${gumbelSql("dsir")}))) DESC,
          |               doc_id ASC) AS rk
          |  FROM w)
          |SELECT p.doc_id, d.lang, d.source, p.logw_micro
          |FROM pick p JOIN documents d USING (doc_id)
          |WHERE p.rk <= $DsirK ORDER BY p.doc_id""".stripMargin
+    },
+    "sample_dsir_stored" -> {
+      s"""WITH ${dsirChainSql(modelPred = s"doc_id < ${DedupQueries.splitSql}")},
+         |bs AS (SELECT * FROM b WHERE doc_id >= ${DedupQueries.splitSql}),
+         |w AS (
+         |  SELECT bs.doc_id, CAST(sum(bs.tf * lam.lam) AS BIGINT) AS logw_micro
+         |  FROM bs JOIN lam USING (bucket) GROUP BY bs.doc_id),
+         |pick AS (
+         |  SELECT doc_id, logw_micro,
+         |    row_number() OVER (
+         |      ORDER BY CAST(logw_micro AS DOUBLE) / 1e6
+         |               + (- ln(- ln(${gumbelSql("dsirs")}))) DESC,
+         |               doc_id ASC) AS rk
+         |  FROM w)
+         |SELECT p.doc_id, d.lang, d.source, p.logw_micro
+         |FROM pick p JOIN documents d USING (doc_id)
+         |WHERE p.rk <= $DsirStoredK ORDER BY p.doc_id""".stripMargin
     },
     "sample_topk" ->
       s"""SELECT lang, doc_id, n_chars FROM (

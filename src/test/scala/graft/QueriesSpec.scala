@@ -151,6 +151,7 @@ class QueriesSpec extends SparkSpec {
     "profile_median_scalable" -> 1L,
     "sketch_kmv_rolling" -> 30L,
     "sim_ivf_filtered" -> 30L,
+    "sample_dsir_stored" -> 50L,
   )
 
   test("every query has an oracle and vice versa") {
