@@ -69,6 +69,30 @@ class ClassifierSpec extends SparkSpec {
       s"target mean ${means(1L)} not above background ${means(0L)}")
   }
 
+  test("trained weights publish as versioned model releases (SnapshotStore)") {
+    // the model-registry move: each retraining publishes its weight
+    // relation through the transactional snapshot swap — _CURRENT always
+    // resolves to a complete model, and any past model time-travels back
+    // for reproducibility audits. Reuses the exact publish path the
+    // corpus releases go through.
+    import graft.sinks.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("clf-registry").toString
+    val dbx = plantedFeatures
+    val w1 = Classifier.trainLogreg(dbx, Buckets, rounds = 1)
+    val w3 = Classifier.trainLogreg(dbx, Buckets, rounds = 3)
+    val v1 = SnapshotStore.publish(w1, root)
+    val v2 = SnapshotStore.publish(w3, root)
+    assert(v2 > v1)
+    val current = SnapshotStore.read(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(current === w3.as[(Long, Long)].collect().toMap,
+      "_CURRENT must resolve to the latest trained model")
+    val old = SnapshotStore.readVersion(spark, root, v1)
+      .as[(Long, Long)].collect().toMap
+    assert(old === w1.as[(Long, Long)].collect().toMap,
+      "a past model version must time-travel back intact")
+  }
+
   test("corpus training is bit-deterministic under repartitioning") {
     val dbx = TextQueries.clfFeatures(spark, sf())
     val w1 = Classifier.trainLogreg(dbx, 256, rounds = 3)
