@@ -63,9 +63,17 @@ object Classifier {
     */
   def trainLogreg(dbx: DataFrame, buckets: Int, rounds: Int): DataFrame = {
     val s = dbx.sparkSession
-    val nFrame = dbx.agg(
+    // collected ONCE (two scalars): the balanced update divides by each
+    // class count, so a single-class corpus would turn every weight into
+    // floor(NaN) → silent nulls. A mislabeled corpus must fail loudly.
+    val nRow = dbx.agg(
       countDistinct(when(col("y") === 1L, col("doc_id"))).cast("double").as("npos"),
       countDistinct(when(col("y") === 0L, col("doc_id"))).cast("double").as("nneg"))
+      .head()
+    val (npos, nneg) = (nRow.getDouble(0), nRow.getDouble(1))
+    require(npos > 0 && nneg > 0,
+      s"trainLogreg needs both classes in the corpus; got npos=$npos nneg=$nneg")
+    val nFrame = s.range(1).select(lit(npos).as("npos"), lit(nneg).as("nneg"))
     var w = s.range(0, buckets).select(col("id").cast("long").as("bucket"),
       lit(0L).as("w"))
     val byDoc = Window.partitionBy("doc_id")

@@ -583,54 +583,29 @@ object Dedup {
     *
     * The window hash is a 31-weighted polynomial over PER-TOKEN portable
     * hashes (the md5-hex-prefix integer every other dedup op uses), and
-    * the whole boundary-scan + chunk-build runs as ONE `aggregate` fold
-    * that visits every token exactly once, carrying the w−1 hash lags and
-    * the open chunk in the accumulator. The shape matters: HOF lambdas run
-    * interpreted and Catalyst's project collapse INLINES a `withColumn`
-    * hash array into any lambda that reads it, so the natural
-    * filter-positions-then-slice formulation re-derives the full md5
-    * array per position — measured O(n²) digests/row and a >10-minute
-    * sf0.1 pass where this fold takes seconds. The SQL oracle replays the
-    * identical polynomial + cut-point rule relationally (its engine has no
-    * such re-evaluation trap), producing bit-equal chunks.
+    * the whole boundary-scan + chunk-build runs inside the native
+    * [[graft.functions.CdcChunks]] expression — one imperative pass per
+    * document that hashes every token exactly once. Its `aggregate`-fold
+    * predecessor (already a rescue from a measured O(n²) HOF-inlining
+    * form) still paid interpreted per-element lambda dispatch, benching
+    * 6.3×/5.1× the single-thread comparator; the native form is the same
+    * promotion [[graft.functions.WinnowSpans]] got for the same profile.
+    * The SQL oracle replays the identical polynomial + cut-point rule
+    * relationally, producing bit-equal chunks (CdcSpec and
+    * GraftProperties' plain-Scala reference both regression-pin the
+    * contract).
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = 4      // the boundary fold carries exactly 3 hash lags
-    val divisor = 8
-    val toked = docs
+    graft.functions.CdcFunctions.register(docs.sparkSession)
+    docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
-      // one struct per token: (token, 32-bit portable hash) — built once,
-      // consumed once by the fold below
-      .withColumn("zipped", zip_with(col("toks"),
-        transform(col("toks"), t => TextAnalysis.tokenHash(t)),
-        (t, h) => struct(t.as("t"), h.as("h"))))
-    val zero = struct(lit(0L).as("p"), lit(0L).as("h1"), lit(0L).as("h2"),
-      lit(0L).as("h3"), lit("").as("cur"), typedLit(Seq.empty[String]).as("chunks"))
-    val folded = aggregate(col("zipped"), zero,
-      (acc, e) => {
-        val p = acc.getField("p") + 1
-        val h = e.getField("h")
-        val poly = h + acc.getField("h1") * 31 + acc.getField("h2") * 961 +
-          acc.getField("h3") * 29791
-        val isBoundary = p >= w && poly % divisor === 0L
-        val cur2 = when(acc.getField("cur") === "", e.getField("t"))
-          .otherwise(concat(acc.getField("cur"), lit(" "), e.getField("t")))
-        struct(p.as("p"), h.as("h1"), acc.getField("h1").as("h2"),
-          acc.getField("h2").as("h3"),
-          when(isBoundary, lit("")).otherwise(cur2).as("cur"),
-          when(isBoundary, array_append(acc.getField("chunks"), cur2))
-            .otherwise(acc.getField("chunks")).as("chunks"))
-      },
-      // the doc end is always a cut point: flush the open chunk unless the
-      // last token already closed one
-      acc => when(acc.getField("cur") === "", acc.getField("chunks"))
-        .otherwise(array_append(acc.getField("chunks"), acc.getField("cur"))))
-    toked
-      .select(col(idCol), posexplode(folded).as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol),
+        posexplode(graft.functions.CdcFunctions.cdcChunks(col("toks")))
+          .as(Seq("chunk_idx", "ch")))
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
-        size(split(col("chunk"), " ")).cast("long").as("n_toks"),
-        md5(col("chunk")).as("chunk_md5"))
+        col("ch").getField("n_toks").as("n_toks"),
+        col("ch").getField("chunk_md5").as("chunk_md5"))
   }
 
   /** 60-bit SimHash over term frequencies. Bit b of md5(token)'s leading

@@ -104,6 +104,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("winnow_spans"),
       info("winnow_spans", classOf[graft.functions.WinnowSpans]),
       graft.functions.WinnowFunctions.winnowBuilder))
+    e.injectFunction((FunctionIdentifier("cdc_chunks"),
+      info("cdc_chunks", classOf[graft.functions.CdcChunks]),
+      graft.functions.CdcFunctions.cdcBuilder))
     e.injectFunction((FunctionIdentifier("hll_sketch"),
       info("hll_sketch", classOf[graft.functions.HllSketchAgg]),
       graft.functions.Hll.sketchBuilder))

@@ -271,7 +271,32 @@ object DedupQueries {
       s"toks=${tokMemoHits.get}/${tokMemoMisses.get}," +
       s"sh=${shMemoHits.get}/${shMemoMisses.get}," +
       s"mask=${maskMemoHits.get}/${maskMemoMisses.get}," +
-      s"sim=${simMemoHits.get}/${simMemoMisses.get}"
+      s"sim=${simMemoHits.get}/${simMemoMisses.get}," +
+      s"cdc=${cdcMemoHits.get}/${cdcMemoMisses.get}"
+
+  /** Full-corpus CDC chunk frame `(doc_id, chunk_idx, n_toks, chunk_md5)`
+    * — the persisted chunk table a rolling deployment keeps (the
+    * [[cdcIncremental]] docstring's "pays the build once per epoch").
+    * Chunk boundaries are strictly per-document, so filtering this frame
+    * by doc_id is bit-identical to chunking the filtered docs — which is
+    * what lets the census and the incremental probe share one build.
+    * Verify leaves the flag off, so the correctness gate always chunks
+    * from scratch per query.
+    */
+  private val cdcFrameCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private val cdcMemoHits = new java.util.concurrent.atomic.AtomicLong
+  private val cdcMemoMisses = new java.util.concurrent.atomic.AtomicLong
+
+  private def cdcFrame(s: SparkSession, d: String): DataFrame = {
+    def build(): DataFrame = Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text")
+    if (!share(s)) build()
+    else {
+      (if (cdcFrameCache.containsKey((s, d))) cdcMemoHits else cdcMemoMisses)
+        .incrementAndGet()
+      memo(cdcFrameCache, (s, d), () => build().localCheckpoint(true))
+    }
+  }
 
   private[queries] def minhashPairsRaw(s: SparkSession, d: String): DataFrame = {
     def build(): DataFrame = {
@@ -570,7 +595,7 @@ object DedupQueries {
     * join exists at any stage, so the op is linear in corpus size.
     */
   def cdcDup(s: SparkSession, d: String): DataFrame =
-    Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text")
+    cdcFrame(s, d)
       .groupBy("chunk_md5")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
            count(lit(1)).as("n_occ"),
@@ -597,11 +622,10 @@ object DedupQueries {
     * probe), so it is checkpointed rather than re-chunked.
     */
   def cdcIncremental(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
     val sp = splitId(s, d)
-    val corpus = Dedup.cdcChunks(docs.filter(col("doc_id") < sp), "doc_id", "text")
+    val corpus = cdcFrame(s, d).filter(col("doc_id") < sp)
       .select("chunk_md5").distinct()
-    val batch = Dedup.cdcChunks(docs.filter(col("doc_id") >= sp), "doc_id", "text")
+    val batch = cdcFrame(s, d).filter(col("doc_id") >= sp)
       .localCheckpoint(true)
     val tot = batch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
     val hits = batch.join(corpus, Seq("chunk_md5"), "left_semi")
