@@ -62,4 +62,59 @@ object PrefixSum {
       .drop("__psum_bucket", "__psum_v", "__psum_local",
         "__psum_obucket", "__psum_offset")
   }
+
+  /** [[runningSum]] restarted per group: `out` = running sum of `value`
+    * over (`bucket` asc, `order` asc) WITHIN each distinct value of the
+    * `group` columns — the shape context-window packing needs (one
+    * running token sum per language). The naive form —
+    * `sum(v) OVER (PARTITION BY group ORDER BY order)` — funnels each
+    * group through ONE window task, and a group is not a fine shard: at
+    * 100 TB the dominant language of any web corpus is half the data on
+    * a single task. Here the row-level window partitions by
+    * (group, bucket) — parallel across bucket ranges INSIDE each group —
+    * and even the offset scan stays partitioned (one window per group
+    * over its bucket totals), so no stage anywhere sees a
+    * single-partition exchange.
+    *
+    * `bucket` MUST be monotone non-decreasing in `order` within each
+    * group (a coarse prefix of the per-group sort key: a doc_id range
+    * when ordering by doc_id), so a (group, bucket) slice is contiguous
+    * in the group's order and local + exclusive-offset = the global
+    * per-group running sum, row for row. The offsets relation is one row
+    * per (group, bucket) — its size is a caller lever via the bucket
+    * width — and rides a broadcast join. Reassociation caveat as
+    * [[runningSum]]: exact for integer values.
+    */
+  def runningSumGrouped(df: DataFrame, group: Seq[String], bucket: Column,
+                        order: Seq[Column], value: Column,
+                        out: String = "running"): DataFrame = {
+    val base = df.withColumn("__psum_bucket", bucket)
+      .withColumn("__psum_v", value)
+    val wLocal = Window
+      .partitionBy((group.map(col) :+ col("__psum_bucket")): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("__psum_local", sum("__psum_v").over(wLocal))
+    // bucket totals per group; the exclusive prefix over them is a window
+    // PARTITIONED by the group — it runs on the (group, bucket)-sized
+    // aggregate, in parallel across groups
+    val wOffset = Window.partitionBy(group.map(col): _*)
+      .orderBy("__psum_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base
+      .groupBy((group.map(col) :+ col("__psum_bucket")): _*)
+      .agg(sum("__psum_v").as("__psum_btotal"))
+      .withColumn("__psum_offset", sum("__psum_btotal").over(wOffset))
+      .select((group.map(g => col(g).as(s"__psum_g_$g"))
+        :+ col("__psum_bucket").as("__psum_obucket")
+        :+ col("__psum_offset")): _*)
+    val cond = group.map(g => local(g) === offsets(s"__psum_g_$g"))
+      .reduce(_ && _) && local("__psum_bucket") === offsets("__psum_obucket")
+    local
+      .join(broadcast(offsets), cond, "left")
+      .withColumn(out,
+        col("__psum_local") + coalesce(col("__psum_offset"), lit(0)))
+      .drop((Seq("__psum_bucket", "__psum_v", "__psum_local",
+        "__psum_obucket", "__psum_offset") ++ group.map(g => s"__psum_g_$g")): _*)
+  }
 }

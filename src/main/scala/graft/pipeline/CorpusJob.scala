@@ -259,17 +259,19 @@ object CorpusJob {
 
     // 4c. context-window packing (the text_pack_bins contract applied):
     // per-language running token sum, a doc belongs to the bin its FIRST
-    // token lands in. Each doc carries its (lang, bin) assignment into
-    // the output; partitioning by shard (lang) keeps the window scalable.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-                   org.apache.spark.sql.expressions.Window.currentRow)
-    val packed = mixed
-      .withColumn("n_toks", size(TextAnalysis.tokens(col("text"))).cast("long"))
-      .withColumn("bin",
-        floor((sum("n_toks").over(w) - col("n_toks")) / lit(cfg.binTokens)))
-      .drop("n_toks")
+    // token lands in. The running sum is the TWO-PHASE PrefixSum
+    // decomposition over doc_id-range buckets (per-(lang, bucket) local
+    // windows + per-lang exclusive bucket offsets) — bit-identical to the
+    // serial per-lang window, but the dominant language never funnels
+    // through one window task.
+    val packed = graft.operators.PrefixSum.runningSumGrouped(
+        mixed.withColumn("n_toks",
+          size(TextAnalysis.tokens(col("text"))).cast("long")),
+        Seq("lang"),
+        floor(col("doc_id") / lit(graft.queries.TextQueries.PackBucketDocs)),
+        Seq(col("doc_id")), col("n_toks"), "__cum")
+      .withColumn("bin", floor((col("__cum") - col("n_toks")) / lit(cfg.binTokens)))
+      .drop("n_toks", "__cum")
     val nBins = packed.select("lang", "bin").distinct().count()
 
     // 5. deterministic split + 6. idempotent write. The overwrite is

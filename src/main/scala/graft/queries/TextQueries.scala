@@ -161,20 +161,33 @@ object TextQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Bucket width (docs per doc_id range) for the two-phase packing
+    * running sum — the [[graft.operators.PrefixSum.runningSumGrouped]]
+    * decomposition's parallelism lever: a language is processed as
+    * independent ≤4096-doc slices plus one bucket-sized offset scan per
+    * language, so the dominant language of a 100 TB corpus never funnels
+    * through one window task (the round-7 review's one structural
+    * scale-killer — `sum OVER (PARTITION BY lang ORDER BY doc_id)` is a
+    * single task per language, and lang is not a fine shard).
+    */
+  private[graft] val PackBucketDocs = 4096L
+
   /** Context-window packing: concatenate each language's doc stream in
     * doc_id order and cut it every 2048 tokens; a doc belongs to the bin
-    * its FIRST token lands in. The per-lang running sum is the scalable
-    * form — packing partitions by shard (here lang), never a global
-    * order-by-everything window.
+    * its FIRST token lands in. The per-lang running sum is TWO-PHASE
+    * ([[graft.operators.PrefixSum.runningSumGrouped]] over
+    * [[PackBucketDocs]]-doc doc_id ranges): per-(lang, bucket) local
+    * windows + per-lang exclusive bucket offsets — bit-identical to the
+    * serial per-lang window (integer sums, bucket monotone in doc_id)
+    * with no single-task stage anywhere (PlanAuditSpec pins the shape).
     */
   def packBins(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("lang"), col("doc_id"),
               size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
-      .withColumn("cum", sum("n_toks").over(w))
+    graft.operators.PrefixSum.runningSumGrouped(base, Seq("lang"),
+        floor(col("doc_id") / lit(PackBucketDocs)), Seq(col("doc_id")),
+        col("n_toks"), "cum")
       .withColumn("bin", floor((col("cum") - col("n_toks")) / lit(2048L)))
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("bin_toks"),
@@ -186,19 +199,19 @@ object TextQueries {
     * per-doc BPE token counts from [[bpeEncode]] replace whitespace
     * counts — the context-window packing a training pipeline runs AFTER
     * tokenizer training, and the natural consumer of the encode pass.
-    * Same per-language window algebra; the doc relation joins the encode
-    * output (doc-sized), so the only extra cost over [[packBins]] is the
-    * encode pass itself. Token-free docs carry no BPE tokens and fall out
-    * of the encode join — they cannot occupy context-window space.
+    * Same two-phase per-language running-sum algebra; the doc relation
+    * joins the encode output (doc-sized), so the only extra cost over
+    * [[packBins]] is the encode pass itself. Token-free docs carry no BPE
+    * tokens and fall out of the encode join — they cannot occupy
+    * context-window space.
     */
   def packBinsBpe(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val enc = bpeEncode(s, d).select(col("doc_id"), col("n_bpe"))
-    Tables.documents(s, d).select("lang", "doc_id")
+    val base = Tables.documents(s, d).select("lang", "doc_id")
       .join(enc, "doc_id")
-      .withColumn("cum", sum("n_bpe").over(w))
+    graft.operators.PrefixSum.runningSumGrouped(base, Seq("lang"),
+        floor(col("doc_id") / lit(PackBucketDocs)), Seq(col("doc_id")),
+        col("n_bpe"), "cum")
       .withColumn("bin", floor((col("cum") - col("n_bpe")) / lit(2048L)))
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("bin_toks"),

@@ -219,11 +219,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("text_pack_bins: the window and aggregate stay within bounded exchanges") {
+  test("text_pack_bins: two-phase packing — row window is (lang, bucket)-partitioned, no single-partition stage") {
     val plan = finalPlan(TextQueries.packBins(spark, sf()))
-    // lang window shuffle + (lang,bin) agg shuffle + final sort range — and
-    // nothing else (no join, no extra repartition)
-    assert("Exchange".r.findAllIn(plan).size <= 3, plan)
+    // the ROW-level running-sum window must be partitioned by BOTH the
+    // language and the doc_id-range bucket (two attrs precede the order
+    // spec inside windowspecdefinition) — a lang-only partition is the
+    // one-task-per-language scale-killer this decomposition removes
+    assert(("windowspecdefinition\\(lang#\\d+, __psum_bucket#\\d+L?, " +
+      "doc_id#\\d+L? ASC").r.findFirstIn(plan).isDefined, plan)
+    // no stage anywhere funnels to a single partition: the offset scan is
+    // itself partitioned by lang over the bucket-sized aggregate, and the
+    // offsets join back is a broadcast
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 1, plan)
   }
 
   test("c20_merge_upsert: one equi-join, no cartesian, key-pruned scans") {
