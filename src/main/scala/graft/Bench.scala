@@ -145,7 +145,9 @@ object Bench {
     }
     val ratioJson = duckFields.map(_._3).getOrElse("")
     val memoStats = graft.queries.DedupQueries.pairsMemoStats +
-      ",bpe=" + graft.queries.TextQueries.bpeMemoStats
+      ",bpe=" + graft.queries.TextQueries.bpeMemoStats +
+      ",dsir=" + graft.queries.SamplingQueries.dsirMemoStats +
+      ",ann=" + graft.queries.SimilarityQueries.annMemoStats
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$ratioJson,"pairs_memo":"$memoStats","queries":$qs,"spread":$spread,"qmin":$qmin,"sf":"$sfDir"}"""
     // persist the FULL-precision JSON (all queries + spreads) so a
     // truncated log tail can't lose the official numbers (round 2's BENCH

@@ -229,11 +229,24 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
-  test("sharePairs flag yields bit-identical dedup pairs, clusters, sigs, incremental") {
-    import graft.queries.DedupQueries
-    val qs = Seq("dedup_minhash_pairs", "dedup_clusters",
-                 "dedup_minhash_sigs", "dedup_incremental")
-    def run(q: String) = DedupQueries.defs(q)(spark, sf())
+  test("sharePairs flag yields bit-identical results for every share-enabled query") {
+    // EVERY query the bench-only memo family reroutes (tokFrame /
+    // shingleFrame / corpusShingleMasks / simhashFrame / winCache /
+    // bpeTrain / cdcFrame / dsirFeatures / bucketedVecs / minhash
+    // pairs+bands) must produce the same rows flag-on and flag-off — the
+    // bench path of a memoized query is otherwise never correctness-
+    // checked, because Verify runs with the flag off.
+    val qs = Seq(
+      "dedup_minhash_pairs", "dedup_clusters", "dedup_minhash_sigs",
+      "dedup_incremental",
+      "dedup_ngram_pairs", "dedup_containment", "dedup_prefix_pairs",
+      "dedup_spans", "dedup_spans_minimized",
+      "dedup_simhash", "dedup_simhash_pairs",
+      "dedup_cdc_chunks", "dedup_cdc_incremental",
+      "text_bpe_merges", "text_bpe_encode", "text_pack_bins_bpe",
+      "sample_dsir", "sample_dsir_stored",
+      "sim_lsh_ann", "sim_lsh_multiprobe")
+    def run(q: String) = SparkEntry.queries(q)(spark, sf())
       .collect().map(_.toSeq).sortBy(_.mkString("|"))
     val off = qs.map(q => q -> run(q)).toMap
     spark.conf.set("spark.graft.dedup.sharePairs", "true")
