@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,17 +63,19 @@ object Classifier {
     */
   def trainLogreg(dbx: DataFrame, buckets: Int, rounds: Int): DataFrame = {
     val s = dbx.sparkSession
-    // collected ONCE (two scalars): the balanced update divides by each
-    // class count, so a single-class corpus would turn every weight into
-    // floor(NaN) → silent nulls. A mislabeled corpus must fail loudly.
-    val nRow = dbx.agg(
-      countDistinct(when(col("y") === 1L, col("doc_id"))).cast("double").as("npos"),
-      countDistinct(when(col("y") === 0L, col("doc_id"))).cast("double").as("nneg"))
-      .head()
-    val (npos, nneg) = (nRow.getDouble(0), nRow.getDouble(1))
-    require(npos > 0 && nneg > 0,
-      s"trainLogreg needs both classes in the corpus; got npos=$npos nneg=$nneg")
-    val nFrame = s.range(1).select(lit(npos).as("npos"), lit(nneg).as("nneg"))
+    // the balanced update divides by each class count, so a single-class
+    // corpus would turn every weight into floor(NaN) → silent nulls. The
+    // guard is an in-plan raise_error (no extra training-time pass): a
+    // mislabeled corpus fails the first round's job loudly.
+    def positive(c: Column, cls: String): Column =
+      when(c > 0, c).otherwise(raise_error(concat(
+        lit(s"trainLogreg needs both classes in the corpus; $cls count = "),
+        c.cast("string"))))
+    val nFrame = dbx.agg(
+        countDistinct(when(col("y") === 1L, col("doc_id"))).cast("double").as("npos"),
+        countDistinct(when(col("y") === 0L, col("doc_id"))).cast("double").as("nneg"))
+      .select(positive(col("npos"), "positive").as("npos"),
+              positive(col("nneg"), "negative").as("nneg"))
     var w = s.range(0, buckets).select(col("id").cast("long").as("bucket"),
       lit(0L).as("w"))
     val byDoc = Window.partitionBy("doc_id")

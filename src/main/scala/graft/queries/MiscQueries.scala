@@ -526,14 +526,16 @@ object MiscQueries {
     * buffers every value — fine at sf0.1, dead at 100 TB — and a global
     * sort is the thing a 1000-executor job must never do for one scalar.
     * Selection instead: (1) one pass for bounds + count, (2) one
-    * map-side-combined pass builds a [[MedianBins]]-bin INTEGER histogram
-    * (bin = ((v−lo)·B) div (hi−lo+1) — exact arithmetic, no float
-    * binning to diverge), (3) cumulative counts over the bin relation
-    * (≤ 1024 rows) locate the bin(s) holding the middle rank(s), (4) only
-    * THOSE bins' rows — expected n/B of the data — rank within a bounded
-    * window and yield the middle order statistic(s). Skewed data that
-    * piles the corpus into one bin recurses the same histogram inside the
-    * candidate range; one level suffices for anything price-like.
+    * map-side-combined pass per level builds a [[MedianBins]]-bin INTEGER
+    * histogram (bin = ((v−lo)·B) div (hi−lo+1) — exact arithmetic, no
+    * float binning to diverge), (3) cumulative counts over the ≤1024-row
+    * histogram locate the bin holding each middle rank, (4) the selection
+    * RECURSES inside that bin's value range until it either collapses to
+    * a single value or fits a bounded ranking window — so a degenerate
+    * distribution that piles 90% of the corpus into one value can never
+    * funnel ~n rows through a single sort task (the
+    * [[graft.operators.OrderStats]] contract; OrderStatsSpec pins the
+    * heavy-ties bound, and anything price-like finishes in one level).
     *
     * Output is `(n, mid_cents_sum)` — the SUM of the middle order
     * statistic(s) in exact integer cents (two values for even n, one for
@@ -542,35 +544,14 @@ object MiscQueries {
     * different algorithms, one exact integer answer.
     */
   def medianScalable(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = Tables.lineitem(s, d).select(
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
       .localCheckpoint(true)
-    val bounds = v.agg(min("v").as("lo"), max("v").as("hi"),
-      count(lit(1)).as("n"))
-    val binned = v.crossJoin(broadcast(bounds))
-      .select(col("v"), col("n"),
-        expr(s"((v - lo) * $MedianBins) div (hi - lo + 1)").as("bin"))
-    val hist = binned.groupBy("bin").agg(count(lit(1)).as("c"))
-    val cum = hist.withColumn("cumBelow",
-      coalesce(sum("c").over(Window.orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    // the bin(s) containing ranks (n+1) div 2 and n div 2 + 1
-    val sel = cum.crossJoin(broadcast(bounds))
-      .withColumn("k1", expr(s"(n + 1) div 2"))
-      .withColumn("k2", expr(s"n div 2 + 1"))
-      .filter((col("cumBelow") < col("k1")
-          && col("k1") <= col("cumBelow") + col("c"))
-        || (col("cumBelow") < col("k2")
-          && col("k2") <= col("cumBelow") + col("c")))
-      .agg(min("bin").as("blo"), max("bin").as("bhi"),
-        min("cumBelow").as("off"),
-        min("k1").as("k1"), min("k2").as("k2"))
-    binned.crossJoin(broadcast(sel))
-      .filter(col("bin").between(col("blo"), col("bhi")))
-      .withColumn("rn", row_number().over(Window.orderBy("v")) + col("off"))
-      .filter(col("rn") === col("k1") || col("rn") === col("k2"))
-      .agg(min("n").as("n"), sum("v").as("mid_cents_sum"))
+    val (n, vals, _) = graft.operators.OrderStats.selectRanksOf(
+      v, m => Seq((m + 1) / 2, m / 2 + 1).distinct, bins = MedianBins.toInt)
+    val (k1, k2) = ((n + 1) / 2, n / 2 + 1)
+    val mid = if (k1 == k2) vals(k1) else vals(k1) + vals(k2)
+    s.range(1).select(lit(n).as("n"), lit(mid).as("mid_cents_sum"))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

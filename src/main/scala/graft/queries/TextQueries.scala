@@ -581,26 +581,33 @@ object TextQueries {
     * ([[qualityClassifier]]'s model — the shared SQL chain means the two
     * queries cannot train different models), cut the score distribution
     * into quartiles, and keep [[TierRates]] of each tier by
-    * deterministic hash membership. Tiering uses BROADCAST percentile
-    * cuts compared per row — not ntile over a global window, which would
-    * single-partition the corpus; rates compile to exact integer hash
-    * thresholds. Output: per tier, population and kept count.
+    * deterministic hash membership. The quartile cuts are EXACT INTEGER
+    * order statistics (rank ceil(q·n), selected by the
+    * [[graft.operators.OrderStats]] histogram machinery — no
+    * value-buffering `percentile` aggregate, no interpolated double a
+    * cross-engine 1-ulp divergence could flip a boundary score over, no
+    * ntile window single-partitioning the corpus); they compare per row
+    * as literals, and rates compile to exact integer hash thresholds.
+    * Output: per tier, population and kept count.
     */
   def qualityTiers(s: SparkSession, d: String): DataFrame = {
     val db = clfFeatures(s, d)
     val w = Classifier.trainLogreg(db, ClfBuckets, ClfRounds)
     val scored = Classifier.score(db, w)
       .select("doc_id", "score_nano").localCheckpoint(true)
-    val cuts = scored.agg(
-      expr("percentile(score_nano, array(0.25D, 0.5D, 0.75D))").as("c"))
+    val (n, cuts, _) = graft.operators.OrderStats.selectRanksOf(
+      scored.select(col("score_nano").as("v")),
+      m => Seq((m + 3) / 4, (m + 1) / 2, (3 * m + 3) / 4).distinct)
+    val Seq(c1, c2, c3) =
+      Seq((n + 3) / 4, (n + 1) / 2, (3 * n + 3) / 4).map(cuts)
     val thrCase = TierRates.foldRight(lit(0L): Column) { case ((t, f), acc) =>
       when(col("tier") === t, lit(Sampling.threshold(f))).otherwise(acc)
     }
-    scored.crossJoin(broadcast(cuts))
+    scored
       .withColumn("tier", lit(1)
-        + (col("score_nano") > col("c").getItem(0)).cast("int")
-        + (col("score_nano") > col("c").getItem(1)).cast("int")
-        + (col("score_nano") > col("c").getItem(2)).cast("int"))
+        + (col("score_nano") > lit(c1)).cast("int")
+        + (col("score_nano") > lit(c2)).cast("int")
+        + (col("score_nano") > lit(c3)).cast("int"))
       .groupBy("tier")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(Sampling.hash60(col("doc_id"), "qt1") < thrCase, 1L)
@@ -770,21 +777,29 @@ object TextQueries {
          |FROM b JOIN w$ClfRounds ON b.bucket = w$ClfRounds.bucket
          |GROUP BY b.doc_id, b.y ORDER BY b.doc_id""".stripMargin,
     "text_quality_tiers" -> {
-      val Seq(t1, t2, t3) = Seq(0, 1, 2).map(i => s"cut.c[${i + 1}]")
       val keepCase = TierRates.map { case (t, f) =>
         s"WHEN $t THEN ${graft.operators.Sampling.threshold(f)}"
       }.mkString("CASE tier ", " ", " ELSE 0 END")
+      // quartile cuts as exact integer order statistics at rank ceil(q·n)
+      // — the OrderStats selection rule restated by global sort, no
+      // interpolated quantile to diverge at a boundary score
       s"""WITH $clfChainSql,
          |sc AS (
          |  SELECT b.doc_id, CAST(sum(b.xm * w$ClfRounds.w) AS BIGINT) AS score_nano
          |  FROM b JOIN w$ClfRounds ON b.bucket = w$ClfRounds.bucket
          |  GROUP BY b.doc_id),
-         |cut AS (SELECT quantile_cont(score_nano, [0.25, 0.5, 0.75]) AS c FROM sc),
+         |cut AS (
+         |  SELECT max(CASE WHEN rn = (cnt + 3) // 4 THEN score_nano END) AS c1,
+         |         max(CASE WHEN rn = (cnt + 1) // 2 THEN score_nano END) AS c2,
+         |         max(CASE WHEN rn = (3 * cnt + 3) // 4 THEN score_nano END) AS c3
+         |  FROM (SELECT score_nano,
+         |          row_number() OVER (ORDER BY score_nano) AS rn,
+         |          count(*) OVER () AS cnt FROM sc) t),
          |tiers AS (
          |  SELECT sc.doc_id,
-         |    1 + CAST(sc.score_nano > $t1 AS INTEGER)
-         |      + CAST(sc.score_nano > $t2 AS INTEGER)
-         |      + CAST(sc.score_nano > $t3 AS INTEGER) AS tier
+         |    1 + CAST(sc.score_nano > cut.c1 AS INTEGER)
+         |      + CAST(sc.score_nano > cut.c2 AS INTEGER)
+         |      + CAST(sc.score_nano > cut.c3 AS INTEGER) AS tier
          |  FROM sc, cut)
          |SELECT CAST(tier AS BIGINT) AS tier, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(CASE WHEN ${h60sql("qt1", "doc_id")} < $keepCase

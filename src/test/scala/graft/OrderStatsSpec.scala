@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.OrderStats
+import org.apache.spark.sql.functions._
+
+/** Exact-selection contract: values match a sorted reference at every
+  * probed rank, and NO stage sorts more than `sortCap` rows even when the
+  * distribution piles most of the relation onto one value — the
+  * heavy-ties degeneracy the round-7 review flagged for the histogram
+  * median (a 90%-tie column used to funnel ~n rows through the one
+  * candidate-bin ranking window).
+  */
+class OrderStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ref(xs: Seq[Long], r: Long): Long = xs.sorted.apply((r - 1).toInt)
+
+  test("selected ranks equal the sorted reference on mixed data") {
+    val xs = (1 to 5000).map(i => ((i * 2654435761L) % 100000L) - 50000L)
+    val df = xs.toDF("v").repartition(7).localCheckpoint(true)
+    val ranks = Seq(1L, 2L, 1250L, 2500L, 2501L, 4999L, 5000L)
+    val (got, _) = OrderStats.selectRanks(df, ranks)
+    ranks.foreach(r => assert(got(r) === ref(xs.map(identity), r), s"rank $r"))
+  }
+
+  test("90%-tie column: correct values, no sort ever exceeds the cap") {
+    // 90% of the relation is one value sitting ON the median — the
+    // degenerate case where one histogram bin holds ~n rows
+    val xs = Seq.fill(9000)(77L) ++ (1 to 500).map(i => i.toLong) ++
+      (1 to 500).map(i => 1000000L + i)
+    val df = xs.toDF("v").repartition(7).localCheckpoint(true)
+    val n = xs.length.toLong
+    val ranks = Seq((n + 1) / 2, n / 2 + 1, (n + 3) / 4, (3 * n + 3) / 4)
+    val (got, stats) = OrderStats.selectRanks(df, ranks.distinct, sortCap = 64)
+    ranks.foreach(r => assert(got(r) === ref(xs, r), s"rank $r"))
+    // the tie value resolves by RANGE COLLAPSE (lo == hi), never by
+    // sorting the tie run; only sub-cap remnants may touch a window
+    assert(stats.maxSorted <= 64, stats.toString)
+    assert(stats.levels <= 10, stats.toString)
+  }
+
+  test("all-constant column resolves without any sort") {
+    val df = Seq.fill(2000)(42L).toDF("v").localCheckpoint(true)
+    val (got, stats) = OrderStats.selectRanks(df, Seq(1L, 1000L, 2000L), sortCap = 16)
+    assert(got.values.toSet === Set(42L))
+    assert(stats.maxSorted === 0L, stats.toString)
+  }
+
+  test("medianScalable output is consistent with the exact sorted median") {
+    import graft.queries.MiscQueries
+    val out = MiscQueries.medianScalable(spark, sf()).head()
+    val v = Tables.lineitem(spark, sf()).select(
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .as[Long].collect().sorted
+    val n = v.length.toLong
+    val mid =
+      if (n % 2 == 1) v(((n + 1) / 2 - 1).toInt)
+      else v((n / 2 - 1).toInt) + v((n / 2).toInt)
+    assert(out.getLong(0) === n)
+    assert(out.getLong(1) === mid)
+  }
+}
