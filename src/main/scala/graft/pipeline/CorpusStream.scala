@@ -12,8 +12,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   *  1. advances the HEAD state with batch-sized work only — new text/bow
   *     hashes are appended (never rescanned: with the epoch contract that
-  *     batch ids exceed all standing ids, an established min-id keeper can
-  *     never be unseated), batch simhash fingerprints are appended, and
+  *     batch ids exceed all standing ids — ENFORCED per batch against the
+  *     persisted max, see [[ingestUpTo]] — an established min-id keeper
+  *     can never be unseated), batch simhash fingerprints are appended, and
   *     Hamming≤3 edges form from batch-self pairs plus a batch×standing
   *     banded probe ([[Dedup.hammingCrossPairs]]) — the standing side is
   *     never re-paired. Component assignments advance through the
@@ -53,8 +54,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  - the comps table stores one full assignment snapshot per epoch
   *    (derived from the previous epoch's snapshot — never from its own
   *    partial output), because the contraction transition is not
-  *    self-idempotent; superseded epoch partitions are the retention
-  *    lever, dropped like any cold partition;
+  *    self-idempotent; superseded snapshot partitions are dropped by
+  *    [[vacuum]] (run() trims after every committed epoch);
   *  - a replay of an ALREADY-committed epoch (crash after marker, before
   *    the streaming checkpoint commit) is a no-op guard at entry.
   *
@@ -101,36 +102,81 @@ object CorpusStream {
     }
   }
 
-  /** Committed epoch ids (marker rows; duplicates from a replayed marker
-    * append are harmless — reads are distinct/max).
+  /** The committed high-watermark: max committed epoch + max ingested
+    * doc_id, both from the meta marker rows (duplicates from a replayed
+    * marker append are harmless — reads are max aggregates). Because
+    * [[ingestUpTo]] admits ONLY the successor of the current watermark,
+    * the committed set is exactly the contiguous range up to `hwm` — so
+    * every read can filter `epoch <= hwm` (a partition-prunable range
+    * predicate, constant-size no matter how long the stream has run)
+    * instead of an IN-list over every epoch id ever committed, and a
+    * crashed epoch's partial partitions (only ever possible at hwm + 1)
+    * stay invisible.
     */
-  private def committedEpochs(s: SparkSession, n: StateNames): Set[Long] =
-    if (!s.catalog.tableExists(n.meta)) Set.empty
-    else s.table(n.meta).select("epoch").distinct()
-      .collect().map(_.getLong(0)).toSet
+  private final case class Watermark(hwm: Option[Long], maxDocId: Option[Long])
 
-  /** A state table restricted to committed epochs, partition column
-    * dropped — the only read path; half-applied epochs are invisible.
+  private def watermark(s: SparkSession, n: StateNames): Watermark =
+    if (!s.catalog.tableExists(n.meta)) Watermark(None, None)
+    else {
+      val r = s.table(n.meta)
+        .agg(max("epoch").as("h"), max("max_doc_id").as("m")).head()
+      if (r.isNullAt(0)) Watermark(None, None)
+      else Watermark(Some(r.getLong(0)), Some(r.getLong(1)))
+    }
+
+  /** A state table restricted to committed epochs (`epoch <= hwm`),
+    * partition column dropped — the only read path; half-applied epochs
+    * are invisible.
     */
   private def stateTable(s: SparkSession, n: StateNames, table: String,
-                         done: Set[Long], empty: => DataFrame): DataFrame =
-    if (!s.catalog.tableExists(table) || done.isEmpty) empty
+                         wm: Watermark, empty: => DataFrame): DataFrame =
+    if (!s.catalog.tableExists(table) || wm.hwm.isEmpty) empty
     else s.table(table)
-      .filter(col("epoch").isInCollection(done)).drop("epoch")
+      .filter(col("epoch") <= wm.hwm.get).drop("epoch")
 
   /** The comps assignment AS OF the newest committed epoch (full snapshot
     * per epoch — see the crash-consistency note).
     */
-  private def compsAt(s: SparkSession, n: StateNames, done: Set[Long],
+  private def compsAt(s: SparkSession, n: StateNames, wm: Watermark,
                       empty: => DataFrame): DataFrame =
-    if (done.isEmpty || !s.catalog.tableExists(n.comps)) empty
-    else s.table(n.comps).filter(col("epoch") === done.max).drop("epoch")
+    if (wm.hwm.isEmpty || !s.catalog.tableExists(n.comps)) empty
+    else s.table(n.comps).filter(col("epoch") === wm.hwm.get).drop("epoch")
+
+  /** State-retention lever: drop comps snapshot partitions SUPERSEDED by
+    * the committed high-watermark (every read uses only `epoch == hwm`;
+    * older snapshots exist purely as replay targets for their own epoch,
+    * which can no longer run once a later epoch committed). The other
+    * state tables are DATA, not snapshots — every committed epoch's
+    * partition stays live — so comps is the one unbounded-growth surface
+    * a long-running stream has to trim. Safe against a concurrent replay
+    * by the epoch contract: only hwm + 1 can be in flight, and it reads
+    * snapshots at hwm only.
+    */
+  def vacuum(s: SparkSession, n: StateNames): Int = {
+    val wm = watermark(s, n)
+    if (wm.hwm.isEmpty || !s.catalog.tableExists(n.comps)) 0
+    else {
+      val stale = s.table(n.comps).select("epoch").distinct()
+        .filter(col("epoch") < wm.hwm.get)
+        .collect().map(_.getLong(0))
+      stale.foreach(e =>
+        s.sql(s"ALTER TABLE ${n.comps} DROP IF EXISTS PARTITION (epoch = $e)"))
+      stale.length
+    }
+  }
 
   /** Advance the head state with one micro-batch. Epoch contract: `epoch`
-    * strictly exceeds every committed epoch (streaming batchIds do), and
-    * every `doc_id` in `batch` exceeds every id already in the state (the
-    * ingest-order invariant all incremental dedup state here relies on —
-    * it is what makes min-id keepers append-only).
+    * is the SUCCESSOR of the committed high-watermark (streaming batchIds
+    * are), and every `doc_id` in `batch` exceeds every id already in the
+    * state (the ingest-order invariant all incremental dedup state here
+    * relies on — it is what makes min-id keepers append-only). BOTH are
+    * enforced loudly: a gapped epoch would let a later crash's partial
+    * partitions leak under the watermark read rule, and a replayed old
+    * shard (ids at or below the standing max) would silently unseat
+    * nothing — the established min-id keeper would win while the shard's
+    * docs vanished with no error (the round-7 review's silent-violation
+    * finding). The standing max doc_id is persisted per epoch in the meta
+    * marker, so the check survives restarts.
     */
   def ingest(s: SparkSession, batch: DataFrame, n: StateNames,
              epoch: Long): Unit =
@@ -144,16 +190,26 @@ object CorpusStream {
   private[graft] def ingestUpTo(s: SparkSession, batch0: DataFrame,
                                 n: StateNames, epoch: Long,
                                 maxWrites: Int): Unit = {
-    val done = committedEpochs(s, n)
-    if (done.contains(epoch)) return // replay of a committed epoch: no-op
-    require(done.forall(_ < epoch),
-      s"epoch $epoch is not beyond the committed set $done")
+    val wm = watermark(s, n)
+    if (wm.hwm.exists(epoch <= _)) return // replay of a committed epoch: no-op
+    require(wm.hwm.forall(epoch == _ + 1),
+      s"epoch $epoch is not the successor of the committed high-watermark ${wm.hwm.get}")
     val b = batch0.localCheckpoint(true)
+    // ascending-ingest contract, checked against the persisted standing
+    // max (one tiny agg over the checkpointed batch)
+    val ids = b.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
+    val batchMaxId =
+      if (ids.isNullAt(1)) wm.maxDocId.getOrElse(-1L) else ids.getLong(1)
+    if (!ids.isNullAt(0)) wm.maxDocId.foreach(standing =>
+      require(ids.getLong(0) > standing,
+        s"batch min doc_id ${ids.getLong(0)} does not exceed the standing max " +
+          s"$standing — out-of-order ingest would silently lose documents " +
+          "to established min-id keepers"))
     // 1. exact dedup head: one row per NEW text hash, keeper = batch min
     val bh = b.select(col("doc_id"), md5(col("text")).as("h"))
       .groupBy("h").agg(min("doc_id").as("doc_id"))
     val newHashes = bh.join(
-        stateTable(s, n, n.hashes, done, bh.limit(0)).select("h"),
+        stateTable(s, n, n.hashes, wm, bh.limit(0)).select("h"),
         Seq("h"), "left_anti")
       .localCheckpoint(true)
     val exactKeep = b.join(newHashes.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -162,7 +218,7 @@ object CorpusStream {
         md5(concat_ws(" ", sort_array(TextAnalysis.tokens(col("text"))))).as("bh"))
       .groupBy("bh").agg(min("doc_id").as("doc_id"))
     val newBows = bbh.join(
-        stateTable(s, n, n.bows, done, bbh.limit(0)).select("bh"),
+        stateTable(s, n, n.bows, wm, bbh.limit(0)).select("bh"),
         Seq("bh"), "left_anti")
       .localCheckpoint(true)
     val bowKeep = exactKeep
@@ -171,12 +227,12 @@ object CorpusStream {
     // 2. near-dup head: batch fingerprints + edges vs (standing ∪ batch),
     // assignments advanced through the proven contraction transition
     val sim = Dedup.simhash(bowKeep, "doc_id", "text").localCheckpoint(true)
-    val standingSims = stateTable(s, n, n.sims, done, sim.limit(0))
+    val standingSims = stateTable(s, n, n.sims, wm, sim.limit(0))
     val selfEdges = Dedup.hammingPairs(sim, "doc_id", "simhash",
       bits = 60, nBands = 4, maxHamming = 3).select("a", "b")
     val crossEdges = Dedup.hammingCrossPairs(sim, standingSims, "doc_id",
       "simhash", bits = 60, nBands = 4, maxHamming = 3).select("a", "b")
-    val standingComps = compsAt(s, n, done,
+    val standingComps = compsAt(s, n, wm,
       sim.select(col("doc_id"), col("doc_id").as("comp")).limit(0))
     // mergedComps materializes its result eagerly (localCheckpoint)
     val compsSnap = DedupState.mergedComps(s, "doc_id", bowKeep.select("doc_id"),
@@ -196,7 +252,7 @@ object CorpusStream {
     w(writeEpoch(sim, n.sims, epoch))
     w(writeEpoch(blockDelta, n.block, epoch))
     w(writeEpoch(compsSnap, n.comps, epoch))
-    w(appendTable(Seq(epoch).toDF("epoch"), n.meta))
+    w(appendTable(Seq((epoch, batchMaxId)).toDF("epoch", "max_doc_id"), n.meta))
   }
 
   /** Republish the curated corpus snapshot from the standing state: derive
@@ -207,16 +263,16 @@ object CorpusStream {
   def publish(s: SparkSession, n: StateNames, cfg: CorpusJob.Config,
               snapshotRoot: Option[String] = None): (DataFrame, CorpusJob.TailCounts) = {
     Bloom.register(s) // no-op when GraftExtensions installed them already
-    val done = committedEpochs(s, n)
-    require(done.nonEmpty, "publish before any committed ingest epoch")
-    val raw = stateTable(s, n, n.raw, done,
+    val wm = watermark(s, n)
+    require(wm.hwm.nonEmpty, "publish before any committed ingest epoch")
+    val raw = stateTable(s, n, n.raw, wm,
       sys.error("raw state table missing"))
-    val keepers = compsAt(s, n, done, sys.error("comps state table missing"))
+    val keepers = compsAt(s, n, wm, sys.error("comps state table missing"))
       .filter(col("doc_id") === col("comp")).select("doc_id")
     val near = raw.join(keepers, Seq("doc_id"), "left_semi")
     val clean0 = Bloom.decontaminate(
       near.filter(col("doc_id") % 10 =!= 0), md5(col("text")),
-      stateTable(s, n, n.block, done, sys.error("block state table missing")))
+      stateTable(s, n, n.block, wm, sys.error("block state table missing")))
     val res = CorpusJob.curateTail(s, clean0, raw.count(), cfg)
     // optional versioned release: every epoch's snapshot goes through the
     // transactional SnapshotStore swap too — readers follow `_CURRENT` and
@@ -239,6 +295,10 @@ object CorpusStream {
         val s = batch.sparkSession
         ingest(s, batch, n, batchId)
         publish(s, n, cfg, snapshotRoot)
+        // retention: superseded comps snapshots (epochs below the new
+        // watermark) are dead weight once this epoch committed — trim
+        // per batch so state growth is bounded by data, not by snapshots
+        vacuum(s, n)
         ()
       }
       .start()

@@ -35,6 +35,45 @@ class CorpusStreamCrashSpec extends SparkSpec {
       ._1.localCheckpoint(true)
   }
 
+  test("out-of-order batch (ids at or below the standing max) fails loudly") {
+    val n = CorpusStream.names("graft_crash_ooo")
+    CorpusStream.reset(spark, n)
+    CorpusStream.ingest(spark, epochs(1), n, 0L) // ids 80..159 first
+    // a replayed old shard: ids 0..79 sit below the standing max 159 —
+    // admitting it would silently lose every doc to established keepers
+    val e = intercept[IllegalArgumentException] {
+      CorpusStream.ingest(spark, epochs(0), n, 1L)
+    }
+    assert(e.getMessage.contains("does not exceed the standing max"))
+  }
+
+  test("gapped epoch (not the watermark successor) fails loudly") {
+    val n = CorpusStream.names("graft_crash_gap")
+    CorpusStream.reset(spark, n)
+    CorpusStream.ingest(spark, epochs(0), n, 0L)
+    val e = intercept[IllegalArgumentException] {
+      CorpusStream.ingest(spark, epochs(1), n, 2L) // skips epoch 1
+    }
+    assert(e.getMessage.contains("successor"))
+  }
+
+  test("vacuum drops superseded comps snapshots; publish still serves the watermark") {
+    val out = java.nio.file.Files.createTempDirectory("graft-crash-vac").toString
+    val n = CorpusStream.names("graft_crash_vac")
+    CorpusStream.reset(spark, n)
+    epochs.zipWithIndex.foreach { case (b, i) =>
+      CorpusStream.ingest(spark, b, n, i.toLong)
+    }
+    assert(CorpusStream.vacuum(spark, n) === 2) // epochs 0 and 1 superseded
+    assert(CorpusStream.vacuum(spark, n) === 0) // idempotent
+    val eps = spark.table(n.comps).select("epoch").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(eps === Set(2L), eps.toString)
+    val (got, _) = CorpusStream.publish(spark, n,
+      CorpusJob.Config(input = d, out = out))
+    assert(got.exceptAll(cleanOut).isEmpty && cleanOut.exceptAll(got).isEmpty)
+  }
+
   for (cut <- 0 to 7) {
     test(s"replay after a crash $cut/7 writes into epoch 1 converges") {
       val out = java.nio.file.Files.createTempDirectory(s"graft-crash-$cut").toString
