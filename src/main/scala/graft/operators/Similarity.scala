@@ -278,24 +278,28 @@ object Similarity {
   val PqM = 8
   val PqSub = 8
   val PqK = 16
+  val PqKmRounds = 2
 
-  /** Per-subspace PQ codebooks from deterministic in-data seeds (the first
-    * [[PqK]] vectors by id — the [[kmeansFit]] seed convention; a
-    * production deployment would Lloyd-refine each subspace codebook with
-    * the same [[kmeansFit]] machinery, which changes the codebook source
-    * and nothing downstream). Returns, per subspace m, the (codeword id,
-    * Sub-dim sub-vector) list. K tiny rows collect to the driver — the
-    * sanctioned literal-centroid pattern.
+  /** Per-subspace PQ codebooks, LLOYD-REFINED: each of the [[PqM]]
+    * subspaces runs [[kmeansFit]] over the corpus's [[PqSub]]-dim
+    * sub-slices (k = [[PqK]], [[PqKmRounds]] rounds, seeds = the first K
+    * vectors' slices — the standard kmeansFit convention), exactly the
+    * training step Jégou et al.'s product quantizer prescribes. The
+    * round-6dp centroid re-sync makes the refinement oracle-replayable
+    * like every other k-means here, and refinement changes ONLY the
+    * codebook source — [[pqEncode]]/[[pqAdc]] consume the refined
+    * codewords unchanged. Returns, per subspace m, the (codeword id,
+    * Sub-dim sub-vector) list; K tiny rows per subspace collect to the
+    * driver — the sanctioned literal-centroid pattern. (The raw-seed
+    * predecessor capped IVF-PQ recall@5 at 0.4 on the test fixture;
+    * AnnRecallSpec pins the refined floors.)
     */
-  def pqCodebooks(vecs: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
-    val seeds = vecs.filter(col("vec_id") < PqK)
-      .orderBy("vec_id").select("vec_id", "v").collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
-    require(seeds.nonEmpty, s"no codebook seed vectors with vec_id < $PqK")
+  def pqCodebooks(vecs: DataFrame): Seq[Seq[(Int, Seq[Double])]] =
     (0 until PqM).map { m =>
-      seeds.map { case (cid, v) => (cid, v.slice(m * PqSub, (m + 1) * PqSub)) }
+      val sub = vecs.select(col("vec_id"),
+        slice(col("v"), m * PqSub + 1, PqSub).as("v"))
+      kmeansFit(sub, k = PqK, rounds = PqKmRounds, dim = PqSub)
     }
-  }
 
   /** PQ encoding: per subspace, the codeword with the smallest squared L2
     * to the vector's sub-slice (distances rounded to 6 decimals BEFORE the

@@ -58,6 +58,22 @@ object SimilarityQueries {
     }
   }
 
+  /** Lloyd-refined PQ codebooks for the corpus, cached per (session, sf
+    * dir) like every trained index here ([[ivfState]], the stored
+    * classifier/DSIR models): training is 8 subspaces × 2 k-means rounds
+    * — paid once per corpus, then both `sim_pq_ann` and `sim_ivfpq_ann`
+    * encode and scan against the same frozen codebooks, which is exactly
+    * how a production PQ index amortizes its training.
+    */
+  private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[Seq[(Int, Seq[Double])]]]()
+
+  private def pqCbs(s: SparkSession, d: String): Seq[Seq[(Int, Seq[Double])]] = {
+    if (pqCbCache.size > 3) pqCbCache.clear()
+    pqCbCache.computeIfAbsent((s, d), _ =>
+      Similarity.pqCodebooks(prepared(Tables.embeddings(s, d)).select("vec_id", "v")))
+  }
+
   /** C13 — brute-force cosine similarity to vector 0, top-10. */
   def c13(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
@@ -309,7 +325,7 @@ object SimilarityQueries {
     */
   def pqAnn(s: SparkSession, d: String): DataFrame = {
     val vecs = prepared(Tables.embeddings(s, d)).select("vec_id", "v")
-    val cbs = Similarity.pqCodebooks(vecs)
+    val cbs = pqCbs(s, d)
     val codes = Similarity.pqEncode(vecs, cbs).drop("v")
     val q = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -356,7 +372,7 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("sid").as("cell"))
-    val cbs = Similarity.pqCodebooks(vecs)
+    val cbs = pqCbs(s, d)
     // the stored index rows: (vec_id, cell, 8 code bytes) — `v` dropped
     val codes = Similarity.pqEncode(assigned, cbs).drop("v")
     val q = assigned.filter(col("vec_id") < 10)
@@ -564,19 +580,56 @@ object SimilarityQueries {
        |u$n AS (SELECT p.cid, coalesce(m$n.cv, p.cv) AS cv
        |  FROM $prev p LEFT JOIN m$n ON p.cid = m$n.cid)""".stripMargin
 
-  // PQ restated: per subspace m (offset m·8), codeword distances + argmin
-  // (rounded 6dp, tie by codeword id — duckKmAssign's rule per subspace),
-  // then ADC as the explicit left-to-right 8-term sum of rounded
-  // per-subspace distances — the identical double the Spark sum produces
-  private def pqSubDist(vExpr: String, cbExpr: String, m: Int): String = {
+  // PQ restated: per subspace m the corpus sub-slices sl{m} train a
+  // 16-codeword Lloyd codebook (seeds = first-16 slices, PqKmRounds
+  // rounds of duckKmAssign's distance+argmin rule in 8 dims + 6dp-rounded
+  // means, empty codewords keeping their previous value — the identical
+  // algebra kmeansFit runs per subspace), then codes come from the argmin
+  // against the REFINED codebook cbr{m}, and ADC is the explicit
+  // left-to-right 8-term sum of rounded per-subspace distances — the
+  // identical double the Spark sum produces
+  private def pqKmRoundSql(m: Int, r: Int): String = {
+    val prev = s"cb${m}r$r"; val nxt = s"cb${m}r${r + 1}"
+    val S1 = Similarity.PqSub + 1
+    s"""d${m}_$r AS (SELECT s.vec_id, s.v, c.cid,
+       |  round(list_sum(list_transform(range(1, $S1),
+       |    i -> (s.v[i]-c.cv[i])*(s.v[i]-c.cv[i]))), 6) AS dist
+       |  FROM sl$m s, $prev c),
+       |a${m}_$r AS (SELECT vec_id, v, cid AS cluster FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+       |   FROM d${m}_$r) t WHERE rn = 1),
+       |m${m}_$r AS (SELECT cluster AS cid, list(round(mm, 6) ORDER BY i) AS cv FROM
+       |  (SELECT cluster, r.i, avg(v[r.i]) AS mm
+       |   FROM a${m}_$r, range(1, $S1) r(i) GROUP BY cluster, r.i) t
+       |  GROUP BY cluster),
+       |$nxt AS (SELECT p.cid, coalesce(m${m}_$r.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN m${m}_$r ON p.cid = m${m}_$r.cid)""".stripMargin
+  }
+  private def pqTrainCtes: String = (0 until Similarity.PqM).map { m =>
+    val off = m * Similarity.PqSub
+    val rounds = (0 until Similarity.PqKmRounds)
+      .map(r => pqKmRoundSql(m, r)).mkString(",\n")
+    s"""sl$m AS (SELECT vec_id,
+       |  list_transform(range(1, ${Similarity.PqSub + 1}), i -> v[$off + i]) AS v
+       |  FROM e),
+       |cb${m}r0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv
+       |  FROM sl$m WHERE vec_id < ${Similarity.PqK}),
+       |$rounds,
+       |cbr$m AS (SELECT cid AS k, cv AS v FROM cb${m}r${Similarity.PqKmRounds})""".stripMargin
+  }.mkString(",\n")
+  // ADC term for subspace m: full-dim query slice vs the 8-dim refined
+  // codeword joined as cb{m}
+  private def pqAdcTerm(m: Int): String = {
     val off = m * Similarity.PqSub
     s"round(list_sum(list_transform(range(1, ${Similarity.PqSub + 1}), " +
-      s"i -> ($vExpr[$off+i]-$cbExpr[$off+i])*($vExpr[$off+i]-$cbExpr[$off+i]))), 6)"
+      s"i -> (q.qv[$off+i]-cb$m.v[i])*(q.qv[$off+i]-cb$m.v[i]))), 6)"
   }
   private val pqCodeCtes: String = (0 until Similarity.PqM).map { m =>
     s"""dq$m AS (
-       |  SELECT e.vec_id, cb.k, ${pqSubDist("e.v", "cb.v", m)} AS dist
-       |  FROM e, cb),
+       |  SELECT s.vec_id, cb.k,
+       |    round(list_sum(list_transform(range(1, ${Similarity.PqSub + 1}),
+       |      i -> (s.v[i]-cb.v[i])*(s.v[i]-cb.v[i]))), 6) AS dist
+       |  FROM sl$m s, cbr$m cb),
        |cq$m AS (
        |  SELECT vec_id, k AS c$m FROM (
        |    SELECT vec_id, k,
@@ -615,11 +668,11 @@ object SimilarityQueries {
       val codeJoin = (1 until Similarity.PqM)
         .map(m => s"JOIN cq$m USING (vec_id)").mkString(" ")
       val cbJoins = (0 until Similarity.PqM)
-        .map(m => s"JOIN cb cb$m ON cb$m.k = x.c$m").mkString("\n  ")
+        .map(m => s"JOIN cbr$m cb$m ON cb$m.k = x.c$m").mkString("\n  ")
       val adcSum = (0 until Similarity.PqM)
-        .map(m => pqSubDist("q.qv", s"cb$m.v", m)).mkString("\n    + ")
+        .map(pqAdcTerm).mkString("\n    + ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cb AS (SELECT CAST(vec_id AS INTEGER) AS k, v FROM e WHERE vec_id < ${Similarity.PqK}),
+         |$pqTrainCtes,
          |$pqCodeCtes,
          |codes AS (SELECT * FROM cq0 $codeJoin),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
@@ -636,9 +689,9 @@ object SimilarityQueries {
       val codeJoin = (1 until Similarity.PqM)
         .map(m => s"JOIN cq$m USING (vec_id)").mkString(" ")
       val cbJoins = (0 until Similarity.PqM)
-        .map(m => s"JOIN cb cb$m ON cb$m.k = x.c$m").mkString("\n  ")
+        .map(m => s"JOIN cbr$m cb$m ON cb$m.k = x.c$m").mkString("\n  ")
       val adcSum = (0 until Similarity.PqM)
-        .map(m => pqSubDist("q.qv", s"cb$m.v", m)).mkString("\n    + ")
+        .map(pqAdcTerm).mkString("\n    + ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 10),
          |scored AS (
@@ -648,7 +701,7 @@ object SimilarityQueries {
          |  SELECT vec_id, v, sid AS cell FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid ASC) AS rn
          |    FROM scored) t WHERE rn = 1),
-         |cb AS (SELECT CAST(vec_id AS INTEGER) AS k, v FROM e WHERE vec_id < ${Similarity.PqK}),
+         |$pqTrainCtes,
          |$pqCodeCtes,
          |codes AS (SELECT c.*, g.cell
          |          FROM (SELECT * FROM cq0 $codeJoin) c

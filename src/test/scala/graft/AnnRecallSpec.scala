@@ -76,8 +76,9 @@ class AnnRecallSpec extends SparkSpec {
       .select("qid", "vec_id").as[(Long, Long)].collect().toSeq)
     // the production recipe: ADC top-20 shortlist, then exact cosine top-5
     // over the shortlist only — PQ does the memory compression, the exact
-    // pass does the precision; measured 0.32 pure -> 0.54 reranked (0.76
-    // at shortlist 50: the knob is shortlist size, not the code length)
+    // pass does the precision. Lloyd-refined codebooks (round 8) lifted
+    // pure ADC 0.32 -> 0.38 and the rerank 0.54 -> 0.56; the remaining
+    // knob is shortlist size, not the code length
     val cbs = Similarity.pqCodebooks(vecs)
     val codes = Similarity.pqEncode(vecs, cbs)
     val codeCols = (0 until Similarity.PqM).map(m => col(s"c$m"))
@@ -91,9 +92,9 @@ class AnnRecallSpec extends SparkSpec {
         round(Similarity.cosineNative($"v", $"qv"), 4).as("sim"))
       .withColumn("rnk", row_number().over(ws)).filter($"rnk" <= 5)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSeq)
-    assert(pure >= 0.2, s"pure ADC recall@5 = $pure")
+    assert(pure >= 0.3, s"pure ADC recall@5 = $pure")
     assert(reranked >= pure, s"rerank ($reranked) must not lose recall vs ADC ($pure)")
-    assert(reranked >= 0.45, s"reranked recall@5 = $reranked")
+    assert(reranked >= 0.5, s"reranked recall@5 = $reranked")
     info(s"PQ recall@5: pure ADC = $pure, ADC-20 + exact rerank = $reranked")
   }
 
@@ -112,11 +113,11 @@ class AnnRecallSpec extends SparkSpec {
       .sum.toDouble / t5.values.map(_.size).sum
     // the composition does NOT stack losses multiplicatively: cell pruning
     // removes exactly the far-away vectors whose distorted 8-byte codes
-    // pure ADC mis-ranks into the top-5, so measured recall is 0.4 vs pure
-    // PQ's 0.32 — the cell acts as a coarse exact pre-filter. Like pure
-    // PQ, the production precision knob is an exact rerank of the ADC
-    // shortlist (previous test)
-    assert(recall >= 0.3, s"IVF-PQ recall@5 = $recall")
+    // pure ADC mis-ranks into the top-5, so measured recall is 0.42 vs
+    // pure PQ's 0.38 (both on Lloyd-refined codebooks) — the cell acts as
+    // a coarse exact pre-filter. Like pure PQ, the production precision
+    // knob is an exact rerank of the ADC shortlist (previous test)
+    assert(recall >= 0.35, s"IVF-PQ recall@5 = $recall")
     info(s"IVF-PQ recall@5 = $recall")
   }
 
