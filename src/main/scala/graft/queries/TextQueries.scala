@@ -653,9 +653,58 @@ object TextQueries {
     Classifier.score(clfFeaturesOf(batch), s.table(tbl)).orderBy("doc_id")
   }
 
+  /** Classifier EVALUATION against held-out labels — the step an operator
+    * runs before trusting a quality filter at scale: the stored model
+    * ([[clfState]] — trained on the standing corpus only) scores the
+    * held-out batch (doc_id >= split, the leakage-safe boundary every
+    * stored-model query shares), and the score distribution's nine decile
+    * order statistics (exact integers via
+    * [[graft.operators.OrderStats]] — rank ceil(q·n), the
+    * `text_quality_tiers` cut rule) become the swept thresholds. Per
+    * threshold: exact confusion counts at predict-positive = score > thr,
+    * plus precision/recall as exact integer micro-units (floor division;
+    * −1 marks an empty denominator identically on both engines, so no
+    * null-vs-error divergence). Decile thresholds make the sweep
+    * scale-free: each operating point is a fixed keep-rate, not a
+    * score-magnitude guess. ClassifierSpec pins the curve's required
+    * monotonicity (recall non-increasing in the threshold) and that every
+    * row's confusion counts partition the batch.
+    */
+  def clfEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tbl = clfState(s, d)
+    val batch = Tables.documents(s, d)
+      .filter(col("doc_id") >= DedupQueries.splitId(s, d))
+    val scored = Classifier.score(clfFeaturesOf(batch), s.table(tbl))
+      .localCheckpoint(true)
+    val (n, cuts, _) = graft.operators.OrderStats.selectRanksOf(
+      scored.select(col("score_nano").as("v")),
+      m => (1L to 9L).map(q => (q * m + 9) / 10).distinct)
+    val tdf = (1L to 9L).map(q => (q, cuts((q * n + 9) / 10)))
+      .toDF("decile", "thr")
+    scored.crossJoin(broadcast(tdf))
+      .groupBy("decile", "thr")
+      .agg(
+        sum(when(col("y") === 1L && col("score_nano") > col("thr"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0L && col("score_nano") > col("thr"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1L && col("score_nano") <= col("thr"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0L && col("score_nano") <= col("thr"), 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("decile"), col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0, lit(-1L))
+          .otherwise(expr("(tp * 1000000) div (tp + fp)")).as("precision_micro"),
+        when(col("tp") + col("fn") === 0, lit(-1L))
+          .otherwise(expr("(tp * 1000000) div (tp + fn)")).as("recall_micro"))
+      .orderBy("decile")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_classifier" -> (qualityClassifier _),
     "text_clf_stored" -> (clfStored _),
+    "text_clf_eval" -> (clfEval _),
     "text_quality_tiers" -> (qualityTiers _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_pairs" -> (bpePairs _),
@@ -744,6 +793,41 @@ object TextQueries {
        |$rounds""".stripMargin
   }
 
+  /** The stored-model training chain: [[clfChainSql]]'s feature build over
+    * ALL documents, split into standing corpus `b` (doc_id < split — the
+    * relation training reads) and held-out batch `bs` (doc_id >= split —
+    * the relation frozen-weights scoring and evaluation read), then the
+    * same GD rounds over `b` only. Stated ONCE so `text_clf_stored` and
+    * `text_clf_eval` can never train different models (the factored-chain
+    * rule every stored-model oracle here follows).
+    */
+  private def clfStoredChainSql: String = {
+    val rounds = (1 to ClfRounds).map(clfRoundSql).mkString(",\n")
+    s"""tok AS (
+       |  SELECT doc_id,
+       |    CASE WHEN source = '$ClfTarget' THEN 1 ELSE 0 END AS y,
+       |    unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |tfq AS (
+       |  SELECT doc_id, y,
+       |    CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % $ClfBuckets AS bucket,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok WHERE token <> '' GROUP BY doc_id, y, bucket),
+       |allb AS (
+       |  SELECT doc_id, y, bucket,
+       |    (tf * 1000) // sum(tf) OVER (PARTITION BY doc_id) AS xm
+       |  FROM tfq),
+       |b AS (SELECT * FROM allb WHERE doc_id < ${DedupQueries.splitSql}),
+       |bs AS (SELECT * FROM allb WHERE doc_id >= ${DedupQueries.splitSql}),
+       |n AS (SELECT
+       |    CAST(count(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS DOUBLE) AS npos,
+       |    CAST(count(DISTINCT CASE WHEN y = 0 THEN doc_id END) AS DOUBLE) AS nneg
+       |  FROM b),
+       |w0 AS (SELECT CAST(r AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+       |       FROM range(0, $ClfBuckets) t(r)),
+       |$rounds""".stripMargin
+  }
+
   /** One logreg GD round in DuckDB off weight relation w{k−1}: exact
     * integer nano-logit margins → sigmoid → per-doc floor-quantized
     * residual → class-split integer gradients → floored balanced-mean
@@ -806,36 +890,45 @@ object TextQueries {
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM tiers GROUP BY tier ORDER BY tier""".stripMargin
     },
-    "text_clf_stored" -> {
-      val rounds = (1 to ClfRounds).map(clfRoundSql).mkString(",\n")
-      s"""WITH tok AS (
-         |  SELECT doc_id,
-         |    CASE WHEN source = '$ClfTarget' THEN 1 ELSE 0 END AS y,
-         |    unnest(string_split(text, ' ')) AS token
-         |  FROM documents),
-         |tfq AS (
-         |  SELECT doc_id, y,
-         |    CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % $ClfBuckets AS bucket,
-         |    CAST(count(*) AS BIGINT) AS tf
-         |  FROM tok WHERE token <> '' GROUP BY doc_id, y, bucket),
-         |allb AS (
-         |  SELECT doc_id, y, bucket,
-         |    (tf * 1000) // sum(tf) OVER (PARTITION BY doc_id) AS xm
-         |  FROM tfq),
-         |b AS (SELECT * FROM allb WHERE doc_id < ${DedupQueries.splitSql}),
-         |bs AS (SELECT * FROM allb WHERE doc_id >= ${DedupQueries.splitSql}),
-         |n AS (SELECT
-         |    CAST(count(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS DOUBLE) AS npos,
-         |    CAST(count(DISTINCT CASE WHEN y = 0 THEN doc_id END) AS DOUBLE) AS nneg
-         |  FROM b),
-         |w0 AS (SELECT CAST(r AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
-         |       FROM range(0, $ClfBuckets) t(r)),
-         |$rounds
+    "text_clf_stored" ->
+      s"""WITH $clfStoredChainSql
          |SELECT bs.doc_id, CAST(bs.y AS BIGINT) AS y,
          |  CAST(sum(bs.xm * w$ClfRounds.w) AS BIGINT) AS score_nano
          |FROM bs JOIN w$ClfRounds ON bs.bucket = w$ClfRounds.bucket
-         |GROUP BY bs.doc_id, bs.y ORDER BY bs.doc_id""".stripMargin
-    },
+         |GROUP BY bs.doc_id, bs.y ORDER BY bs.doc_id""".stripMargin,
+    "text_clf_eval" ->
+      // thresholds are exact integer order statistics of the held-out
+      // score distribution at rank ceil(q·n) for the nine deciles — the
+      // OrderStats rank rule restated by sort; counts/PR points are exact
+      // integers, with -1 marking an undefined ratio (empty denominator)
+      // identically on both engines
+      s"""WITH $clfStoredChainSql,
+         |sc AS (
+         |  SELECT bs.doc_id, CAST(bs.y AS BIGINT) AS y,
+         |    CAST(sum(bs.xm * w$ClfRounds.w) AS BIGINT) AS score_nano
+         |  FROM bs JOIN w$ClfRounds ON bs.bucket = w$ClfRounds.bucket
+         |  GROUP BY bs.doc_id, bs.y),
+         |rk AS (
+         |  SELECT score_nano, row_number() OVER (ORDER BY score_nano) AS rn,
+         |         count(*) OVER () AS cnt
+         |  FROM sc),
+         |thr AS (
+         |  SELECT d.decile,
+         |    max(CASE WHEN r.rn = (d.decile * r.cnt + 9) // 10
+         |        THEN r.score_nano END) AS thr
+         |  FROM (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS decile) d, rk r
+         |  GROUP BY d.decile),
+         |conf AS (
+         |  SELECT t.decile, t.thr,
+         |    CAST(sum(CASE WHEN sc.y = 1 AND sc.score_nano > t.thr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN sc.y = 0 AND sc.score_nano > t.thr THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN sc.y = 1 AND sc.score_nano <= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN sc.y = 0 AND sc.score_nano <= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM sc, thr t GROUP BY t.decile, t.thr)
+         |SELECT decile, thr, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN -1 ELSE (tp * 1000000) // (tp + fp) END AS precision_micro,
+         |  CASE WHEN tp + fn = 0 THEN -1 ELSE (tp * 1000000) // (tp + fn) END AS recall_micro
+         |FROM conf ORDER BY decile""".stripMargin,
     "text_bpe_merges" -> {
       val rounds = (1 to 3).map(bpeRoundSql).mkString(",\n")
       val rows = (1 to 3).map(r =>

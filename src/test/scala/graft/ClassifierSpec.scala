@@ -101,4 +101,25 @@ class ClassifierSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(w1 === w2)
   }
+
+  test("evaluation curve: counts partition the batch, recall never rises with the threshold") {
+    val rows = TextQueries.defs("text_clf_eval")(spark, sf())
+      .select("decile", "thr", "tp", "fp", "fn", "tn", "recall_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length === 9)
+    val n = rows.head._3 + rows.head._4 + rows.head._5 + rows.head._6
+    rows.foreach { case (dec, _, tp, fp, fn, tn, _) =>
+      assert(tp + fp + fn + tn === n, s"decile $dec counts don't partition the batch")
+    }
+    // thresholds are decile order statistics, so they are non-decreasing,
+    // the predicted-positive set shrinks monotonically, and recall (a
+    // required monotone of the curve) can never rise with the threshold
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"thresholds not sorted at decile ${b._1}")
+      assert(a._3 >= b._3, s"tp rose with the threshold at decile ${b._1}")
+      val (ra, rb) = (a._7, b._7)
+      if (ra >= 0 && rb >= 0)
+        assert(ra >= rb, s"recall rose with the threshold at decile ${b._1}")
+    }
+  }
 }

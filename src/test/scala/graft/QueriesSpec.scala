@@ -145,6 +145,7 @@ class QueriesSpec extends SparkSpec {
     "c28_agg_incremental" -> 150L,
     "text_quality_classifier" -> 500L,
     "text_clf_stored" -> 100L,
+    "text_clf_eval" -> 9L,
     "sample_match_dist" -> 6L,
     "sample_weighted_grouped" -> 50L,
     "text_quality_tiers" -> 4L,
