@@ -261,6 +261,32 @@ object ScaleSmoke {
     require(w10 == wBase,
       "trained classifier weights drifted under pure duplication")
 
+    // two-phase packing ≡ the serial per-language window at 10x — the
+    // PrefixSum decomposition's bit-identity claim exercised where it
+    // matters: the 10x corpus spans many doc_id-range buckets per
+    // language, so per-bucket locals + exclusive offsets actually compose
+    // (the 500-doc fixtures fit one bucket and would vacuously pass)
+    val t0Pack = System.nanoTime()
+    val packTwoPhase = graft.queries.TextQueries.defs("text_pack_bins")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val tPack = (System.nanoTime() - t0Pack) / 1e9
+    val wSerial = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    val packSerial = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("cum", sum("n_toks").over(wSerial))
+      .withColumn("bin", floor((col("cum") - col("n_toks")) / lit(2048L)))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("bin_toks"),
+           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "bin")
+      .collect().map(_.toSeq).toSeq
+    require(packTwoPhase == packSerial,
+      "two-phase packing diverged from the serial per-language window at 10x")
+
     // dedup-state epoch-advance at 10x: standing state = replicas 0..8,
     // DedupState.merge absorbs replica 9. Row-level merge ≡ rebuild is
     // pinned at fixture scale by DedupStateMergeSpec; here the scale
@@ -313,17 +339,17 @@ object ScaleSmoke {
 
     val total = tPairs + tClusters + tNgram + tContain + tSpans + tSpansMin +
       tHeavy + tGraph + tBigram + tPrefix + tTri + tCdc + tPhash + tBpe +
-      tClf + tMerge + tRebuild + tCorpus
+      tClf + tPack + tMerge + tRebuild + tCorpus
     require(total <= budgetSec,
       f"budget blown: pairs $tPairs%.1f + clusters $tClusters%.1f + ngram $tNgram%.1f + " +
         f"containment $tContain%.1f + spans $tSpans%.1f + spans_min $tSpansMin%.1f + " +
         f"heavy $tHeavy%.1f + graph $tGraph%.1f + bigram $tBigram%.1f + " +
         f"prefix $tPrefix%.1f + triangles $tTri%.1f + cdc $tCdc%.1f + " +
-        f"phash $tPhash%.1f + bpe $tBpe%.1f + clf $tClf%.1f + merge $tMerge%.1f + " +
-        f"rebuild $tRebuild%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
+        f"phash $tPhash%.1f + bpe $tBpe%.1f + clf $tClf%.1f + pack $tPack%.1f + " +
+        f"merge $tMerge%.1f + rebuild $tRebuild%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
 
     val json =
-      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"bpe_sec":$tBpe%.2f,"bpe_types":$types10,"clf_sec":$tClf%.2f,"merge_sec":$tMerge%.2f,"rebuild_sec":$tRebuild%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"bpe_sec":$tBpe%.2f,"bpe_types":$types10,"clf_sec":$tClf%.2f,"pack_sec":$tPack%.2f,"merge_sec":$tMerge%.2f,"rebuild_sec":$tRebuild%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
