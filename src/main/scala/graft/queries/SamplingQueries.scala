@@ -300,6 +300,43 @@ object SamplingQueries {
       .orderBy("lang", "doc_id")
   }
 
+  private val DiversePerCell = 20
+
+  /** Cluster-balanced DIVERSITY sampling over the embedding space — the
+    * cluster-then-sample move of semantic-coverage curation (the
+    * SemDeDup/DataComp-style complement to density-following samplers
+    * like [[dsirSample]]): k-means cells partition the corpus
+    * semantically, and every cell contributes the SAME
+    * [[DiversePerCell]]-doc budget in deterministic hash order — so the
+    * sample covers the embedding space instead of mirroring its density,
+    * and a dominant topic cannot crowd the mix. Reuses the shared
+    * deterministic k-means (seeds = first 5 vectors, 2 rounds, round-6dp
+    * re-sync — the `sim_kmeans`/`dedup_semantic` machinery and its
+    * factored oracle chain, so the three queries cannot cluster
+    * differently).
+    *
+    * Scale shape: assignment is a narrow literal-centroid projection
+    * (no join, no shuffle); selection is one window pass partitioned by
+    * cell ([[weightedGrouped]]'s shape) — per-cell budgets never need a
+    * global sort. Determinism: hash order within a cell, vec_id
+    * tie-break.
+    */
+  def diverseSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val vecs = graft.operators.Similarity.prepared(Tables.embeddings(s, d))
+      .select("vec_id", "v")
+    val cents = graft.operators.Similarity.kmeansFit(vecs, k = 5, rounds = 2)
+    graft.operators.Similarity.kmeansAssign(vecs, cents)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .withColumn("__hk", Sampling.hash60(col("vec_id"), "div1"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("cluster").orderBy(asc("__hk"), asc("vec_id"))).cast("long"))
+      .filter(col("rnk") <= DiversePerCell)
+      .select("cluster", "rnk", "vec_id")
+      .orderBy("cluster", "rnk")
+  }
+
   private val MatchShare = 0.10
 
   /** Distribution matching via per-stratum rejection — reshape the corpus
@@ -506,6 +543,7 @@ object SamplingQueries {
     "sample_match_dist" -> (matchDist _),
     "sample_weighted_grouped" -> (weightedGrouped _),
     "sample_dsir_stored" -> (dsirStored _),
+    "sample_diverse" -> (diverseSample _),
   )
 
   private def h60(salt: String, key: String): String =
@@ -690,6 +728,21 @@ object SamplingQueries {
          |               / CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rk
          |  FROM documents WHERE n_chars > 0) t
          |WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
+    "sample_diverse" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seed AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < 5),
+         |${SimilarityQueries.duckKmRound("seed", 1)},
+         |${SimilarityQueries.duckKmRound("u1", 2)},
+         |${SimilarityQueries.duckKmAssign("u2", 3)},
+         |h AS (SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+         |        ${h60("div1", "vec_id")} AS hk
+         |      FROM a3),
+         |r AS (SELECT cluster, vec_id,
+         |        CAST(row_number() OVER (PARTITION BY cluster
+         |          ORDER BY hk ASC, vec_id ASC) AS BIGINT) AS rnk
+         |      FROM h)
+         |SELECT cluster, rnk, vec_id FROM r WHERE rnk <= $DiversePerCell
+         |ORDER BY cluster, rnk""".stripMargin,
     "sample_weighted_grouped" ->
       s"""SELECT lang, doc_id, n_chars FROM (
          |  SELECT lang, doc_id, n_chars,

@@ -530,6 +530,29 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY per language — BPE tokens per whitespace word,
+    * the standard "how well does this tokenizer fit this language" audit
+    * a multilingual pipeline runs after training (a language whose
+    * fertility is far above the corpus mean is being over-fragmented and
+    * will pay more context-window per sentence). One language-sized
+    * aggregate over [[bpeEncode]]'s per-doc totals; the ratio is exact
+    * integer micro-units (floor division — no rounded double for the
+    * engines to disagree on). Shares the factored BPE chain, so it can
+    * never audit a different tokenizer than the one `text_bpe_encode`
+    * applies.
+    */
+  def bpeFertility(s: SparkSession, d: String): DataFrame = {
+    val enc = bpeEncode(s, d).select("doc_id", "n_toks", "n_bpe")
+    Tables.documents(s, d).select("doc_id", "lang")
+      .join(enc, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sum_toks"),
+           sum("n_bpe").as("sum_bpe"))
+      .select(col("lang"), col("n_docs"), col("sum_toks"), col("sum_bpe"),
+        expr("(sum_bpe * 1000000) div sum_toks").as("fertility_micro"))
+      .orderBy("lang")
+  }
+
   private val ClfBuckets = 256
   private val ClfRounds = 3
   private val ClfTarget = "src0"
@@ -709,6 +732,7 @@ object TextQueries {
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_pairs" -> (bpePairs _),
     "text_bpe_encode" -> (bpeEncode _),
+    "text_bpe_fertility" -> (bpeFertility _),
     "text_entropy" -> (entropy _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_bigram_logprob" -> (bigramLogprob _),
@@ -726,6 +750,31 @@ object TextQueries {
     "text_tokcount" -> (tokCount _),
     "text_fingerprint" -> (fingerprint _),
   )
+
+  /** The BPE train + encode chain in DuckDB: corpus word types → 3 merge
+    * rounds → per-type final symbol counts `sc(token, n_sym)` → per-doc
+    * encode totals `a(doc_id, n_toks, n_bpe)`. Stated ONCE so
+    * `text_bpe_encode`, `text_pack_bins_bpe` and `text_bpe_fertility`
+    * can never apply different tokenizers (the factored-chain rule every
+    * trained-model oracle here follows).
+    */
+  private def bpeEncodeChainSql: String = {
+    val rounds = (1 to 3).map(bpeRoundSql).mkString(",\n")
+    s"""tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok WHERE token <> '' GROUP BY token),
+       |pos0 AS (SELECT token, tf, unnest(range(1, len(token) + 1)) AS pos FROM tf),
+       |s1 AS (SELECT token, tf, CAST(pos AS BIGINT) AS pos,
+       |       substring(token, CAST(pos AS INTEGER), 1) AS sym FROM pos0),
+       |$rounds,
+       |sc AS (SELECT token, CAST(count(*) AS BIGINT) AS n_sym FROM s4 GROUP BY token),
+       |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       |       FROM dtok WHERE token <> '' GROUP BY doc_id, token),
+       |a AS (SELECT doc_id, CAST(sum(dt.tf) AS BIGINT) AS n_toks,
+       |             CAST(sum(dt.tf * sc.n_sym) AS BIGINT) AS n_bpe
+       |      FROM dt JOIN sc USING (token) GROUP BY doc_id)""".stripMargin
+  }
 
   /** One BPE round in DuckDB off symbol relation s{r}: pair counts → top
     * merge → run/parity greedy-left application → s{r+1} + vocab v{r}.
@@ -945,26 +994,19 @@ object TextQueries {
          |$rows
          |ORDER BY step""".stripMargin
     },
-    "text_bpe_encode" -> {
-      val rounds = (1 to 3).map(bpeRoundSql).mkString(",\n")
-      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-         |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
-         |       FROM tok WHERE token <> '' GROUP BY token),
-         |pos0 AS (SELECT token, tf, unnest(range(1, len(token) + 1)) AS pos FROM tf),
-         |s1 AS (SELECT token, tf, CAST(pos AS BIGINT) AS pos,
-         |       substring(token, CAST(pos AS INTEGER), 1) AS sym FROM pos0),
-         |$rounds,
-         |sc AS (SELECT token, CAST(count(*) AS BIGINT) AS n_sym FROM s4 GROUP BY token),
-         |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-         |dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-         |       FROM dtok WHERE token <> '' GROUP BY doc_id, token),
-         |a AS (SELECT doc_id, CAST(sum(dt.tf) AS BIGINT) AS n_toks,
-         |             CAST(sum(dt.tf * sc.n_sym) AS BIGINT) AS n_bpe
-         |      FROM dt JOIN sc USING (token) GROUP BY doc_id)
+    "text_bpe_encode" ->
+      s"""WITH $bpeEncodeChainSql
          |SELECT doc_id, n_toks, n_bpe,
          |  round(CAST(n_bpe AS DOUBLE) / CAST(n_toks AS DOUBLE), 4) AS bpe_per_tok
-         |FROM a ORDER BY doc_id""".stripMargin
-    },
+         |FROM a ORDER BY doc_id""".stripMargin,
+    "text_bpe_fertility" ->
+      s"""WITH $bpeEncodeChainSql
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(a.n_toks) AS BIGINT) AS sum_toks,
+         |  CAST(sum(a.n_bpe) AS BIGINT) AS sum_bpe,
+         |  CAST((sum(a.n_bpe) * 1000000) // sum(a.n_toks) AS BIGINT) AS fertility_micro
+         |FROM a JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "text_bpe_pairs" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
@@ -1121,23 +1163,10 @@ object TextQueries {
         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
         |  CAST(max(doc_id) AS BIGINT) AS last_doc
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
-    "text_pack_bins_bpe" -> {
-      val rounds = (1 to 3).map(bpeRoundSql).mkString(",\n")
-      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-         |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
-         |       FROM tok WHERE token <> '' GROUP BY token),
-         |pos0 AS (SELECT token, tf, unnest(range(1, len(token) + 1)) AS pos FROM tf),
-         |s1 AS (SELECT token, tf, CAST(pos AS BIGINT) AS pos,
-         |       substring(token, CAST(pos AS INTEGER), 1) AS sym FROM pos0),
-         |$rounds,
-         |sc AS (SELECT token, CAST(count(*) AS BIGINT) AS n_sym FROM s4 GROUP BY token),
-         |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-         |dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-         |       FROM dtok WHERE token <> '' GROUP BY doc_id, token),
-         |e AS (SELECT doc_id, CAST(sum(dt.tf * sc.n_sym) AS BIGINT) AS n_bpe
-         |      FROM dt JOIN sc USING (token) GROUP BY doc_id),
-         |dl AS (SELECT d.lang, e.doc_id, e.n_bpe
-         |       FROM documents d JOIN e ON d.doc_id = e.doc_id),
+    "text_pack_bins_bpe" ->
+      s"""WITH $bpeEncodeChainSql,
+         |dl AS (SELECT d.lang, a.doc_id, a.n_bpe AS n_bpe
+         |       FROM documents d JOIN a ON d.doc_id = a.doc_id),
          |c AS (SELECT lang, doc_id, n_bpe,
          |        sum(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -1147,8 +1176,7 @@ object TextQueries {
          |  CAST(sum(n_bpe) AS BIGINT) AS bin_toks,
          |  CAST(min(doc_id) AS BIGINT) AS first_doc,
          |  CAST(max(doc_id) AS BIGINT) AS last_doc
-         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
-    },
+         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     "text_vocab_coverage" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq

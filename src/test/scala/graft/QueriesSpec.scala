@@ -146,6 +146,8 @@ class QueriesSpec extends SparkSpec {
     "text_quality_classifier" -> 500L,
     "text_clf_stored" -> 100L,
     "text_clf_eval" -> 9L,
+    "text_bpe_fertility" -> 5L,
+    "sample_diverse" -> 100L,
     "sample_match_dist" -> 6L,
     "sample_weighted_grouped" -> 50L,
     "text_quality_tiers" -> 4L,

@@ -244,6 +244,7 @@ class ScaleOpsSpec extends SparkSpec {
       "dedup_simhash", "dedup_simhash_pairs",
       "dedup_cdc_chunks", "dedup_cdc_incremental",
       "text_bpe_merges", "text_bpe_encode", "text_pack_bins_bpe",
+      "text_bpe_fertility",
       "sample_dsir", "sample_dsir_stored",
       "sim_lsh_ann", "sim_lsh_multiprobe")
     def run(q: String) = SparkEntry.queries(q)(spark, sf())
