@@ -107,6 +107,48 @@ object EventQueries {
         .as("conv_rate"))
   }
 
+  /** C29 — multi-step SEQUENTIAL funnel (view → click → purchase): a user
+    * reaches step k only with an event STRICTLY AFTER their step-(k−1)
+    * timestamp — the ordered-sequence semantics [[c18]]'s single
+    * view→purchase window doesn't state (a purchase before the first
+    * click counts there, not here). Per step: users reaching it and the
+    * step-over-step conversion in exact integer micro-units.
+    *
+    * Scale shape: one user-keyed aggregate per step + one user-keyed join
+    * per transition (shuffle on user_id throughout — co-locates at scale
+    * if events are bucketed by user); the conversion window runs over the
+    * #steps-row summary, never the events. Determinism: min timestamps
+    * and strict `>` comparisons only — no floats anywhere.
+    */
+  def c29(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    def step(prev: DataFrame, evType: String, tPrev: String, tOut: String): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(tPrev))
+        .groupBy("user_id").agg(min("ts").as(tOut))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = step(v, "click", "t1", "t2")
+    val p = step(c, "purchase", "t2", "t3")
+    val counts = Seq((1L, "view", v), (2L, "click", c), (3L, "purchase", p))
+      .map { case (i, t, df) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i).as("step"), lit(t).as("event_type"), col("n_users"))
+      }
+      .reduce(_ unionByName _)
+    // the lag window runs over the 3-row step summary — driver-scale
+    val w = Window.orderBy("step")
+    counts
+      .withColumn("__prev", lag("n_users", 1).over(w))
+      .select(col("step"), col("event_type"), col("n_users"),
+        when(col("__prev").isNull, lit(1000000L))
+          .when(col("__prev") === 0L, lit(-1L))
+          .otherwise(expr("(n_users * 1000000) div __prev")).as("conv_micro"))
+      .orderBy("step")
+  }
+
   /** C19 — DAU and rolling 7-day WAU per day. Distinct users cannot ride a
     * running window (distinct isn't decomposable), so WAU joins the tiny
     * day list to the (day, user) pairs within its 7-day range — a
@@ -193,6 +235,7 @@ object EventQueries {
     "c19_active_users" -> (c19 _),
     "c17_retention" -> (c17 _),
     "c18_funnel" -> (c18 _),
+    "c29_funnel_steps" -> (c29 _),
     "c8_json" -> (c8 _),
     "c8b_from_json" -> (c8b _),
     "c9_tumbling_hour" -> (c9 _),
@@ -202,6 +245,25 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "c29_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+        |n AS (
+        |  SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM v) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p))
+        |SELECT CAST(step AS BIGINT) AS step, event_type,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(CASE WHEN lag(n_users) OVER (ORDER BY step) IS NULL THEN 1000000
+        |    WHEN lag(n_users) OVER (ORDER BY step) = 0 THEN -1
+        |    ELSE (n_users * 1000000) // lag(n_users) OVER (ORDER BY step)
+        |  END AS BIGINT) AS conv_micro
+        |FROM n ORDER BY step""".stripMargin,
     "c26_resample" ->
       """WITH daily AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,

@@ -402,4 +402,23 @@ object GraftAlgoProperties extends Properties("graft.algo") {
           got.getOrElse(i.toLong, Seq.empty) == refCdcChunkMd5s(ts)
         }
     }
+
+  // random multisets (heavy duplication by design: values from a narrow
+  // range) + random rank sets; tiny bins/sortCap force the recursive
+  // histogram path rather than the bounded-sort shortcut
+  property("OrderStats.selectRanks equals the sorted reference on random multisets") =
+    Prop.forAll(for {
+      n <- Gen.chooseNum(1, 400)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L))
+      nr <- Gen.chooseNum(1, 5)
+      ranks <- Gen.listOfN(nr, Gen.chooseNum(1L, n.toLong))
+    } yield (vals, ranks.distinct)) { case (vals, ranks) =>
+      import spark.implicits._
+      val df = vals.toDF("v").repartition(5).localCheckpoint(true)
+      val (got, stats) = graft.operators.OrderStats.selectRanks(
+        df, ranks, bins = 4, sortCap = 8)
+      val sorted = vals.sorted
+      ranks.forall(r => got(r) == sorted((r - 1).toInt)) &&
+        stats.maxSorted <= 8
+    }
 }

@@ -148,6 +148,7 @@ class QueriesSpec extends SparkSpec {
     "text_clf_eval" -> 9L,
     "text_bpe_fertility" -> 5L,
     "sample_diverse" -> 100L,
+    "c29_funnel_steps" -> 3L,
     "sample_match_dist" -> 6L,
     "sample_weighted_grouped" -> 50L,
     "text_quality_tiers" -> 4L,
