@@ -410,6 +410,32 @@ object MiscQueries {
     * aggregates; the grid/share/PSI algebra runs on type×period×10-bin
     * rows. Edges broadcast; nothing corpus-sized shuffles.
     */
+  /** Eval-contamination REPORT per source — the audit behind the
+    * decontamination stage (the oracle-checkable sibling of the Bloom
+    * blocklist path [[graft.pipeline.CorpusJob]] runs): with the shared
+    * eval-set convention (doc_id % 10 == 0, the CorpusStream blocklist
+    * rule), count per source how many TRAINING docs carry a text
+    * byte-identical to some eval doc. Exact md5 equi-join against the
+    * DISTINCT eval-hash relation (eval-sized right side — broadcastable
+    * at any corpus scale); rate in exact integer micro-units. The number
+    * an operator reads before trusting "we decontaminated": which
+    * sources leak eval text, and how much.
+    */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("th"))
+    val ev = docs.filter(col("doc_id") % 10 === 0)
+      .select("th").distinct().withColumn("__e", lit(1))
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .join(ev, Seq("th"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("__e").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        expr("(n_contaminated * 1000000) div n_docs").as("contam_micro"))
+      .orderBy("source")
+  }
+
   def profileDrift(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
@@ -558,6 +584,7 @@ object MiscQueries {
     "profile_median_scalable" -> (medianScalable _),
     "c28_agg_incremental" -> (aggIncremental _),
     "profile_drift" -> (profileDrift _),
+    "profile_contamination" -> (contamination _),
     "profile_anomaly" -> (profileAnomaly _),
     "profile_quantiles" -> (profileQuantiles _),
     "profile_winsorize" -> (winsorize _),
@@ -629,6 +656,17 @@ object MiscQueries {
         |                 ELSE e.value END), 4) AS avg_winsorized
         |FROM events e JOIN b USING (event_type)
         |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
+    "profile_contamination" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS th FROM documents),
+        |ev AS (SELECT DISTINCT th FROM d WHERE doc_id % 10 = 0),
+        |tr AS (SELECT d.source,
+        |         CASE WHEN ev.th IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |       FROM d LEFT JOIN ev ON d.th = ev.th
+        |       WHERE d.doc_id % 10 <> 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(hit) AS BIGINT) AS n_contaminated,
+        |  CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS contam_micro
+        |FROM tr GROUP BY source ORDER BY source""".stripMargin,
     "profile_drift" ->
       """WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
         |bo AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),

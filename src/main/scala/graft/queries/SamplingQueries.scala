@@ -85,6 +85,26 @@ object SamplingQueries {
            sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy("split")
 
+  /** CONTENT-level leakage-safe split — the complement of
+    * [[groupedSplit]]'s origin keying: the split key is the text's md5,
+    * so byte-identical duplicates can NEVER straddle train/test no matter
+    * which sources carried them — exactly the eval contamination a
+    * doc-keyed split invites whenever the corpus still holds exact dups
+    * (and the form a cluster-keyed split takes once near-dup cluster ids
+    * exist: same splitAssign, key = the DedupState comp id). Per split:
+    * docs, distinct texts, and the duplicate surplus the no-straddle
+    * property fences in. One hash projection + one aggregate; no join.
+    */
+  def dedupSplit(s: SparkSession, d: String): DataFrame =
+    Sampling.splitAssign(Tables.documents(s, d), md5(col("text")), Splits,
+        salt = "ds1")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(md5(col("text"))).as("n_texts"))
+      .select(col("split"), col("n_docs"), col("n_texts"),
+        (col("n_docs") - col("n_texts")).as("dup_docs"))
+      .orderBy("split")
+
   /** Exact-size sample: the 40 smallest-hash docs per language — a fixed
     * per-source budget, identical on every run and engine.
     */
@@ -537,6 +557,7 @@ object SamplingQueries {
     "sample_strata" -> (strataSample _),
     "sample_split" -> (splitSample _),
     "sample_split_grouped" -> (groupedSplit _),
+    "sample_split_dedup" -> (dedupSplit _),
     "sample_topk" -> (topkSample _),
     "sample_weighted" -> (weightedSample _),
     "sample_dsir" -> (dsirSample _),
@@ -718,6 +739,17 @@ object SamplingQueries {
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+    },
+    "sample_split_dedup" -> {
+      val Seq(("train", tTrain), ("val", tVal), _) = Sampling.splitBounds(Splits)
+      s"""WITH h AS (SELECT md5(text) AS th FROM documents)
+         |SELECT CASE WHEN ${h60("ds1", "th")} < $tTrain THEN 'train'
+         |            WHEN ${h60("ds1", "th")} < $tVal THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT th) AS BIGINT) AS n_texts,
+         |       CAST(count(*) - count(DISTINCT th) AS BIGINT) AS dup_docs
+         |FROM h GROUP BY 1 ORDER BY split""".stripMargin
     },
     "sample_weighted" ->
       s"""SELECT doc_id, lang, n_chars FROM (

@@ -149,6 +149,8 @@ class QueriesSpec extends SparkSpec {
     "text_bpe_fertility" -> 5L,
     "sample_diverse" -> 100L,
     "c29_funnel_steps" -> 3L,
+    "sample_split_dedup" -> 3L,
+    "profile_contamination" -> 18L,
     "sample_match_dist" -> 6L,
     "sample_weighted_grouped" -> 50L,
     "text_quality_tiers" -> 4L,
