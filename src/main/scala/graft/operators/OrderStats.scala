@@ -121,4 +121,118 @@ object OrderStats {
     }
     (n, resolved, Stats(levels, maxSorted))
   }
+
+  /** Per-GROUP exact order statistics, all groups advancing together:
+    * `values` carries (g: string, v: long); `ranksOf(g, n_g)` names each
+    * group's 1-based target ranks. Each level costs ONE filtered scan +
+    * ONE (g, range, bin) aggregate *regardless of group count* — k groups
+    * pay the same passes as one, which is what makes an exact per-group
+    * median affordable where k separate selections would schedule k× the
+    * jobs. Same guarantees as [[selectRanks]]: ranges collapse on a
+    * single value or finish under a bounded per-group ranking window, so
+    * no stage sorts more than `sortCap` rows of any one group. Driver
+    * bookkeeping is O(groups × open ranges) — the operator is for
+    * LOW-cardinality group keys (event types, languages), the
+    * grouped-scalar profile shape; group count is asserted against
+    * `maxGroups` so a high-cardinality key fails loudly instead of
+    * flooding the driver.
+    *
+    * Returns group → (row count, rank → value).
+    */
+  def selectRanksGrouped(values: DataFrame,
+                         ranksOf: (String, Long) => Seq[Long],
+                         bins: Int = 1024, sortCap: Long = 1L << 17,
+                         maxGroups: Int = 1000): Map[String, (Long, Map[Long, Long])] = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    val v = values.select(col("g").cast("string").as("g"), col("v"))
+    val b0 = v.groupBy("g").agg(min("v").as("lo"), max("v").as("hi"),
+      count(lit(1)).as("n")).collect()
+    require(b0.nonEmpty, "selectRanksGrouped over an empty relation")
+    require(b0.length <= maxGroups,
+      s"${b0.length} groups exceed maxGroups=$maxGroups — this operator is " +
+        "for low-cardinality group keys")
+    def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+    val counts = b0.map(r => r.getString(0) -> r.getLong(3)).toMap
+    var resolved = Map.empty[(String, Long), Long]
+    // open ranges keyed by (group, range id): rid keeps a group's
+    // multiple disjoint ranges separable inside the one batched pass
+    var nextRid = 0L
+    var open: Map[(String, Long), (Long, Long, Long, Long, Seq[Long])] =
+      b0.map { r =>
+        val (g, lo, hi, n) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val ranks = ranksOf(g, n).distinct
+        ranks.foreach(k => require(k >= 1 && k <= n,
+          s"rank $k outside [1, $n] for group $g"))
+        nextRid += 1
+        (g, nextRid) -> (lo, hi, 0L, n, ranks)
+      }.toMap
+    var levels = 0
+    while (open.nonEmpty) {
+      levels += 1
+      require(levels <= 10,
+        s"grouped order-statistic selection failed to converge: ${open.keys}")
+      // 0) collapsed ranges resolve for free
+      val (done, live) = open.partition { case (_, (lo, hi, _, _, _)) => lo == hi }
+      done.foreach { case ((g, _), (lo, _, _, _, ranks)) =>
+        ranks.foreach(k => resolved += (g, k) -> lo)
+      }
+      import values.sparkSession.implicits._
+      // 1) small ranges finish in ONE batched ranking pass: rows join the
+      // range relation on g, window partitions by (g, rid) — each
+      // partition is <= sortCap rows by construction
+      val (small, big) = live.partition { case (_, (_, _, _, cnt, _)) => cnt <= sortCap }
+      if (small.nonEmpty) {
+        val rdf = small.toSeq.map { case ((g, rid), (lo, hi, off, _, _)) =>
+          (g, rid, lo, hi, off)
+        }.toDF("g", "__rid", "__lo", "__hi", "__off")
+        val tdf = small.toSeq.flatMap { case ((g, rid), (_, _, _, _, ranks)) =>
+          ranks.map(k => (g, rid, k))
+        }.toDF("__tg", "__trid", "__k")
+        val w = Window.partitionBy("g", "__rid").orderBy("v")
+        v.join(broadcast(rdf), Seq("g"))
+          .filter(col("v").between(col("__lo"), col("__hi")))
+          .withColumn("__rn", row_number().over(w).cast("long") + col("__off"))
+          .join(broadcast(tdf), col("g") === col("__tg") &&
+            col("__rid") === col("__trid") && col("__rn") === col("__k"))
+          .select(col("g"), col("__k"), col("v"))
+          .collect()
+          .foreach(r => resolved += (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      }
+      // 2) big ranges histogram in ONE batched (g, rid, bin) aggregate
+      open =
+        if (big.isEmpty) Map.empty
+        else {
+          val rdf = big.toSeq.map { case ((g, rid), (lo, hi, _, _, _)) =>
+            (g, rid, lo, hi)
+          }.toDF("g", "__rid", "__lo", "__hi")
+          val hist = v.join(broadcast(rdf), Seq("g"))
+            .filter(col("v").between(col("__lo"), col("__hi")))
+            .select(col("g"), col("__rid"),
+              expr(s"((v - __lo) * $bins) div (__hi - __lo + 1)").as("__bin"))
+            .groupBy("g", "__rid", "__bin").agg(count(lit(1)).as("__c"))
+            .collect()
+            .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+            .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sortBy(_._1) }
+          big.toSeq.flatMap { case (key @ (g, _), (lo, hi, off, cnt, ranks)) =>
+            val w = hi - lo + 1
+            var cum = 0L
+            val cumBelow = hist(key).map { case (b, c) =>
+              val t = (b, c, cum); cum += c; t
+            }
+            ranks.groupBy { k =>
+              cumBelow.find(t => t._3 < k - off && k - off <= t._3 + t._2)
+                .getOrElse(sys.error(s"rank ${k - off} outside histogram of $cnt rows ($g)"))
+            }.map { case ((b, c, cb), rr) =>
+              nextRid += 1
+              (g, nextRid) -> (lo + ceilDiv(b * w, bins),
+                lo + ceilDiv((b + 1) * w, bins) - 1, off + cb, c, rr)
+            }
+          }.toMap
+        }
+    }
+    b0.map { r =>
+      val g = r.getString(0)
+      g -> (counts(g), resolved.collect { case ((`g`, k), value) => k -> value })
+    }.toMap
+  }
 }

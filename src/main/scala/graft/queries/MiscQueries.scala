@@ -580,8 +580,38 @@ object MiscQueries {
     s.range(1).select(lit(n).as("n"), lit(mid).as("mid_cents_sum"))
   }
 
+  /** EXACT per-group median — [[medianScalable]] generalized across the
+    * event types in one shot via
+    * [[graft.operators.OrderStats.selectRanksGrouped]]: every group's
+    * selection advances through the SAME batched histogram passes (one
+    * filtered scan + one (group, range, bin) aggregate per level, however
+    * many groups there are), so k exact medians cost the passes of one —
+    * the grouped-scalar profile a 100 TB pipeline wants instead of k
+    * value-buffering `percentile` calls or one global sort per group.
+    * Values are floor(value·10⁴) integer deci-milli-units (floor of an
+    * IEEE product — identical on both engines, no decimal-cast
+    * half-boundary to diverge on); output = the sum of each group's
+    * middle order statistic(s), no interpolation float. The oracle sorts
+    * per group — two algorithms, one exact integer answer.
+    */
+  def medianByType(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("g"),
+        floor(col("value") * 10000).cast("long").as("v"))
+      .localCheckpoint(true)
+    val res = graft.operators.OrderStats.selectRanksGrouped(
+      v, (_, n) => Seq((n + 1) / 2, n / 2 + 1).distinct)
+    res.toSeq.sortBy(_._1).map { case (g, (n, vals)) =>
+      val (k1, k2) = ((n + 1) / 2, n / 2 + 1)
+      (g, n, if (k1 == k2) vals(k1) else vals(k1) + vals(k2))
+    }.toDF("event_type", "n", "mid_dmilli_sum")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_median_scalable" -> (medianScalable _),
+    "profile_median_by_type" -> (medianByType _),
     "c28_agg_incremental" -> (aggIncremental _),
     "profile_drift" -> (profileDrift _),
     "profile_contamination" -> (contamination _),
@@ -656,6 +686,19 @@ object MiscQueries {
         |                 ELSE e.value END), 4) AS avg_winsorized
         |FROM events e JOIN b USING (event_type)
         |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
+    "profile_median_by_type" ->
+      """WITH c AS (
+        |  SELECT event_type AS g, CAST(floor(value * 10000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM c)
+        |SELECT g AS event_type, CAST(min(n) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS mid_dmilli_sum
+        |FROM r WHERE rn IN ((n + 1) // 2, n // 2 + 1)
+        |GROUP BY g ORDER BY g""".stripMargin,
     "profile_contamination" ->
       """WITH d AS (SELECT doc_id, source, md5(text) AS th FROM documents),
         |ev AS (SELECT DISTINCT th FROM d WHERE doc_id % 10 = 0),

@@ -46,6 +46,22 @@ class OrderStatsSpec extends SparkSpec {
     assert(stats.maxSorted === 0L, stats.toString)
   }
 
+  test("grouped selection: per-group medians match sorted references, tie-heavy group included") {
+    val xs = Seq.fill(3000)(("a", 7L)) ++ (1 to 500).map(i => ("a", i.toLong)) ++
+      (1 to 700).map(i => ("b", (i * 3 - 900).toLong)) ++ Seq(("c", 42L))
+    val df = xs.toDF("g", "v").repartition(7).localCheckpoint(true)
+    val res = OrderStats.selectRanksGrouped(df,
+      (_, n) => Seq((n + 1) / 2, n / 2 + 1).distinct, sortCap = 64)
+    Seq("a", "b", "c").foreach { g =>
+      val vs = xs.filter(_._1 == g).map(_._2).sorted
+      val n = vs.length.toLong
+      val (gotN, vals) = res(g)
+      assert(gotN === n, s"group $g count")
+      assert(vals((n + 1) / 2) === vs(((n + 1) / 2 - 1).toInt), s"group $g k1")
+      assert(vals(n / 2 + 1) === vs((n / 2).toInt), s"group $g k2")
+    }
+  }
+
   test("medianScalable output is consistent with the exact sorted median") {
     import graft.queries.MiscQueries
     val out = MiscQueries.medianScalable(spark, sf()).head()

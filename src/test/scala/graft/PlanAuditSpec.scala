@@ -527,6 +527,25 @@ class PlanAuditSpec extends SparkSpec {
   // histograms, so there is no single plan to audit; the heavy-ties pin
   // asserts no stage ever sorts more than the cap).
 
+  test("c29_funnel_steps: step transitions are user-keyed equi-joins, no cartesian") {
+    val plan = finalPlan(EventQueries.c29(spark, sf()))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // two step-transition joins (view→click, click→purchase), each a
+    // user_id equi-join of some shape — never a nested loop
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).size >= 2, plan)
+  }
+
+  test("profile_contamination: the eval-hash relation broadcasts, the corpus never shuffles onto it") {
+    val plan = finalPlan(MiscQueries.contamination(spark, sf()))
+    // the distinct eval-hash side is eval-sized — it must ride a
+    // broadcast join; a SortMergeJoin here would shuffle the corpus on
+    // the text hash
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("sample_dsir: model joins broadcast; selection is a TakeOrdered, not a sort") {
     val plan = finalPlan(SamplingQueries.dsirSample(spark, sf()))
     // the 256-row λ relation must ride a broadcast, never shuffle the

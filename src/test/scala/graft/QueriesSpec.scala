@@ -151,6 +151,7 @@ class QueriesSpec extends SparkSpec {
     "c29_funnel_steps" -> 3L,
     "sample_split_dedup" -> 3L,
     "profile_contamination" -> 18L,
+    "profile_median_by_type" -> 5L,
     "sample_match_dist" -> 6L,
     "sample_weighted_grouped" -> 50L,
     "text_quality_tiers" -> 4L,
