@@ -338,6 +338,40 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** PQ ADC shortlist + EXACT rerank — the production precision recipe
+    * AnnRecallSpec measures (recall@5 0.38 pure ADC → 0.56 reranked at
+    * shortlist 20, 0.76 at 50): the 8-byte codes do the memory
+    * compression and the coarse ranking, then ONLY the shortlist's raw
+    * vectors are touched for an exact cosine top-5. At 100 TB that is
+    * the difference between scanning 8 bytes/vector for everything and
+    * 512 bytes/vector for 20 rows per query — the two-tier storage
+    * layout every production PQ deployment runs (codes hot, raw vectors
+    * cold). Shares the cached Lloyd-refined codebooks with
+    * `sim_pq_ann`/`sim_ivfpq_ann`.
+    */
+  def pqRerank(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val vecs = prepared(Tables.embeddings(s, d)).select("vec_id", "v")
+    val cbs = pqCbs(s, d)
+    val codes = Similarity.pqEncode(vecs, cbs)
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val codeCols = (0 until Similarity.PqM).map(m => col(s"c$m"))
+    val wAdc = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
+    val short = codes.crossJoin(broadcast(q))
+      .withColumn("adc", Similarity.pqAdc(col("qv"), codeCols, cbs))
+      .withColumn("__sl", row_number().over(wAdc))
+      .filter(col("__sl") <= 20)
+    val wTop = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    short
+      .select(col("qid"), col("vec_id"),
+        round(cosineNative(col("v"), col("qv")), 4).as("sim"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5)
+      .select("qid", "vec_id", "sim", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
   /** IVF-PQ ANN — the production composition of the two scale legs
     * ([[ivfAnn]] coarse pruning × [[pqAnn]] memory compression): every
     * corpus vector lives in the Voronoi cell of its nearest coarse seed
@@ -540,6 +574,7 @@ object SimilarityQueries {
     "sim_ivfpq_ann" -> (ivfPqAnn _),
     "sim_sparse_topk" -> (sparseTopk _),
     "sim_pq_ann" -> (pqAnn _),
+    "sim_pq_rerank" -> (pqRerank _),
     "c13_cosine_topk" -> (c13 _),
     "sim_kmeans" -> (kmeans _),
     "sim_quant_int8" -> (quantInt8 _),
@@ -684,6 +719,34 @@ object SimilarityQueries {
          |SELECT qid, vec_id, round(adc, 4) AS adc,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS INTEGER) AS rnk
          |FROM adc QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    },
+    "sim_pq_rerank" -> {
+      val codeJoin = (1 until Similarity.PqM)
+        .map(m => s"JOIN cq$m USING (vec_id)").mkString(" ")
+      val cbJoins = (0 until Similarity.PqM)
+        .map(m => s"JOIN cbr$m cb$m ON cb$m.k = x.c$m").mkString("\n  ")
+      val adcSum = (0 until Similarity.PqM)
+        .map(pqAdcTerm).mkString("\n    + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$pqTrainCtes,
+         |$pqCodeCtes,
+         |codes AS (SELECT * FROM cq0 $codeJoin),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT q.qid, x.vec_id, q.qv,
+         |    $adcSum AS adc
+         |  FROM codes x CROSS JOIN q
+         |  $cbJoins),
+         |short AS (
+         |  SELECT qid, vec_id, qv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS sl
+         |    FROM adc) t WHERE sl <= 20),
+         |ex AS (
+         |  SELECT s.qid, s.vec_id, round(${duckCos("e.v", "s.qv")}, 4) AS sim
+         |  FROM short s JOIN e ON s.vec_id = e.vec_id)
+         |SELECT qid, vec_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+         |FROM ex QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin
     },
     "sim_ivfpq_ann" -> {
       val codeJoin = (1 until Similarity.PqM)

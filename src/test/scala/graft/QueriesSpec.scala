@@ -152,6 +152,7 @@ class QueriesSpec extends SparkSpec {
     "sample_split_dedup" -> 3L,
     "profile_contamination" -> 18L,
     "profile_median_by_type" -> 5L,
+    "sim_pq_rerank" -> 50L,
     "sample_match_dist" -> 6L,
     "sample_weighted_grouped" -> 50L,
     "text_quality_tiers" -> 4L,
