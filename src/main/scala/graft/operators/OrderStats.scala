@@ -235,4 +235,70 @@ object OrderStats {
       g -> (counts(g), resolved.collect { case ((`g`, k), value) => k -> value })
     }.toMap
   }
+
+  /** WEIGHTED descending selection — the budget-cut primitive: over rows
+    * (v: long, w: long ≥ 0), find the value `t` of the first row whose
+    * INCLUSIVE cumulative weight in (v DESC) order exceeds `budget`
+    * (ties share one v, so the crossing row's value is order-free), and
+    * `above` = the total weight of rows with v strictly greater than t.
+    * A caller then keeps every row above t plus a deterministic prefix of
+    * the ties at t up to `budget − above` — exactly the "highest-quality
+    * docs until the token budget" cut, located by the same histogram
+    * machinery as [[selectRanks]] (per level: one map-side-combined
+    * (bin → Σw, count) aggregate, driver scans ≤ `bins` rows from the top)
+    * instead of the global sort + running-sum window the naive form pays.
+    * If the whole relation fits the budget, t is the minimum value.
+    * Returns (t, above, diagnostics).
+    */
+  def selectWeightedDesc(values: DataFrame, budget: Long, bins: Int = 1024,
+                         sortCap: Long = 1L << 17): (Long, Long, Stats) = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    require(budget >= 0, s"budget=$budget must be >= 0")
+    val v = values.select(col("v"), col("w"))
+    val b0 = v.agg(min("v").as("lo"), max("v").as("hi"),
+      count(lit(1)).as("n"), sum("w").as("tw")).head()
+    require(!b0.isNullAt(0), "selectWeightedDesc over an empty relation")
+    def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+    // (lo, hi, row count in range, weight strictly above hi, budget left)
+    var range = (b0.getLong(0), b0.getLong(1), b0.getLong(2), 0L,
+      math.min(budget, b0.getLong(3) - 1)) // total ≤ budget ⇒ crossing at min
+    var levels = 0
+    var maxSorted = 0L
+    while (range._1 != range._2 && range._3 > sortCap) {
+      levels += 1
+      require(levels <= 10,
+        s"weighted selection failed to converge: $range")
+      val (lo, hi, _, above, left) = range
+      val width = hi - lo + 1
+      val hist = v.filter(col("v").between(lo, hi))
+        .select(expr(s"((v - $lo) * $bins) div $width").as("bin"), col("w"))
+        .groupBy("bin").agg(sum("w").as("bw"), count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(-_._1) // descending scan from the top bin
+      var acc = 0L
+      val crossed = hist.find { case (_, bw, _) =>
+        val hit = acc + bw > left; if (!hit) acc += bw; hit
+      }.getOrElse(sys.error(
+        s"budget $left not crossed inside range [$lo, $hi] of weight " +
+          s"${hist.map(_._2).sum} — bounds pass disagrees with histogram"))
+      val (b, _, c) = crossed
+      range = (lo + ceilDiv(b * width, bins),
+        lo + ceilDiv((b + 1) * width, bins) - 1, c, above + acc, left - acc)
+    }
+    val (lo, hi, cnt, above, left) = range
+    if (lo == hi) (lo, above, Stats(levels, maxSorted))
+    else {
+      // bounded finish: the crossing row via ONE ≤ sortCap-row window
+      maxSorted = cnt
+      val cum = Window.orderBy(desc("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t = v.filter(col("v").between(lo, hi))
+        .withColumn("__cum", sum("w").over(cum))
+        .filter(col("__cum") > left)
+        .agg(max("v").as("t")).head().getLong(0)
+      val aboveT = v.filter(col("v").between(lo, hi) && col("v") > t)
+        .agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
+      (t, above + aboveT, Stats(levels, maxSorted))
+    }
+  }
 }

@@ -345,6 +345,41 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Fuzzy TRAIN↔EVAL decontamination — the NEAR-duplicate complement of
+    * the byte-identical `profile_contamination` audit and the exact
+    * 8-gram Bloom blocklist (`bloom_decontam`): a training doc that is a
+    * ≥0.7-Jaccard near-duplicate of an eval doc (shared eval convention
+    * doc_id % 10 == 0) leaks the benchmark even when no byte or n-gram
+    * matches exactly — the published contamination studies all flag at
+    * this fuzzy tier, not just exact match. Candidates come from the SAME
+    * minhash bands as the intra-corpus pair census (the factored
+    * `verifiedPairsCtesWith` chain — one notion of "near-duplicate"), but
+    * the band join runs ACROSS the split only: train bands × eval bands,
+    * never train×train or eval×eval, so the probe pays one LSH band probe
+    * against a corpus/10-sized side instead of the full intra-corpus pair
+    * work. Verification is the exact codegen bitset Jaccard. At 100 TB
+    * the eval side is benchmark-sized (thousands of docs) — its band
+    * table broadcasts and the probe is map-side.
+    */
+  def decontamFuzzy(s: SparkSession, d: String): DataFrame = {
+    val (toks, bands) = tokensAndBands(s, d)
+    val entries = bands.select(col("doc_id"), explode(array((0 until K / R).map(j =>
+        struct(lit(j).as("band_idx"), col(s"band$j").as("band_val"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band_idx").as("band_idx"),
+              col("e.band_val").as("band_val"))
+    val tr = entries.filter(col("doc_id") % 10 =!= 0)
+      .toDF("a", "band_idx", "band_val")
+    val ev = entries.filter(col("doc_id") % 10 === 0)
+      .toDF("b", "band_idx", "band_val")
+    val cand = tr.join(ev, Seq("band_idx", "band_val"))
+      .select("a", "b").distinct()
+    Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
+      .filter(col("jaccard") >= 0.7)
+      .select(col("a").as("train_doc"), col("b").as("eval_doc"),
+              round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("train_doc", "eval_doc")
+  }
+
   /** Dedup cluster formation: connected components over the MinHash
     * near-dup pairs; `comp` is the canonical (minimum) doc id of each
     * cluster, `keeper` marks the document a pipeline would retain.
@@ -1189,6 +1224,7 @@ object DedupQueries {
     "dedup_minhash_sigs" -> (minhashSigs _),
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_minhash_est" -> (minhashEst _),
+    "dedup_decontam_fuzzy" -> (decontamFuzzy _),
     "dedup_clusters" -> (clusters _),
     "dedup_clusters_stored" -> (clustersStored _),
     "dedup_clusters_incremental" -> (clustersIncremental _),
@@ -1278,12 +1314,13 @@ object DedupQueries {
        |  FROM sig)""".stripMargin
 
   /** The full verified-pair pipeline (LSH banding → candidate pairs →
-    * exact Jaccard ≥ 0.7) as a CTE chain ending in `vp(a, b, jac)` —
-    * shared verbatim by `dedup_minhash_pairs` and the
-    * [[GraphQueries.domainRank]] edge derivation, so the graph oracle's
-    * notion of "near-duplicate pair" can never drift from the dedup one.
+    * exact Jaccard ≥ 0.7) as a CTE chain ending in `vp(a, b, jac)`, the
+    * candidate-side predicate parametrized: `x.doc_id < y.doc_id` for the
+    * intra-corpus pair census, a cross-split predicate for the fuzzy
+    * decontamination probe. One chain, so no consumer's notion of
+    * "near-duplicate pair" can drift from another's.
     */
-  private[queries] val verifiedPairsCtes: String =
+  private[queries] def verifiedPairsCtesWith(candPred: String): String =
     s"""$sigBandsCtes,
        |bl AS (
        |  SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM bands
@@ -1294,7 +1331,7 @@ object DedupQueries {
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bl x JOIN bl y
        |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-       |   AND x.doc_id < y.doc_id),
+       |   AND $candPred),
        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id),
        |inter AS (
        |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
@@ -1309,6 +1346,9 @@ object DedupQueries {
        |  JOIN sz sa ON i.a = sa.doc_id
        |  JOIN sz sb ON i.b = sb.doc_id
        |  WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.7)""".stripMargin
+
+  private[queries] val verifiedPairsCtes: String =
+    verifiedPairsCtesWith("x.doc_id < y.doc_id")
 
   /** Shared by `dedup_incremental` and `dedup_incremental_stored`: the two
     * queries differ only in WHERE the corpus bands/tokens come from
@@ -1520,6 +1560,10 @@ object DedupQueries {
          |JOIN sig sb ON vp.b = sb.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "dedup_decontam_fuzzy" ->
+      s"""WITH ${verifiedPairsCtesWith("x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0")}
+         |SELECT a AS train_doc, b AS eval_doc, round(jac, 4) AS jaccard
+         |FROM vp ORDER BY train_doc, eval_doc""".stripMargin,
     "dedup_clusters" -> clustersSql,
     // periodic re-clustering from stored state must be ROW-IDENTICAL to
     // the recomputing form — same oracle, so state drift breaks the hash

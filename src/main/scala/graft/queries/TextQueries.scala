@@ -271,6 +271,56 @@ object TextQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** BM25 top-k retrieval (Robertson–Spärck Jones, k1=1.2 b=0.75) — the
+    * "more-like-this" search every corpus-curation console runs: each
+    * query doc (shared sparse-probe convention doc_id % 100 == 0) ranks
+    * every OTHER doc by BM25 over their shared terms, top-5 reported.
+    * Cross-engine determinism: the Lucene-style non-negative idf
+    * ln((2N+2)/(2df+1)) is floor-quantized to integer MICROS per term
+    * (term-cardinality relation — one elementary call per TYPE, never per
+    * posting), and the tf saturation (tf·(k1+1))/(tf + k1(1−b+b·dl/avgdl))
+    * is cleared of floats entirely: with k1=6/5, b=3/4 and avgdl=T/N it
+    * equals 22·T·tf / (10·T·tf + 3·T + 9·dl·N) exactly, realized as one
+    * 64-bit integer division (bounded: 22·T·tf·10⁶ stays in range through
+    * corpus token counts T ≈ 4·10¹¹ at tf ≤ 20 — re-derive before raising
+    * tf caps). Scale shape: the query term set is probe-sized and
+    * BROADCASTS into the posting-list join (an inverted-index probe —
+    * the corpus-sized tf relation is touched once, shuffled never); the
+    * per-(query, doc) sum is map-side-combined; top-5 is a window over
+    * each query's candidate set, partitioned by query_doc.
+    */
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = TextAnalysis.tokenRows(Tables.documents(s, d), "doc_id", "text")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // postings read 3×: dl, df, and the probe
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val bigT = dl.agg(sum("dl")).head().getLong(0)
+    val bigN = Tables.documents(s, d).count()
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("idf_micro",
+        floor(log((lit(2.0) * bigN + lit(2.0))
+          / (col("df").cast("double") * 2.0 + lit(1.0))) * 1e6).cast("long"))
+      .select("token", "idf_micro")
+    val q = tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_doc"), col("token"))
+    val w = Window.partitionBy("query_doc")
+      .orderBy(desc("score_micro"), asc("doc_id"))
+    q.join(tf, Seq("token"))
+      .filter(col("doc_id") =!= col("query_doc"))
+      .join(dl, "doc_id")
+      .join(idf, "token")
+      .withColumn("tffac", expr(
+        s"(22 * ${bigT}L * tf * 1000000L) div " +
+          s"(10 * ${bigT}L * tf + 3 * ${bigT}L + 9 * dl * ${bigN}L)"))
+      .groupBy("query_doc", "doc_id")
+      .agg(expr("sum(idf_micro * tffac) div 1000000").as("score_micro"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("query_doc", "rnk", "doc_id", "score_micro")
+      .orderBy("query_doc", "rnk")
+  }
+
   /** Token-distribution entropy per doc, in nats: H = ln(n) − (1/n)·Σ c·ln(c)
     * over within-doc type counts c — the degenerate-generation screen that
     * catches what repetition ratios miss (many distinct tokens, skewed
@@ -639,6 +689,44 @@ object TextQueries {
       .orderBy("tier")
   }
 
+  /** Token-BUDGET quality cut — the FineWeb-style "best docs until the
+    * token budget" selection: score every doc with the trained classifier
+    * (the SHARED chain — this query, `text_quality_classifier` and
+    * `text_quality_tiers` cannot train different models), order by score
+    * descending, and keep documents until their token counts fill 1/5 of
+    * the corpus's total tokens. The naive form is a GLOBAL sort + serial
+    * running-sum window over the corpus — the exact shape the two-phase
+    * packing fix exists to avoid. Here the cut point is LOCATED instead
+    * of sorted: [[graft.operators.OrderStats.selectWeightedDesc]] finds
+    * the crossing score `t` and the token mass strictly above it by
+    * iterative weighted-histogram selection (per level one map-side
+    * aggregate; the driver reads ≤1024 bins), every doc scoring above `t`
+    * is kept outright, and only the TIE SET at `t` pays a running sum —
+    * a grouped two-phase prefix sum, so even a massive tie cannot
+    * serialize one task. Output: per language, docs and tokens selected.
+    */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val db = clfFeatures(s, d)
+    val w = Classifier.trainLogreg(db, ClfBuckets, ClfRounds)
+    val meta = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+    val scored = Classifier.score(db, w).select("doc_id", "score_nano")
+      .join(meta, "doc_id").localCheckpoint(true)
+    val budget = scored.agg(sum("n_toks")).head().getLong(0) / 5
+    val (t, above, _) = graft.operators.OrderStats.selectWeightedDesc(
+      scored.select(col("score_nano").as("v"), col("n_toks").as("w")), budget)
+    val ties = graft.operators.PrefixSum.runningSumGrouped(
+        scored.filter(col("score_nano") === t).withColumn("__g", lit(1)),
+        Seq("__g"), floor(col("doc_id") / lit(PackBucketDocs)),
+        Seq(col("doc_id")), col("n_toks"), "cum")
+      .filter(col("cum") + lit(above) <= lit(budget))
+      .drop("__g", "cum")
+    scored.filter(col("score_nano") > t).unionByName(ties)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sel_toks"))
+      .orderBy("lang")
+  }
+
   /** Persist the quality filter trained on the STANDING corpus
     * (doc_id < splitId) as a catalog table — built once per
     * (session, dir), then only read: the model-deployment half of the
@@ -729,11 +817,13 @@ object TextQueries {
     "text_clf_stored" -> (clfStored _),
     "text_clf_eval" -> (clfEval _),
     "text_quality_tiers" -> (qualityTiers _),
+    "sample_token_budget" -> (tokenBudget _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_pairs" -> (bpePairs _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_bpe_fertility" -> (bpeFertility _),
     "text_entropy" -> (entropy _),
+    "text_bm25_topk" -> (bm25TopK _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_bigram_logprob" -> (bigramLogprob _),
     "text_repetition" -> (repetition _),
@@ -939,6 +1029,29 @@ object TextQueries {
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM tiers GROUP BY tier ORDER BY tier""".stripMargin
     },
+    "sample_token_budget" ->
+      // the budget cut restated as the naive global sort + inclusive
+      // running token sum; the engine LOCATES the crossing score by
+      // weighted histogram selection instead — two algorithms, one set
+      s"""WITH $clfChainSql,
+         |sc AS (
+         |  SELECT b.doc_id, CAST(sum(b.xm * w$ClfRounds.w) AS BIGINT) AS score_nano
+         |  FROM b JOIN w$ClfRounds ON b.bucket = w$ClfRounds.bucket
+         |  GROUP BY b.doc_id),
+         |tk AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |         AS BIGINT) AS n_toks
+         |  FROM documents),
+         |j AS (SELECT sc.doc_id, sc.score_nano, tk.lang, tk.n_toks
+         |      FROM sc JOIN tk USING (doc_id)),
+         |bu AS (SELECT CAST(sum(n_toks) // 5 AS BIGINT) AS budget FROM j),
+         |r AS (SELECT j.*, sum(n_toks) OVER (ORDER BY score_nano DESC, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM j),
+         |sel AS (SELECT r.* FROM r, bu WHERE r.cum <= bu.budget)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS sel_toks
+         |FROM sel GROUP BY lang ORDER BY lang""".stripMargin,
     "text_clf_stored" ->
       s"""WITH $clfStoredChainSql
          |SELECT bs.doc_id, CAST(bs.y AS BIGINT) AS y,
@@ -1033,6 +1146,34 @@ object TextQueries {
         |    - (CAST(micro AS DOUBLE) / 1000000.0) / CAST(n_toks AS DOUBLE), 4)
         |    AS entropy_nats
         |FROM a ORDER BY doc_id""".stripMargin,
+    "text_bm25_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tk WHERE token <> '' GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT CAST(sum(dl) AS BIGINT) AS T,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM documents) AS N
+        |       FROM dl),
+        |idf AS (SELECT token,
+        |    CAST(floor(ln((2.0 * st.N + 2.0) / (2.0 * CAST(df AS DOUBLE) + 1.0))
+        |               * 1000000.0) AS BIGINT) AS idf_micro
+        |  FROM (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token), st),
+        |q AS (SELECT doc_id AS query_doc, token FROM tf WHERE doc_id % 100 = 0),
+        |cand AS (
+        |  SELECT q.query_doc, t.doc_id,
+        |    CAST(sum(i.idf_micro *
+        |      ((22 * st.T * t.tf * 1000000) // (10 * st.T * t.tf + 3 * st.T + 9 * d.dl * st.N)))
+        |      // 1000000 AS BIGINT) AS score_micro
+        |  FROM q
+        |  JOIN tf t ON q.token = t.token AND t.doc_id <> q.query_doc
+        |  JOIN dl d ON t.doc_id = d.doc_id
+        |  JOIN idf i ON q.token = i.token, st
+        |  GROUP BY q.query_doc, t.doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_doc
+        |        ORDER BY score_micro DESC, doc_id) AS rn FROM cand)
+        |SELECT query_doc, CAST(rn AS BIGINT) AS rnk, doc_id, score_micro
+        |FROM r WHERE rn <= 5 ORDER BY query_doc, rnk""".stripMargin,
     "text_unigram_logprob" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -75,4 +75,47 @@ class OrderStatsSpec extends SparkSpec {
     assert(out.getLong(0) === n)
     assert(out.getLong(1) === mid)
   }
+
+  // naive reference for the weighted budget cut: descending sort,
+  // inclusive running weight, the first crossing row's value + the exact
+  // weight strictly above it
+  private def refWeighted(xs: Seq[(Long, Long)], budget: Long): (Long, Long) = {
+    val sorted = xs.sortBy { case (v, _) => (-v, 0L) }
+    var cum = 0L
+    val t = sorted.find { case (_, w) => cum += w; cum > budget }
+      .map(_._1).getOrElse(xs.map(_._1).min)
+    (t, xs.filter(_._1 > t).map(_._2).sum)
+  }
+
+  test("weighted descending selection matches the sorted reference") {
+    val xs = (1 to 4000).map { i =>
+      (((i * 2654435761L) % 997L) - 498L, (i * 40503L) % 37L + 1L)
+    }
+    val df = xs.toDF("v", "w").repartition(7).localCheckpoint(true)
+    val total = xs.map(_._2).sum
+    for (budget <- Seq(0L, 1L, total / 10, total / 3, total - 1, total, total + 50)) {
+      val (t, above, _) = OrderStats.selectWeightedDesc(df, budget)
+      val (rt, rAbove) = refWeighted(xs, budget)
+      assert(t === rt, s"budget $budget threshold")
+      assert(above === rAbove, s"budget $budget above-weight")
+      // the caller contract: everything above t fits, adding the full tie
+      // run would overflow (unless the whole relation fits the budget)
+      assert(above <= budget)
+      val withTies = above + xs.filter(_._1 == t).map(_._2).sum
+      if (budget < total) assert(withTies > budget)
+    }
+  }
+
+  test("weighted selection: 90%-tie weight mass never exceeds the sort cap") {
+    val xs = Seq.fill(9000)((77L, 5L)) ++ (1 to 500).map(i => (i.toLong, 3L)) ++
+      (1 to 500).map(i => (1000000L + i, 2L))
+    val df = xs.toDF("v", "w").repartition(7).localCheckpoint(true)
+    val total = xs.map(_._2).sum
+    val budget = total / 2 // lands inside the 9000-row tie run at 77
+    val (t, above, stats) = OrderStats.selectWeightedDesc(df, budget, sortCap = 64)
+    val (rt, rAbove) = refWeighted(xs, budget)
+    assert(t === rt && above === rAbove)
+    assert(t === 77L) // the crossing really is inside the tie
+    assert(stats.maxSorted <= 64, stats.toString)
+  }
 }

@@ -153,6 +153,9 @@ class QueriesSpec extends SparkSpec {
     "profile_contamination" -> 18L,
     "profile_median_by_type" -> 5L,
     "sim_pq_rerank" -> 50L,
+    "dedup_decontam_fuzzy" -> 8531L,
+    "sample_token_budget" -> 5L,
+    "text_bm25_topk" -> 25L,
     "sample_match_dist" -> 6L,
     "sample_weighted_grouped" -> 50L,
     "text_quality_tiers" -> 4L,
