@@ -271,6 +271,38 @@ object TextQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Cross-document BOILERPLATE census — the C4-style "remove lines seen
+    * in many documents" screen restated for a corpus whose docs are
+    * single-line word streams: a 3-gram shingle occurring in ≥ 5
+    * distinct documents is boilerplate (navigation chrome, license
+    * headers, templated sentences), and a doc's boilerplate RATIO is the
+    * share of its distinct shingles that are boilerplate — the per-source
+    * report an operator reads before adding a boilerplate-strip stage.
+    * Shares [[DedupQueries.shingleFrame]] (the same shingle definition as
+    * the n-gram dedup tier — one notion of "repeated text"). Scale shape:
+    * two map-side-combined aggregates over the shingle stream; the
+    * boilerplate TYPE relation (HAVING df ≥ 5) is vocabulary-sized and
+    * broadcasts into the per-doc flag join; nothing corpus-sized
+    * shuffles twice. Ratios are exact integer milli-units.
+    */
+  def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val shr = DedupQueries.shingleFrame(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val bp = shr.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 5).select(col("g"), lit(1).as("__bp"))
+    val perDoc = shr.join(broadcast(bp), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+           sum(when(col("__bp").isNotNull, 1L).otherwise(0L)).as("n_bp"))
+      .withColumn("bp_milli", expr("(n_bp * 1000) div n_sh"))
+    perDoc.join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_bp").as("bp_shingles"),
+           expr("sum(bp_milli) div count(1)").as("avg_bp_milli"))
+      .orderBy("source")
+  }
+
   /** BM25 top-k retrieval (Robertson–Spärck Jones, k1=1.2 b=0.75) — the
     * "more-like-this" search every corpus-curation console runs: each
     * query doc (shared sparse-probe convention doc_id % 100 == 0) ranks
@@ -824,6 +856,7 @@ object TextQueries {
     "text_bpe_fertility" -> (bpeFertility _),
     "text_entropy" -> (entropy _),
     "text_bm25_topk" -> (bm25TopK _),
+    "text_boilerplate" -> (boilerplate _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_bigram_logprob" -> (bigramLogprob _),
     "text_repetition" -> (repetition _),
@@ -1146,6 +1179,27 @@ object TextQueries {
         |    - (CAST(micro AS DOUBLE) / 1000000.0) / CAST(n_toks AS DOUBLE), 4)
         |    AS entropy_nats
         |FROM a ORDER BY doc_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM documents) t),
+        |shr AS (SELECT doc_id, unnest(sh) AS g FROM d),
+        |bp AS (SELECT g FROM shr GROUP BY g HAVING count(*) >= 5),
+        |pd AS (
+        |  SELECT shr.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+        |    CAST(sum(CASE WHEN bp.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bp
+        |  FROM shr LEFT JOIN bp ON shr.g = bp.g
+        |  GROUP BY shr.doc_id),
+        |pd2 AS (SELECT doc_id, n_sh, n_bp, (n_bp * 1000) // n_sh AS bp_milli FROM pd)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(pd2.n_bp) AS BIGINT) AS bp_shingles,
+        |  CAST(sum(pd2.bp_milli) // count(*) AS BIGINT) AS avg_bp_milli
+        |FROM pd2 JOIN d ON pd2.doc_id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "text_bm25_topk" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -564,4 +564,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("dedup_decontam_fuzzy: the cross-split probe is a banded equi-join, never a cartesian") {
+    val plan = finalPlan(DedupQueries.decontamFuzzy(spark, sf()))
+    // train×eval must pair through the (band_idx, band_val) equi-join —
+    // a cross join with a similarity predicate is the all-pairs shape
+    // this probe exists to avoid at 100 TB
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("text_bm25_topk: the inverted-index probe joins on keys only") {
+    val plan = finalPlan(TextQueries.bm25TopK(spark, sf()))
+    // query terms × postings must be the token equi-join (the probe-sized
+    // side rides a broadcast); dl/idf joins are key joins too
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("text_boilerplate: the boilerplate type relation broadcasts into the flag join") {
+    val plan = finalPlan(TextQueries.boilerplate(spark, sf()))
+    // the df>=10 TYPE relation is vocabulary-sized — it must broadcast;
+    // re-shuffling the corpus shingle stream onto g twice is the failure
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -156,6 +156,7 @@ class QueriesSpec extends SparkSpec {
     "dedup_decontam_fuzzy" -> 8531L,
     "sample_token_budget" -> 5L,
     "text_bm25_topk" -> 25L,
+    "text_boilerplate" -> 20L,
     "sample_match_dist" -> 6L,
     "sample_weighted_grouped" -> 50L,
     "text_quality_tiers" -> 4L,

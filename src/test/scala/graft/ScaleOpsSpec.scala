@@ -240,6 +240,7 @@ class ScaleOpsSpec extends SparkSpec {
       "dedup_minhash_pairs", "dedup_clusters", "dedup_minhash_sigs",
       "dedup_incremental", "dedup_decontam_fuzzy",
       "dedup_ngram_pairs", "dedup_containment", "dedup_prefix_pairs",
+      "text_boilerplate",
       "dedup_spans", "dedup_spans_minimized",
       "dedup_simhash", "dedup_simhash_pairs",
       "dedup_cdc_chunks", "dedup_cdc_incremental",
