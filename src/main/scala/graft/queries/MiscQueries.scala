@@ -436,6 +436,34 @@ object MiscQueries {
       .orderBy("source")
   }
 
+  /** Per-EVAL-DOC n-gram overlap with the training corpus — the
+    * "benchmark contamination percentage" table the GPT-3/PaLM appendices
+    * report: for each eval doc (doc_id % 10 == 0), the share of its
+    * DISTINCT 8-token windows that appear anywhere in training text, in
+    * exact integer milli-units. Where `profile_contamination` counts
+    * byte-identical leaks and `dedup_decontam_fuzzy` flags whole-doc
+    * near-dups, this measures PARTIAL leakage — an eval answer embedded
+    * in a longer training doc moves this number and neither of those.
+    * Reuses the dedup_spans 8-token window convention via
+    * [[DedupQueries.spanWindows]] (one notion of "span"). Scale shape:
+    * distinct + one hash equi-join of the eval-sized gram set against the
+    * training gram relation (partitioned by gram hash — the join never
+    * sees a doc), then a per-doc map-side count.
+    */
+  def evalOverlap(s: SparkSession, d: String): DataFrame = {
+    val spans = DedupQueries.spanWindows(s, d)
+      .select(col("doc_id"), col("span_md5")).distinct()
+    val train = spans.filter(col("doc_id") % 10 =!= 0)
+      .select("span_md5").distinct().withColumn("__t", lit(1))
+    spans.filter(col("doc_id") % 10 === 0)
+      .join(train, Seq("span_md5"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("__t").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .withColumn("overlap_milli", expr("(n_overlap * 1000) div n_grams"))
+      .orderBy("doc_id")
+  }
+
   def profileDrift(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
@@ -615,6 +643,7 @@ object MiscQueries {
     "c28_agg_incremental" -> (aggIncremental _),
     "profile_drift" -> (profileDrift _),
     "profile_contamination" -> (contamination _),
+    "profile_eval_overlap" -> (evalOverlap _),
     "profile_anomaly" -> (profileAnomaly _),
     "profile_quantiles" -> (profileQuantiles _),
     "profile_winsorize" -> (winsorize _),
@@ -699,6 +728,25 @@ object MiscQueries {
         |  CAST(sum(v) AS BIGINT) AS mid_dmilli_sum
         |FROM r WHERE rn IN ((n + 1) // 2, n // 2 + 1)
         |GROUP BY g ORDER BY g""".stripMargin,
+    "profile_eval_overlap" ->
+      // the dedup_spans 8-token window restated (winnowSelCtes' w CTE)
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, md5(array_to_string(toks[i : i+7], ' ')) AS g
+        |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |dg AS (SELECT DISTINCT doc_id, g FROM w),
+        |tr AS (SELECT DISTINCT g FROM dg WHERE doc_id % 10 <> 0),
+        |ev AS (
+        |  SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+        |  FROM dg LEFT JOIN tr ON dg.g = tr.g
+        |  WHERE dg.doc_id % 10 = 0 GROUP BY dg.doc_id)
+        |SELECT doc_id, n_grams, n_overlap,
+        |  CAST((n_overlap * 1000) // n_grams AS BIGINT) AS overlap_milli
+        |FROM ev ORDER BY doc_id""".stripMargin,
     "profile_contamination" ->
       """WITH d AS (SELECT doc_id, source, md5(text) AS th FROM documents),
         |ev AS (SELECT DISTINCT th FROM d WHERE doc_id % 10 = 0),

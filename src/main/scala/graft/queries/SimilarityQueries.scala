@@ -204,6 +204,29 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Recall AUDIT as a first-class query — the number an operator reads
+    * before trusting an approximate index on live data: per query,
+    * |IVF top-3 ∩ exact top-3| under the shared (sim DESC, vec_id) tie
+    * rule, in exact integer milli-units. AnnRecallSpec pins recall floors
+    * on the test fixture; THIS runs the same measurement over whatever
+    * corpus the engine is pointed at (recall decays silently when data
+    * drifts away from the trained cells — the audit catches it, the spec
+    * can't). Composes the two existing queries — the oracle shares the
+    * factored `ivfAnnCtes`, so the audited index cannot drift from
+    * `sim_ivf_ann`'s. Scale: both sides are probe-sized top-k relations;
+    * the join/groupBy run on 3·|queries| rows.
+    */
+  def recallAudit(s: SparkSession, d: String): DataFrame = {
+    val exact = knn(s, d).filter(col("rnk") <= 3).select("qid", "vec_id")
+    val approx = ivfAnn(s, d)
+      .select(col("qid"), col("vec_id"), lit(1).as("__hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall_milli", expr("(n_hit * 1000) div 3"))
+      .orderBy("qid")
+  }
+
   /** FILTERED vector search — the metadata-predicate form every real
     * vector deployment needs ("nearest neighbours with the SAME label":
     * same language, same modality, same tenant): the predicate is pushed
@@ -583,6 +606,7 @@ object SimilarityQueries {
     "sim_lsh_multiprobe" -> (lshMultiprobe _),
     "sim_lsh_banded" -> (lshBanded _),
     "sim_ivf_ann" -> (ivfAnn _),
+    "sim_recall_audit" -> (recallAudit _),
     "sim_ivf_filtered" -> (ivfFiltered _),
   )
 
@@ -671,6 +695,27 @@ object SimilarityQueries {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, k ASC) AS rn
        |    FROM dq$m) t WHERE rn = 1)""".stripMargin
   }.mkString(",\n")
+
+  /** The IVF probe chain (embeddings → 10 seed cells → nearest-cell
+    * assignment → same-cell candidate scoring) as CTEs ending in
+    * `p(qid, vec_id, cell, sim)` — shared by `sim_ivf_ann` and the
+    * `sim_recall_audit` so the audited index can never drift from the
+    * audited query's index.
+    */
+  private def ivfAnnCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, s.sid, round(${duckCos("e.v", "s.sv")}, 4) AS cs
+       |  FROM e, s),
+       |asg AS (
+       |  SELECT vec_id, v, sid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid ASC) AS rn
+       |    FROM scored) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, cell FROM asg WHERE vec_id < 10),
+       |p AS (
+       |  SELECT q.qid, a.vec_id, a.cell, round(${duckCos("a.v", "q.qv")}, 4) AS sim
+       |  FROM asg a JOIN q USING (cell))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "sim_sparse_topk" ->
@@ -845,22 +890,31 @@ object SimilarityQueries {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
          |FROM p QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "sim_ivf_ann" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 10),
-         |scored AS (
-         |  SELECT e.vec_id, e.v, s.sid, round(${duckCos("e.v", "s.sv")}, 4) AS cs
-         |  FROM e, s),
-         |asg AS (
-         |  SELECT vec_id, v, sid AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid ASC) AS rn
-         |    FROM scored) t WHERE rn = 1),
-         |q AS (SELECT vec_id AS qid, v AS qv, cell FROM asg WHERE vec_id < 10),
-         |p AS (
-         |  SELECT q.qid, a.vec_id, a.cell, round(${duckCos("a.v", "q.qv")}, 4) AS sim
-         |  FROM asg a JOIN q USING (cell))
+      s"""WITH $ivfAnnCtes
          |SELECT qid, vec_id, cell, sim,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
          |FROM p QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "sim_recall_audit" ->
+      // the IVF probe chain is the FACTORED ivfAnnCtes — this audit and
+      // `sim_ivf_ann` cannot build different indexes; the exact side is
+      // the brute-force cosine under the same (sim DESC, vec_id) tie rule
+      s"""WITH $ivfAnnCtes,
+         |ivf3 AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM p) t WHERE rn <= 3),
+         |xq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |xp AS (SELECT xq.qid, e.vec_id, round(${duckCos("e.v", "xq.qv")}, 4) AS sim
+         |       FROM e, xq),
+         |x3 AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM xp) t WHERE rn <= 3)
+         |SELECT x3.qid,
+         |  CAST(count(ivf3.vec_id) AS BIGINT) AS n_hit,
+         |  CAST((count(ivf3.vec_id) * 1000) // 3 AS BIGINT) AS recall_milli
+         |FROM x3 LEFT JOIN ivf3 ON x3.qid = ivf3.qid AND x3.vec_id = ivf3.vec_id
+         |GROUP BY x3.qid ORDER BY x3.qid""".stripMargin,
     "sim_ivf_filtered" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
          |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 10),

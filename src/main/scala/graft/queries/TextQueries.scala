@@ -323,25 +323,29 @@ object TextQueries {
     */
   def bm25TopK(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = TextAnalysis.tokenRows(Tables.documents(s, d), "doc_id", "text")
+    val tf0 = TextAnalysis.tokenRows(Tables.documents(s, d), "doc_id", "text")
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // postings read 3×: dl, df, and the probe
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val bigT = dl.agg(sum("dl")).head().getLong(0)
+      .localCheckpoint(true) // read 3×: dl fold, df, and the probe
+    // fold dl INTO the posting rows at posting grain, BEFORE the probe
+    // fan-out — joining dl after the query×posting join would re-touch
+    // every (query, posting) row instead of every posting once
+    val dlW = Window.partitionBy("doc_id")
+    val tf = tf0.withColumn("dl", sum("tf").over(dlW))
+    val bigT = tf0.agg(sum("tf")).head().getLong(0)
     val bigN = Tables.documents(s, d).count()
-    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = tf0.groupBy("token").agg(count(lit(1)).as("df"))
       .withColumn("idf_micro",
         floor(log((lit(2.0) * bigN + lit(2.0))
           / (col("df").cast("double") * 2.0 + lit(1.0))) * 1e6).cast("long"))
       .select("token", "idf_micro")
-    val q = tf.filter(col("doc_id") % 100 === 0)
+    // idf rides the PROBE-sized query side, not the 7M-row joined stream
+    val q = tf0.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("query_doc"), col("token"))
+      .join(idf, "token")
     val w = Window.partitionBy("query_doc")
       .orderBy(desc("score_micro"), asc("doc_id"))
     q.join(tf, Seq("token"))
       .filter(col("doc_id") =!= col("query_doc"))
-      .join(dl, "doc_id")
-      .join(idf, "token")
       .withColumn("tffac", expr(
         s"(22 * ${bigT}L * tf * 1000000L) div " +
           s"(10 * ${bigT}L * tf + 3 * ${bigT}L + 9 * dl * ${bigN}L)"))

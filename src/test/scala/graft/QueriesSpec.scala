@@ -157,6 +157,8 @@ class QueriesSpec extends SparkSpec {
     "sample_token_budget" -> 5L,
     "text_bm25_topk" -> 25L,
     "text_boilerplate" -> 20L,
+    "sim_recall_audit" -> 10L,
+    "profile_eval_overlap" -> 50L,
     "sample_match_dist" -> 6L,
     "sample_weighted_grouped" -> 50L,
     "text_quality_tiers" -> 4L,

@@ -241,7 +241,7 @@ class ScaleOpsSpec extends SparkSpec {
       "dedup_incremental", "dedup_decontam_fuzzy",
       "dedup_ngram_pairs", "dedup_containment", "dedup_prefix_pairs",
       "text_boilerplate",
-      "dedup_spans", "dedup_spans_minimized",
+      "dedup_spans", "dedup_spans_minimized", "profile_eval_overlap",
       "dedup_simhash", "dedup_simhash_pairs",
       "dedup_cdc_chunks", "dedup_cdc_incremental",
       "text_bpe_merges", "text_bpe_encode", "text_pack_bins_bpe",
