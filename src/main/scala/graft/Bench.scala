@@ -146,6 +146,7 @@ object Bench {
     val ratioJson = duckFields.map(_._3).getOrElse("")
     val memoStats = graft.queries.DedupQueries.pairsMemoStats +
       ",bpe=" + graft.queries.TextQueries.bpeMemoStats +
+      ",clf=" + graft.queries.TextQueries.clfMemoStats +
       ",dsir=" + graft.queries.SamplingQueries.dsirMemoStats +
       ",ann=" + graft.queries.SimilarityQueries.annMemoStats
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$ratioJson,"pairs_memo":"$memoStats","queries":$qs,"spread":$spread,"qmin":$qmin,"sf":"$sfDir"}"""

@@ -246,6 +246,7 @@ class ScaleOpsSpec extends SparkSpec {
       "dedup_cdc_chunks", "dedup_cdc_incremental",
       "text_bpe_merges", "text_bpe_encode", "text_pack_bins_bpe",
       "text_bpe_fertility",
+      "text_quality_classifier", "text_quality_tiers", "sample_token_budget",
       "sample_dsir", "sample_dsir_stored",
       "sim_lsh_ann", "sim_lsh_multiprobe")
     def run(q: String) = SparkEntry.queries(q)(spark, sf())
