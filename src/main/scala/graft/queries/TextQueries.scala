@@ -76,6 +76,23 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Language-ID EVALUATION — the confusion matrix between the heuristic's
+    * prediction and the table's labeled language: per (actual, predicted)
+    * cell, doc count. The step an operator runs before trusting the
+    * stopword heuristic as a pipeline filter (the `text_clf_eval` move
+    * applied to the language screen). One map-side-combined groupBy over
+    * a label-cardinality² grid; nothing shuffles at corpus grain.
+    */
+  def langidEval(s: SparkSession, d: String): DataFrame = {
+    val ratio = TextAnalysis.stopwordRatioOf(col("toks"))
+    Tables.documents(s, d)
+      .select(col("lang"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("lang"),
+              when(ratio >= 0.05, "en").otherwise("unk").as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Quality scoring: token counts, avg token length, stopword ratio. */
   def quality(s: SparkSession, d: String): DataFrame = {
     val toks = col("toks")
@@ -899,6 +916,7 @@ object TextQueries {
     "text_vocab_coverage" -> (vocabCoverage _),
     "c12_lang" -> (c12Lang _),
     "text_langid" -> (langId _),
+    "text_langid_eval" -> (langidEval _),
     "text_quality" -> (quality _),
     "text_tokcount" -> (tokCount _),
     "text_fingerprint" -> (fingerprint _),
@@ -1432,6 +1450,16 @@ object TextQueries {
         |            / CAST(len(toks) AS DOUBLE) >= 0.05
         |       THEN 'en' ELSE 'unk' END AS pred_lang
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_langid_eval" ->
+      """WITH t AS (SELECT lang,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |p AS (SELECT lang,
+        |  CASE WHEN CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE)
+        |            / CAST(len(toks) AS DOUBLE) >= 0.05
+        |       THEN 'en' ELSE 'unk' END AS pred_lang
+        |  FROM t)
+        |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, n_chars,
         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)

@@ -261,6 +261,19 @@ object ScaleSmoke {
     require(w10 == wBase,
       "trained classifier weights drifted under pure duplication")
 
+    // eval-overlap replica invariance on the pure-duplication corpus:
+    // Offset is a multiple of 10, so every replica of an eval doc is an
+    // eval doc — the training gram set is then replica-invariant and each
+    // replica's contamination row must equal its base row exactly
+    // (collapsing on doc_id mod Offset lands on exactly the base rows)
+    val ovDistinct = graft.queries.MiscQueries.defs("profile_eval_overlap")(spark, bpeDir)
+      .select((col("doc_id") % Offset).as("bd"), col("n_grams"),
+        col("n_overlap"), col("overlap_milli"))
+      .distinct().count()
+    val ovBase = graft.queries.MiscQueries.defs("profile_eval_overlap")(spark, base).count()
+    require(ovDistinct == ovBase,
+      s"eval-overlap not replica-invariant: $ovDistinct distinct vs $ovBase base rows")
+
     // two-phase packing ≡ the serial per-language window at 10x — the
     // PrefixSum decomposition's bit-identity claim exercised where it
     // matters: the 10x corpus spans many doc_id-range buckets per

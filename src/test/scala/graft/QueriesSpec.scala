@@ -158,6 +158,7 @@ class QueriesSpec extends SparkSpec {
     "text_bm25_topk" -> 25L,
     "text_boilerplate" -> 20L,
     "sim_recall_audit" -> 10L,
+    "text_langid_eval" -> 10L,
     "profile_eval_overlap" -> 50L,
     "sample_match_dist" -> 6L,
     "sample_weighted_grouped" -> 50L,
