@@ -380,6 +380,45 @@ object DedupQueries {
       .orderBy("train_doc", "eval_doc")
   }
 
+  /** The full decontamination VERDICT — all three tiers of the ladder as
+    * one declarative plan, per source: byte-identical text (md5 against
+    * the eval hash set), whole-doc near-duplicate ([[decontamFuzzy]]'s
+    * banded cross-split probe, ≥0.7 Jaccard), and shared-8-gram leakage
+    * (≥1 span window in common with any eval doc — the Bloom blocklist's
+    * exact form). A training doc is CLEAN only if every tier clears it;
+    * the report gives each tier's hit count and the surviving count — the
+    * "what would the decontamination stage actually remove, and why"
+    * audit an operator reads before enabling it. Scale shape: three
+    * hash/band equi-joins (eval-sized or banded sides) feeding one
+    * map-side-combined rollup; the fuzzy tier reuses the shared
+    * bands/masks machinery, the gram tier the shared span windows.
+    */
+  def decontamPurge(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("th"))
+    val ev = docs.filter(col("doc_id") % 10 === 0).select("th").distinct()
+      .withColumn("__e", lit(1))
+    val fuzzy = decontamFuzzy(s, d).select(col("train_doc").as("doc_id"))
+      .distinct().withColumn("__f", lit(1))
+    val spans = spanWindows(s, d).select(col("doc_id"), col("span_md5")).distinct()
+    val evg = spans.filter(col("doc_id") % 10 === 0).select("span_md5").distinct()
+    val gramIds = spans.filter(col("doc_id") % 10 =!= 0)
+      .join(evg, Seq("span_md5"), "left_semi")
+      .select("doc_id").distinct().withColumn("__g", lit(1))
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .join(ev, Seq("th"), "left")
+      .join(fuzzy, Seq("doc_id"), "left")
+      .join(gramIds, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+           sum(when(col("__e").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+           sum(when(col("__f").isNotNull, 1L).otherwise(0L)).as("n_fuzzy"),
+           sum(when(col("__g").isNotNull, 1L).otherwise(0L)).as("n_gram"),
+           sum(when(col("__e").isNull && col("__f").isNull && col("__g").isNull,
+             1L).otherwise(0L)).as("n_clean"))
+      .orderBy("source")
+  }
+
   /** Dedup cluster formation: connected components over the MinHash
     * near-dup pairs; `comp` is the canonical (minimum) doc id of each
     * cluster, `keeper` marks the document a pipeline would retain.
@@ -1225,6 +1264,7 @@ object DedupQueries {
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_minhash_est" -> (minhashEst _),
     "dedup_decontam_fuzzy" -> (decontamFuzzy _),
+    "dedup_decontam_purge" -> (decontamPurge _),
     "dedup_clusters" -> (clusters _),
     "dedup_clusters_stored" -> (clustersStored _),
     "dedup_clusters_incremental" -> (clustersIncremental _),
@@ -1564,6 +1604,39 @@ object DedupQueries {
       s"""WITH ${verifiedPairsCtesWith("x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0")}
          |SELECT a AS train_doc, b AS eval_doc, round(jac, 4) AS jaccard
          |FROM vp ORDER BY train_doc, eval_doc""".stripMargin,
+    "dedup_decontam_purge" ->
+      // tier 2 is the SAME factored cross-split chain as the fuzzy probe;
+      // tier 3 restates the dedup_spans 8-token window convention
+      s"""WITH ${verifiedPairsCtesWith("x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0")},
+         |d2 AS (SELECT doc_id, source, md5(text) AS th FROM documents),
+         |ev AS (SELECT DISTINCT th FROM d2 WHERE doc_id % 10 = 0),
+         |fz AS (SELECT DISTINCT a AS doc_id FROM vp),
+         |t2 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |       FROM documents),
+         |w2 AS (SELECT doc_id, md5(array_to_string(toks[i : i+7], ' ')) AS g
+         |       FROM t2, unnest(range(1, len(toks) - 6)) AS u(i)
+         |       WHERE len(toks) >= 8),
+         |dg2 AS (SELECT DISTINCT doc_id, g FROM w2),
+         |evg AS (SELECT DISTINCT g FROM dg2 WHERE doc_id % 10 = 0),
+         |gi AS (SELECT DISTINCT doc_id FROM dg2
+         |       WHERE doc_id % 10 <> 0 AND g IN (SELECT g FROM evg)),
+         |tr AS (
+         |  SELECT d2.doc_id, d2.source,
+         |    CASE WHEN ev.th IS NOT NULL THEN 1 ELSE 0 END AS he,
+         |    CASE WHEN fz.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hf,
+         |    CASE WHEN gi.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hg
+         |  FROM d2
+         |  LEFT JOIN ev ON d2.th = ev.th
+         |  LEFT JOIN fz ON d2.doc_id = fz.doc_id
+         |  LEFT JOIN gi ON d2.doc_id = gi.doc_id
+         |  WHERE d2.doc_id % 10 <> 0)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_train,
+         |  CAST(sum(he) AS BIGINT) AS n_exact,
+         |  CAST(sum(hf) AS BIGINT) AS n_fuzzy,
+         |  CAST(sum(hg) AS BIGINT) AS n_gram,
+         |  CAST(sum(CASE WHEN he = 0 AND hf = 0 AND hg = 0 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_clean
+         |FROM tr GROUP BY source ORDER BY source""".stripMargin,
     "dedup_clusters" -> clustersSql,
     // periodic re-clustering from stored state must be ROW-IDENTICAL to
     // the recomputing form — same oracle, so state drift breaks the hash

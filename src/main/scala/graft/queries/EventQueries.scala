@@ -229,8 +229,31 @@ object EventQueries {
       .orderBy("user_id", "day")
   }
 
+  /** C30 — top user-journey 3-grams: each user's event stream in strict
+    * (ts, event_id) order yields overlapping event-type trigrams; the
+    * corpus-wide top-10 paths are the "what do users actually do"
+    * sequence census behind funnel design (c18/c29 test a HYPOTHESIZED
+    * path; this discovers the paths worth hypothesizing). `lead` windows
+    * stay codegen and partition by user — no per-user list
+    * materialization; the trigram census is a map-side-combined groupBy
+    * and top-10 comes off as TakeOrderedAndProject.
+    */
+  def c30(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path")).limit(10)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c26_resample" -> (resample _),
+    "c30_user_paths" -> (c30 _),
     "c21_scd2" -> (c21 _),
     "c19_active_users" -> (c19 _),
     "c17_retention" -> (c17 _),
@@ -245,6 +268,15 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "c30_user_paths" ->
+      """WITH p AS (
+        |  SELECT event_type || '>' || lead(event_type, 1) OVER w
+        |    || '>' || lead(event_type, 2) OVER w AS path
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE path IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "c29_funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, ts FROM events),
         |v AS (SELECT user_id, min(ts) AS t1 FROM e

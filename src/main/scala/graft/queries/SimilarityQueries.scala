@@ -204,6 +204,40 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** IVF with nprobe = 2 — THE recall/cost knob every IVF deployment
+    * tunes: each query probes its two nearest cells instead of one, so
+    * candidates a hair across the Voronoi boundary stop being invisible.
+    * Cells partition the corpus, so the two probes scan disjoint postings
+    * — candidate volume exactly doubles and recall can only rise
+    * (AnnRecallSpec pins probe2 ≥ probe1 on the fixture; the
+    * `sim_recall_audit` machinery measures it on live data). Same
+    * deterministic assignment chain as [[ivfAnn]]; the oracle reuses the
+    * factored `ivfAnnCtes` with only the query-side rank cut changed.
+    */
+  def ivfProbe2(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val vecs = prepared(Tables.embeddings(s, d))
+    val seeds = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("sid"), col("v").as("sv"))
+    val scored = vecs.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("v"), col("sid"),
+              round(cosineNative(col("v"), col("sv")), 4).as("cs"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("sid"))
+    val assigned = scored.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("sid").as("cell"))
+    val q2 = scored.filter(col("vec_id") < 10)
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("sid").as("cell"))
+    val sims = assigned.join(q2, "cell")
+      .select(col("qid"), col("vec_id"), col("cell"),
+              round(cosineNative(col("v"), col("qv")), 4).as("sim"))
+    val wTop = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    sims.withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 3)
+      .select("qid", "vec_id", "cell", "sim", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
   /** Recall AUDIT as a first-class query — the number an operator reads
     * before trusting an approximate index on live data: per query,
     * |IVF top-3 ∩ exact top-3| under the shared (sim DESC, vec_id) tie
@@ -607,6 +641,7 @@ object SimilarityQueries {
     "sim_lsh_banded" -> (lshBanded _),
     "sim_ivf_ann" -> (ivfAnn _),
     "sim_recall_audit" -> (recallAudit _),
+    "sim_ivf_probe2" -> (ivfProbe2 _),
     "sim_ivf_filtered" -> (ivfFiltered _),
   )
 
@@ -894,6 +929,19 @@ object SimilarityQueries {
          |SELECT qid, vec_id, cell, sim,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
          |FROM p QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "sim_ivf_probe2" ->
+      // the factored ivfAnnCtes again — only the query-side rank cut
+      // changes (rn <= 2), so probe2 can never index differently
+      s"""WITH $ivfAnnCtes,
+         |q2 AS (SELECT vec_id AS qid, v AS qv, sid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid ASC) AS rn
+         |    FROM scored WHERE vec_id < 10) t WHERE rn <= 2),
+         |p2 AS (
+         |  SELECT q2.qid, a.vec_id, a.cell, round(${duckCos("a.v", "q2.qv")}, 4) AS sim
+         |  FROM asg a JOIN q2 USING (cell))
+         |SELECT qid, vec_id, cell, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+         |FROM p2 QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "sim_recall_audit" ->
       // the IVF probe chain is the FACTORED ivfAnnCtes — this audit and
       // `sim_ivf_ann` cannot build different indexes; the exact side is

@@ -36,8 +36,10 @@ class AnnRecallSpec extends SparkSpec {
     val mp = got(SimilarityQueries.lshMultiprobe(spark, sf("sf0.01")))
     val banded = got(SimilarityQueries.lshBanded(spark, sf("sf0.01")))
     val ivf = got(SimilarityQueries.ivfAnn(spark, sf("sf0.01")))
+    val ivf2 = got(SimilarityQueries.ivfProbe2(spark, sf("sf0.01")))
     val (rLsh, rMp, rBanded, rIvf) =
       (recallOf(lsh, t), recallOf(mp, t), recallOf(banded, t), recallOf(ivf, t))
+    val rIvf2 = recallOf(ivf2, t)
     // Measured on this fixture (near-isotropic embeddings: top-3 neighbours
     // sit at ~70°, so each hyperplane bit disagrees with a true neighbour
     // with p≈0.39):
@@ -55,7 +57,11 @@ class AnnRecallSpec extends SparkSpec {
     assert(rMp >= 0.4, s"multi-probe LSH recall@3 = $rMp")
     assert(rMp >= rLsh, s"multi-probe ($rMp) must not lose recall vs single-probe ($rLsh)")
     assert(rLsh >= 0.25, s"LSH recall@3 = $rLsh")
-    info(s"LSH recall@3 = $rLsh, multi-probe = $rMp, banded = $rBanded, IVF = $rIvf")
+    // nprobe=2 probes a superset of cells per query, so it may only add
+    // candidates — recall is monotone in nprobe by construction
+    assert(rIvf2 >= rIvf, s"IVF nprobe=2 ($rIvf2) lost recall vs nprobe=1 ($rIvf)")
+    info(s"LSH recall@3 = $rLsh, multi-probe = $rMp, banded = $rBanded, " +
+      s"IVF = $rIvf, IVF probe2 = $rIvf2")
   }
 
   test("PQ ADC recall floor; exact rerank of the ADC shortlist recovers recall") {

@@ -159,6 +159,9 @@ class QueriesSpec extends SparkSpec {
     "text_boilerplate" -> 20L,
     "sim_recall_audit" -> 10L,
     "text_langid_eval" -> 10L,
+    "sim_ivf_probe2" -> 30L,
+    "c30_user_paths" -> 10L,
+    "dedup_decontam_purge" -> 18L,
     "profile_eval_overlap" -> 50L,
     "sample_match_dist" -> 6L,
     "sample_weighted_grouped" -> 50L,

@@ -238,7 +238,7 @@ class ScaleOpsSpec extends SparkSpec {
     // checked, because Verify runs with the flag off.
     val qs = Seq(
       "dedup_minhash_pairs", "dedup_clusters", "dedup_minhash_sigs",
-      "dedup_incremental", "dedup_decontam_fuzzy",
+      "dedup_incremental", "dedup_decontam_fuzzy", "dedup_decontam_purge",
       "dedup_ngram_pairs", "dedup_containment", "dedup_prefix_pairs",
       "text_boilerplate",
       "dedup_spans", "dedup_spans_minimized", "profile_eval_overlap",
