@@ -374,6 +374,81 @@ object TextQueries {
       .orderBy("query_doc", "rnk")
   }
 
+  /** The STANDING corpus's BM25 index persisted as catalog tables — the
+    * deployment half of retrieval, completing the stored-model family
+    * (dedup state, IVF cells, aggregate partials, classifier weights,
+    * DSIR model, and now the search index): postings `(token, doc_id,
+    * tf, dl)` BUCKETED on token (the probe join key — the batch side
+    * shuffles, the index never does), the token statistics `(token,
+    * idf_micro)` likewise, and a one-row `(t, n)` corpus-stats table so
+    * the frozen constants survive a session restart. Built once per
+    * (session, dir) like every stored index here.
+    */
+  private val bm25StateCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String, String)]()
+
+  private[graft] def bm25State(s: SparkSession, d: String): (String, String, String) = {
+    if (bm25StateCache.size > 3) bm25StateCache.clear()
+    bm25StateCache.computeIfAbsent((s, d), _ => {
+      val pTbl = graft.operators.AggState.name("graft_bm25p", d).parts
+      val tTbl = graft.operators.AggState.name("graft_bm25t", d).parts
+      val sTbl = graft.operators.AggState.name("graft_bm25s", d).parts
+      val standing = Tables.documents(s, d)
+        .filter(col("doc_id") < DedupQueries.splitId(s, d))
+      val tf = TextAnalysis.tokenRows(standing, "doc_id", "text")
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val dlW = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val postings = tf.withColumn("dl", sum("tf").over(dlW))
+      val bigT = tf.agg(sum("tf")).head().getLong(0)
+      val bigN = standing.count()
+      val toks = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .withColumn("idf_micro",
+          floor(log((lit(2.0) * bigN + lit(2.0))
+            / (col("df").cast("double") * 2.0 + lit(1.0))) * 1e6).cast("long"))
+        .select("token", "idf_micro")
+      graft.operators.Layout.writeBucketed(postings, "token", pTbl, 4)
+      graft.operators.Layout.writeBucketed(toks, "token", tTbl, 4)
+      s.createDataFrame(Seq((bigT, bigN))).toDF("t", "n")
+        .write.mode("overwrite").saveAsTable(sTbl)
+      (pTbl, tTbl, sTbl)
+    })
+  }
+
+  /** BM25 retrieval against the FROZEN index ([[bm25State]]) — the
+    * rolling-ingest contract applied to search: each incoming batch doc
+    * (doc_id ≥ the shared split, on the sparse-probe convention) ranks
+    * STANDING docs by BM25 using the stored postings, stored idf and the
+    * frozen (T, N) — featurizing only the batch, never re-scanning or
+    * re-weighting the corpus. Same integer-exact math as
+    * [[bm25TopK]]; probe-sized query side against token-bucketed index
+    * tables.
+    */
+  def bm25Stored(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (pTbl, tTbl, sTbl) = bm25State(s, d)
+    val stats = s.table(sTbl).head()
+    val (bigT, bigN) = (stats.getLong(0), stats.getLong(1))
+    val batch = Tables.documents(s, d)
+      .filter(col("doc_id") >= DedupQueries.splitId(s, d) &&
+              col("doc_id") % 100 === 0)
+    val q = TextAnalysis.tokenRows(batch, "doc_id", "text")
+      .select(col("doc_id").as("query_doc"), col("token")).distinct()
+      .join(s.table(tTbl), "token")
+    val w = Window.partitionBy("query_doc")
+      .orderBy(desc("score_micro"), asc("doc_id"))
+    q.join(s.table(pTbl), Seq("token"))
+      .withColumn("tffac", expr(
+        s"(22 * ${bigT}L * tf * 1000000L) div " +
+          s"(10 * ${bigT}L * tf + 3 * ${bigT}L + 9 * dl * ${bigN}L)"))
+      .groupBy("query_doc", "doc_id")
+      .agg(expr("sum(idf_micro * tffac) div 1000000").as("score_micro"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("query_doc", "rnk", "doc_id", "score_micro")
+      .orderBy("query_doc", "rnk")
+  }
+
   /** Token-distribution entropy per doc, in nats: H = ln(n) − (1/n)·Σ c·ln(c)
     * over within-doc type counts c — the degenerate-generation screen that
     * catches what repetition ratios miss (many distinct tokens, skewed
@@ -903,6 +978,7 @@ object TextQueries {
     "text_bpe_fertility" -> (bpeFertility _),
     "text_entropy" -> (entropy _),
     "text_bm25_topk" -> (bm25TopK _),
+    "text_bm25_stored" -> (bm25Stored _),
     "text_boilerplate" -> (boilerplate _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_bigram_logprob" -> (bigramLogprob _),
@@ -1276,6 +1352,40 @@ object TextQueries {
         |        ORDER BY score_micro DESC, doc_id) AS rn FROM cand)
         |SELECT query_doc, CAST(rn AS BIGINT) AS rnk, doc_id, score_micro
         |FROM r WHERE rn <= 5 ORDER BY query_doc, rnk""".stripMargin,
+    "text_bm25_stored" ->
+      // the standing/batch split of the bm25 chain: index statistics are
+      // computed over doc_id < split ONLY (the frozen tables), the batch
+      // side contributes nothing but its query terms
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf0 AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |        FROM tk WHERE token <> '' GROUP BY doc_id, token),
+         |st AS (SELECT * FROM tf0 WHERE doc_id < ${DedupQueries.splitSql}),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM st GROUP BY doc_id),
+         |ss AS (SELECT CAST(sum(tf) AS BIGINT) AS T,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM documents
+         |          WHERE doc_id < ${DedupQueries.splitSql}) AS N
+         |       FROM st),
+         |idf AS (SELECT token,
+         |    CAST(floor(ln((2.0 * ss.N + 2.0) / (2.0 * CAST(df AS DOUBLE) + 1.0))
+         |               * 1000000.0) AS BIGINT) AS idf_micro
+         |  FROM (SELECT token, CAST(count(*) AS BIGINT) AS df FROM st GROUP BY token), ss),
+         |q AS (SELECT doc_id AS query_doc, token FROM tf0
+         |      WHERE doc_id >= ${DedupQueries.splitSql} AND doc_id % 100 = 0),
+         |cand AS (
+         |  SELECT q.query_doc, t.doc_id,
+         |    CAST(sum(i.idf_micro *
+         |      ((22 * ss.T * t.tf * 1000000) // (10 * ss.T * t.tf + 3 * ss.T + 9 * d.dl * ss.N)))
+         |      // 1000000 AS BIGINT) AS score_micro
+         |  FROM q
+         |  JOIN st t ON q.token = t.token
+         |  JOIN dl d ON t.doc_id = d.doc_id
+         |  JOIN idf i ON q.token = i.token, ss
+         |  GROUP BY q.query_doc, t.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_doc
+         |        ORDER BY score_micro DESC, doc_id) AS rn FROM cand)
+         |SELECT query_doc, CAST(rn AS BIGINT) AS rnk, doc_id, score_micro
+         |FROM r WHERE rn <= 5 ORDER BY query_doc, rnk""".stripMargin,
     "text_unigram_logprob" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -162,6 +162,7 @@ class QueriesSpec extends SparkSpec {
     "sim_ivf_probe2" -> 30L,
     "c30_user_paths" -> 10L,
     "dedup_decontam_purge" -> 18L,
+    "text_bm25_stored" -> 5L,
     "profile_eval_overlap" -> 50L,
     "sample_match_dist" -> 6L,
     "sample_weighted_grouped" -> 50L,
