@@ -145,10 +145,12 @@ object Bench {
     }
     val ratioJson = duckFields.map(_._3).getOrElse("")
     val memoStats = graft.queries.DedupQueries.pairsMemoStats +
+      ",tf=" + graft.queries.TextQueries.tfMemoStats +
       ",bpe=" + graft.queries.TextQueries.bpeMemoStats +
       ",clf=" + graft.queries.TextQueries.clfMemoStats +
       ",dsir=" + graft.queries.SamplingQueries.dsirMemoStats +
-      ",ann=" + graft.queries.SimilarityQueries.annMemoStats
+      ",ann=" + graft.queries.SimilarityQueries.annMemoStats +
+      ",mm=" + graft.queries.MultimodalQueries.mmMemoStats
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$ratioJson,"pairs_memo":"$memoStats","queries":$qs,"spread":$spread,"qmin":$qmin,"sf":"$sfDir"}"""
     // persist the FULL-precision JSON (all queries + spreads) so a
     // truncated log tail can't lose the official numbers (round 2's BENCH

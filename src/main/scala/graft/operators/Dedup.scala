@@ -716,4 +716,67 @@ object Dedup {
               bit_count(col("a_h").bitwiseXOR(col("b_h"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Long-form Hamming band rows `(id, hash, band_idx, band_val,
+    * band_key)` — [[longBands]]'s analogue for the bit-fingerprint family
+    * ([[hammingPairs]]/[[hammingCrossPairs]]): one row per (id, band),
+    * with the fused string `band_key` as the SINGLE equi key a probe
+    * joins on. This is the PERSISTABLE shape of Hamming dedup state: a
+    * standing fingerprint table written via [[Layout.writeBucketed]] on
+    * `band_key` feeds [[hammingCrossPairsLong]] with NO exchange on the
+    * corpus side — the rolling-ingest contract for media fingerprints,
+    * identical in structure to the MinHash band state ([[graft.operators
+    * .DedupState]]).
+    */
+  def hammingLongBands(hashes: DataFrame, idCol: String, hashCol: String,
+                       bits: Int, nBands: Int): DataFrame = {
+    require(bits % nBands == 0, s"bits=$bits not divisible into $nBands bands")
+    val bw = bits / nBands
+    val mask = (1L << bw) - 1
+    val entries = array((0 until nBands).map { j =>
+      struct(lit(j).as("bi"),
+        shiftrightunsigned(col(hashCol), bw * j).bitwiseAND(lit(mask)).as("bv"))
+    }: _*)
+    hashes.select(col(idCol), col(hashCol), explode(entries).as("e"))
+      .select(col(idCol), col(hashCol),
+        col("e.bi").as("band_idx"), col("e.bv").as("band_val"))
+      // ':' is unambiguous (band_idx is a small int, band_val decimal), so
+      // band_key equality IS (band_idx, band_val) equality
+      .withColumn("band_key", concat_ws(":", col("band_idx"), col("band_val")))
+  }
+
+  /** [[hammingCrossPairs]] over ALREADY-long band frames (the stored form
+    * [[hammingLongBands]] produces) — the rolling-ingest entry point for
+    * bit fingerprints: the equi key is the single fused `band_key`, so the
+    * standing side coming off a `band_key`-bucketed table satisfies the
+    * join's clustering exactly and the (huge) corpus state never shuffles;
+    * only the (small) incoming batch does. The first-matching-band rule
+    * recomputes each side's bands FROM the hash column it carries (no
+    * per-band columns needed on the stored table), so a candidate sharing
+    * several bands is emitted once and no `distinct()` exchange is paid.
+    * Verification is the same codegen popcount. Output `(a, b, hamming)`
+    * with a = probe id; id sets must be disjoint.
+    */
+  def hammingCrossPairsLong(longProbe: DataFrame, longStanding: DataFrame,
+                            idCol: String, hashCol: String, bits: Int,
+                            nBands: Int, maxHamming: Int): DataFrame = {
+    require(bits % nBands == 0, s"bits=$bits not divisible into $nBands bands")
+    require(maxHamming >= 0 && maxHamming <= nBands - 1,
+      s"$nBands-band pigeonhole is complete only for Hamming <= ${nBands - 1}, got $maxHamming")
+    val bw = bits / nBands
+    val mask = (1L << bw) - 1
+    def band(h: org.apache.spark.sql.Column, j: Int) =
+      shiftrightunsigned(h, bw * j).bitwiseAND(lit(mask))
+    val a = longProbe.select(col(idCol).as("a"), col(hashCol).as("a_h"),
+      col("band_idx").as("a_bi"), col("band_key").as("a_bk"))
+    val b = longStanding.select(col(idCol).as("b"), col(hashCol).as("b_h"),
+      col("band_key").as("b_bk"))
+    val firstMatchOnly = (0 until nBands).map { i =>
+      (col("a_bi") <= lit(i)) || (band(col("a_h"), i) =!= band(col("b_h"), i))
+    }.reduce(_ && _)
+    a.join(b, col("a_bk") === col("b_bk") && firstMatchOnly)
+      .select(col("a"), col("b"),
+              bit_count(col("a_h").bitwiseXOR(col("b_h"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

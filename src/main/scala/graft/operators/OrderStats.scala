@@ -97,6 +97,9 @@ object OrderStats {
           Seq.empty
         } else {
           val w = hi - lo + 1
+          require(w > 0 && w <= Long.MaxValue / bins,
+            s"range width $w of [$lo, $hi] overflows the exact $bins-bin " +
+              "integer binning — values must span <= Long.MaxValue / bins")
           val hist = v.filter(col("v").between(lo, hi))
             .select(expr(s"((v - $lo) * $bins) div $w").as("bin"))
             .groupBy("bin").agg(count(lit(1)).as("c"))
@@ -202,6 +205,12 @@ object OrderStats {
       open =
         if (big.isEmpty) Map.empty
         else {
+          big.foreach { case ((g, _), (lo, hi, _, _, _)) =>
+            val w = hi - lo + 1
+            require(w > 0 && w <= Long.MaxValue / bins,
+              s"range width $w of [$lo, $hi] (group $g) overflows the exact " +
+                s"$bins-bin integer binning — values must span <= Long.MaxValue / bins")
+          }
           val rdf = big.toSeq.map { case ((g, rid), (lo, hi, _, _, _)) =>
             (g, rid, lo, hi)
           }.toDF("g", "__rid", "__lo", "__hi")
@@ -259,6 +268,11 @@ object OrderStats {
       count(lit(1)).as("n"), sum("w").as("tw")).head()
     require(!b0.isNullAt(0), "selectWeightedDesc over an empty relation")
     def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+    // All-zero weight: every cumulative sum is 0 ≤ budget, so nothing ever
+    // crosses — the whole relation fits and t is the minimum value (the
+    // descending scan would otherwise see 0 > −1 at the TOP bin and
+    // misreport the maximum).
+    if (b0.getLong(3) == 0L) return (b0.getLong(0), 0L, Stats(0, 0L))
     // (lo, hi, row count in range, weight strictly above hi, budget left)
     var range = (b0.getLong(0), b0.getLong(1), b0.getLong(2), 0L,
       math.min(budget, b0.getLong(3) - 1)) // total ≤ budget ⇒ crossing at min
@@ -270,6 +284,9 @@ object OrderStats {
         s"weighted selection failed to converge: $range")
       val (lo, hi, _, above, left) = range
       val width = hi - lo + 1
+      require(width > 0 && width <= Long.MaxValue / bins,
+        s"range width $width of [$lo, $hi] overflows the exact $bins-bin " +
+          "integer binning — values must span <= Long.MaxValue / bins")
       val hist = v.filter(col("v").between(lo, hi))
         .select(expr(s"((v - $lo) * $bins) div $width").as("bin"), col("w"))
         .groupBy("bin").agg(sum("w").as("bw"), count(lit(1)).as("c"))

@@ -51,10 +51,18 @@ object TextAnalysis {
     * both consume it); the vocab relation is types-sized. Docs with zero
     * tokens have no tf rows and are absent from the output.
     */
-  def unigramLogprob(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = tokenRows(docs, idCol, textCol)
-      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+  def unigramLogprob(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    unigramLogprobOfTf(
+      tokenRows(docs, idCol, textCol)
+        .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true),
+      idCol)
+
+  /** [[unigramLogprob]] from an already-materialized `(id, token, tf)`
+    * frame — the entry a deployment with a stored term-frequency relation
+    * (or the bench's shared tfFrame memo) uses; identical arithmetic.
+    */
+  def unigramLogprobOfTf(tf: DataFrame, idCol: String): DataFrame = {
     val corpus = tf.groupBy("token").agg(sum("tf").as("cnt"))
     val total = corpus.agg(sum("cnt").as("tot"))
     val lp = corpus.crossJoin(broadcast(total))

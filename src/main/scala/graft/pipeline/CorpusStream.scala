@@ -115,9 +115,36 @@ object CorpusStream {
     */
   private final case class Watermark(hwm: Option[Long], maxDocId: Option[Long])
 
+  /** One-time in-place upgrade of a legacy `(epoch)`-only meta table to the
+    * `(epoch, max_doc_id)` schema: existing marker rows keep their epochs
+    * with `max_doc_id = -1` ("unknown — predates tracking"), which the
+    * ascending-ingest check treats as unverifiable (any doc_id ≥ 0 exceeds
+    * it) until the next commit backfills a real max. The legacy commit rule
+    * (`done.forall(_ < epoch)`) admitted GAPPED epoch sets that the
+    * contiguous `epoch <= hwm` range read cannot represent — a gap would
+    * expose the crashed epoch's partial partitions — so gapped legacy state
+    * fails loudly (reset + re-ingest required) instead of resuming wrong.
+    */
+  private def migrateLegacyMeta(s: SparkSession, n: StateNames): Unit = {
+    import s.implicits._
+    val epochs = s.table(n.meta).select("epoch").distinct()
+      .collect().map(_.getLong(0)).sorted // marker rows: one per epoch, tiny
+    epochs.headOption.foreach { lo =>
+      require(epochs.last - lo + 1 == epochs.length,
+        s"legacy meta table ${n.meta} has non-contiguous committed epochs " +
+          s"${epochs.mkString(",")} — a gap can hide a crashed epoch's " +
+          "partial partitions under the watermark range read; reset the " +
+          "stream state and re-ingest")
+    }
+    epochs.map(e => (e, -1L)).toSeq.toDF("epoch", "max_doc_id")
+      .write.mode("overwrite").format("parquet").saveAsTable(n.meta)
+  }
+
   private def watermark(s: SparkSession, n: StateNames): Watermark =
     if (!s.catalog.tableExists(n.meta)) Watermark(None, None)
     else {
+      if (!s.table(n.meta).columns.contains("max_doc_id"))
+        migrateLegacyMeta(s, n)
       val r = s.table(n.meta)
         .agg(max("epoch").as("h"), max("max_doc_id").as("m")).head()
       if (r.isNullAt(0)) Watermark(None, None)

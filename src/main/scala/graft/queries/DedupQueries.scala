@@ -149,7 +149,7 @@ object DedupQueries {
   private val bandsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
 
-  private def share(s: SparkSession): Boolean =
+  private[queries] def share(s: SparkSession): Boolean =
     s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean
 
   /** Tokenized corpus frame `(doc_id, lang, n_chars, toks)` — the upstream

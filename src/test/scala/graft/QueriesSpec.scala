@@ -136,6 +136,9 @@ class QueriesSpec extends SparkSpec {
     "sim_ivfpq_ann" -> 50L,
     "dedup_cdc_chunks" -> 208L,
     "mm_phash_pairs" -> 28L,
+    "mm_phash_clusters" -> 500L,
+    "mm_phash_incremental" -> 9L,
+    "mm_phash_stored" -> 9L,
     "dedup_cdc_incremental" -> 58L,
     "text_bpe_pairs" -> 20L,
     "text_bpe_merges" -> 3L,

@@ -248,7 +248,14 @@ class ScaleOpsSpec extends SparkSpec {
       "text_bpe_fertility",
       "text_quality_classifier", "text_quality_tiers", "sample_token_budget",
       "sample_dsir", "sample_dsir_stored",
-      "sim_lsh_ann", "sim_lsh_multiprobe")
+      "sim_lsh_ann", "sim_lsh_multiprobe",
+      // the round-9 tfFrame/tokFrame/shingleFrame reroutes of the
+      // one-pass text tier
+      "text_tfidf", "text_unigram_logprob", "text_entropy",
+      "text_repetition", "text_bm25_topk", "cms_heavy_hitters",
+      // the round-9 multimodal phash family (shared aHash frame memo)
+      "mm_phash_pairs", "mm_phash_clusters", "mm_phash_incremental",
+      "mm_phash_stored")
     def run(q: String) = SparkEntry.queries(q)(spark, sf())
       .collect().map(_.toSeq).sortBy(_.mkString("|"))
     val off = qs.map(q => q -> run(q)).toMap
