@@ -14,6 +14,17 @@ object CoreQueries {
   /** C1 — TPC-H Q3 shape: 3-way equi-join + agg + top-k. The customer filter
     * is applied before the join so the scan prunes; at scale AQE picks
     * broadcast for the filtered customer side.
+    *
+    * Bench note (round 9, the watch-list item): of the ~0.9 s sf0.1
+    * median, 0.30 s is the bare lineitem scan + partial aggregate
+    * (measured in isolation) and most of the rest is AQE's RUNTIME
+    * broadcast build of the ~15 MB lineitem side — a legitimate choice at
+    * this scale (it is under the threshold) that a static `broadcast()`
+    * of the segment-filtered c⋈o side would beat here (~0.55 s measured)
+    * but would OOM at 100 TB, where c⋈o is ~1/5 of orders and AQE
+    * correctly falls back to sort-merge. The declarative form is kept so
+    * the planner re-decides per scale; the gap vs the 0.05 s in-memory
+    * comparator is the job floor + broadcast build, not a plan defect.
     */
   def c1(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")

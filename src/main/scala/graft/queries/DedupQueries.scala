@@ -790,6 +790,9 @@ object DedupQueries {
   private[graft] def warmupStoredState(s: SparkSession, d: String): Unit = {
     corpusState(s, d)
     fullCorpusState(s, d)
+    GraphQueries.edgeState(s, d)
+    MultimodalQueries.mmState(s, d)
+    graft.queries.TextQueries.bm25State(s, d)
     if (s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) {
       tokensAndBands(s, d)
       batchToksAndBands(s, d)
@@ -815,19 +818,7 @@ object DedupQueries {
     */
   def clustersIncremental(s: SparkSession, d: String): DataFrame = {
     val st = corpusState(s, d)
-    val batchBands = batchToksAndBands(s, d)._2
-    val candNN = Dedup.lshSelfCandidatePairsLong(batchBands, "doc_id", K / R)
-    val candNC = Dedup.lshCrossCandidatePairsLong(
-      batchBands, DedupState.bands(s, st), "doc_id", K / R)
-    // NN pairs (both ids >= splitId) and NC pairs (exactly one corpus side)
-    // are disjoint by construction — no distinct() needed
-    val cand = candNN.unionByName(candNC).localCheckpoint(true)
-    val parts = cand.select(col("a").as("doc_id"))
-      .union(cand.select(col("b").as("doc_id"))).distinct()
-    val tokenRows = newBatchToks(s, d).join(parts, Seq("doc_id"), "left_semi")
-      .unionByName(DedupState.toks(s, st).join(parts, Seq("doc_id"), "left_semi"))
-    val edges = Dedup.jaccardVerifyBitset(cand, tokenRows, "doc_id")
-      .filter(col("jaccard") >= 0.7).select("a", "b")
+    val edges = incrementalVerifiedEdges(s, d, st)
     val cmap = DedupState.comps(s, st)
       .select(col("doc_id").as("cdoc"), col("comp").as("cid"))
     val contracted = edges
@@ -1003,6 +994,33 @@ object DedupQueries {
   /** The incoming batch's distinct-token rows (docs >= [[splitId]]). */
   private def newBatchToks(s: SparkSession, d: String): DataFrame =
     batchToksAndBands(s, d)._1
+
+  /** The VERIFIED near-dup edges one ingest epoch contributes —
+    * batch-self plus batch×corpus, the corpus side read off the persisted
+    * bucketed state `st` (never re-paired with itself): the pair-delta
+    * every incremental consumer shares ([[clustersIncremental]]'s merge,
+    * [[graft.queries.GraphQueries]]'s stored edge-state advance). Batch
+    * work is batch-sized; together with the standing corpus-self edges
+    * this decomposes the full-corpus pair set exactly (bands are per-doc,
+    * so candidate formation splits cleanly by id class — the equivalence
+    * [[clustersIncremental]]'s shared oracle proves).
+    */
+  private[queries] def incrementalVerifiedEdges(s: SparkSession, d: String,
+                                                st: DedupState.Names): DataFrame = {
+    val batchBands = batchToksAndBands(s, d)._2
+    val candNN = Dedup.lshSelfCandidatePairsLong(batchBands, "doc_id", K / R)
+    val candNC = Dedup.lshCrossCandidatePairsLong(
+      batchBands, DedupState.bands(s, st), "doc_id", K / R)
+    // NN pairs (both ids >= splitId) and NC pairs (exactly one corpus side)
+    // are disjoint by construction — no distinct() needed
+    val cand = candNN.unionByName(candNC).localCheckpoint(true)
+    val parts = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val tokenRows = newBatchToks(s, d).join(parts, Seq("doc_id"), "left_semi")
+      .unionByName(DedupState.toks(s, st).join(parts, Seq("doc_id"), "left_semi"))
+    Dedup.jaccardVerifyBitset(cand, tokenRows, "doc_id")
+      .filter(col("jaccard") >= 0.7).select("a", "b")
+  }
 
   /** The new-batch × stored-corpus band probe join — exposed so
     * PlanAuditSpec can pin the bucketed, corpus-side-exchange-free shape

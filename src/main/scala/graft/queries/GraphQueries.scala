@@ -67,11 +67,26 @@ object GraphQueries {
     * iterations 1..k−1 (or the LSH pipeline) from scratch.
     */
   def domainRank(s: SparkSession, d: String): DataFrame = {
-    val docsrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
     val ec = domainEdges(s, d)
-    val edges = ec
+    // checkpoint: ec's lineage contains the whole pair pipeline, which
+    // every superstep (and the final inw derivation) would otherwise
+    // re-execute
+    rankOver(s, d, ec, checkpointEdges = true)
+  }
+
+  /** The damped-superstep tail shared by [[domainRank]] (recomputed edges)
+    * and [[domainRankStored]] (persisted edge state): rank [[Iters]]
+    * supersteps over the given `(src, dst, w)` edge relation. The stored
+    * caller passes `checkpointEdges = false` — its edge lineage is a
+    * bucketed catalog scan, and checkpointing would DISCARD the bucket
+    * partitioning the exchange-free superstep join relies on.
+    */
+  private def rankOver(s: SparkSession, d: String, ec: DataFrame,
+                       checkpointEdges: Boolean): DataFrame = {
+    val docsrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val edges0 = ec
       .join(ec.groupBy("src").agg(sum("w").as("outw")), "src")
-      .localCheckpoint(true)
+    val edges = if (checkpointEdges) edges0.localCheckpoint(true) else edges0
     val nodes = docsrc.select(col("source").as("node")).distinct()
       .localCheckpoint(true)
     val nTotal = nodes.agg(count(lit(1)).as("n"))
@@ -101,6 +116,71 @@ object GraphQueries {
         coalesce(col("dup_w"), lit(0L)).as("dup_w"))
       .orderBy("source")
   }
+
+  /** The standing domain-edge STATE: per-epoch `(src, dst, w)` partial
+    * weights persisted as a bucketed catalog table — the AggState pattern
+    * applied to the graph tier, so the corpus-sized pair work behind the
+    * edge relation is paid once per ingest epoch, never per rank run.
+    *
+    *  - epoch 0: the standing corpus's verified pairs, read off the
+    *    bucketed [[graft.operators.DedupState]] band/token tables
+    *    ([[DedupQueries.stateVerifiedEdges]] — the corpus is probed, not
+    *    re-tokenized);
+    *  - epoch advance: one batch's verified-pair delta (batch-self +
+    *    batch×corpus off the stored band probe —
+    *    [[DedupQueries.incrementalVerifiedEdges]], the SAME proven merge
+    *    path `dedup_clusters_incremental` rides) aggregated to domain
+    *    grain and bucket-aligned-APPENDED.
+    *
+    * Bands are per-document, so the full-corpus pair set decomposes
+    * exactly into corpus-self ∪ batch-self ∪ batch×corpus — summing the
+    * partials reproduces the recomputed edge weights row-for-row, which
+    * is what lets [[domainRankStored]] share [[domainRank]]'s oracle.
+    * Bucketed on `src`: hash-partitioning on src satisfies both the
+    * (src, dst) re-aggregation's and the superstep join's clustering, so
+    * the standing state never shuffles (PlanAuditSpec pins it).
+    */
+  private val edgeStateCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private[graft] def edgeState(s: SparkSession, d: String): String =
+    edgeStateCache.computeIfAbsent((s, d), _ => {
+      val tbl = graft.operators.AggState.name("graft_graphedges", d).parts
+      val docsrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      def weights(pairs: DataFrame): DataFrame = {
+        val crossSrc = pairs
+          .join(docsrc.select(col("doc_id").as("a"), col("source").as("s1")), "a")
+          .join(docsrc.select(col("doc_id").as("b"), col("source").as("s2")), "b")
+          .filter(col("s1") =!= col("s2"))
+          .select("s1", "s2")
+        crossSrc.select(col("s1").as("src"), col("s2").as("dst"))
+          .unionByName(crossSrc.select(col("s2").as("src"), col("s1").as("dst")))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      }
+      val st = DedupQueries.corpusState(s, d)
+      graft.operators.Layout.writeBucketed(
+        weights(DedupQueries.stateVerifiedEdges(s, st).select("a", "b")),
+        "src", tbl, 4)
+      weights(DedupQueries.incrementalVerifiedEdges(s, d, st))
+        .write.mode("append").format("parquet")
+        .bucketBy(4, "src").sortBy("src").saveAsTable(tbl)
+      tbl
+    })
+
+  /** [[domainRank]] from the PERSISTED edge state ([[edgeState]]): summing
+    * the per-epoch partials reproduces the recomputed edge relation
+    * exactly, then the identical superstep ladder runs — so a rank
+    * refresh costs domain-sized work only, with the edge scan
+    * exchange-free off the bucketed table. Row-identical to
+    * [[domainRank]] (same oracle), which is the proof the stored
+    * decomposition loses nothing.
+    */
+  def domainRankStored(s: SparkSession, d: String): DataFrame =
+    rankOver(s, d, storedDomainEdges(s, d), checkpointEdges = false)
+
+  /** The summed standing edge relation — exposed for the plan pin. */
+  private[graft] def storedDomainEdges(s: SparkSession, d: String): DataFrame =
+    s.table(edgeState(s, d)).groupBy("src", "dst").agg(sum("w").as("w"))
 
   /** Minimum shared-pair weight for a community edge: a single stray
     * near-dup pair between two domains is noise; repeated sharing is a
@@ -195,6 +275,7 @@ object GraphQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_domain_rank" -> (domainRank _),
+    "graph_domain_rank_stored" -> (domainRankStored _),
     "graph_domain_communities" -> (domainCommunities _),
     "graph_triangles" -> (domainTriangles _),
   )
@@ -290,20 +371,26 @@ object GraphQueries {
          |SELECT fin.source, fin.community, csz.community_size
          |FROM fin JOIN csz USING (community)
          |ORDER BY source""".stripMargin,
-    "graph_domain_rank" ->
-      s"""WITH ${DedupQueries.verifiedPairsCtes},
-         |$domainEdgeCtes,
-         |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM ec GROUP BY src),
-         |e AS (SELECT ec.src, ec.dst, ec.w, ow.outw FROM ec JOIN ow USING (src)),
-         |nodes AS (SELECT DISTINCT source AS node FROM documents),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-         |inw AS (SELECT dst AS node, CAST(sum(w) AS BIGINT) AS dup_w
-         |        FROM ec GROUP BY dst),
-         |$rankCtes
-         |SELECT r$Iters.node AS source, r$Iters.r AS rank_micro,
-         |  round(CAST(r$Iters.r AS DOUBLE) / $Scale.0, 6) AS rank_score,
-         |  coalesce(inw.dup_w, CAST(0 AS BIGINT)) AS dup_w
-         |FROM r$Iters LEFT JOIN inw ON r$Iters.node = inw.node
-         |ORDER BY source""".stripMargin,
+    "graph_domain_rank" -> rankSql,
+    // the stored form is row-identical by construction (the per-epoch
+    // partial decomposition sums back to the recomputed edge relation) —
+    // the shared oracle IS the equivalence proof
+    "graph_domain_rank_stored" -> rankSql,
   )
+
+  private lazy val rankSql: String =
+    s"""WITH ${DedupQueries.verifiedPairsCtes},
+       |$domainEdgeCtes,
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM ec GROUP BY src),
+       |e AS (SELECT ec.src, ec.dst, ec.w, ow.outw FROM ec JOIN ow USING (src)),
+       |nodes AS (SELECT DISTINCT source AS node FROM documents),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |inw AS (SELECT dst AS node, CAST(sum(w) AS BIGINT) AS dup_w
+       |        FROM ec GROUP BY dst),
+       |$rankCtes
+       |SELECT r$Iters.node AS source, r$Iters.r AS rank_micro,
+       |  round(CAST(r$Iters.r AS DOUBLE) / $Scale.0, 6) AS rank_score,
+       |  coalesce(inw.dup_w, CAST(0 AS BIGINT)) AS dup_w
+       |FROM r$Iters LEFT JOIN inw ON r$Iters.node = inw.node
+       |ORDER BY source""".stripMargin
 }

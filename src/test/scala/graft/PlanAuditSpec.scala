@@ -368,6 +368,16 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("graph_domain_rank_stored: edge partial re-aggregation is exchange-free off the bucketed state") {
+    val plan = finalPlan(
+      graft.queries.GraphQueries.storedDomainEdges(spark, sf()))
+    // the per-epoch (src, dst, w) partials are bucketed on src; hash
+    // partitioning on src satisfies the (src, dst) grouping, so summing
+    // the standing state back to the edge relation moves NO data
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("sample_weighted selects its top-k as TakeOrderedAndProject, not a global sort") {
     // A-ES selection must be the per-partition-top-k + driver-merge
     // operator: a full Sort would shuffle the whole corpus to rank 50 rows
@@ -459,13 +469,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
-  test("c24: salted join runs on the widened (key, salt) key, no broadcast") {
+  test("c24: salted path joins on the widened key; cold path un-replicated") {
     val plan = finalPlan(JoinQueries.saltedJoin(spark, sf()))
-    assert(!plan.contains("BroadcastHashJoin"), plan)
-    // the whole point: the shuffle key carries the salt, so a hot orderkey
-    // spreads across S partitions
+    // the whole point: the HOT path's shuffle key carries the salt, so a
+    // hot orderkey spreads across S partitions...
     assert("SortMergeJoin \\[l_orderkey#\\d+L?, l_salt#\\d+L?\\]".r
       .findFirstIn(plan).isDefined, plan)
+    // ...while the COLD path joins on the bare key with no replication:
+    // exactly ONE explode exists in the whole plan (the hot dim slice)
+    assert("SortMergeJoin \\[l_orderkey#\\d+L?\\], \\[o_orderkey#\\d+L?\\]".r
+      .findFirstIn(plan).isDefined, plan)
+    assert("Generate explode".r.findAllIn(plan).size === 1, plan)
+    // the only broadcasts are the tiny hot-key census probes
+    assert("BroadcastHashJoin".r.findAllIn(plan).size <= 3, plan)
   }
 
   test("sim_sparse_topk: inverted-index join, no doc-level cross join") {

@@ -136,6 +136,7 @@ class QueriesSpec extends SparkSpec {
     "sim_ivfpq_ann" -> 50L,
     "dedup_cdc_chunks" -> 208L,
     "mm_phash_pairs" -> 28L,
+    "graph_domain_rank_stored" -> 20L,
     "mm_phash_clusters" -> 500L,
     "mm_phash_incremental" -> 9L,
     "mm_phash_stored" -> 9L,

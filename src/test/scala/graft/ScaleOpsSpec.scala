@@ -255,7 +255,10 @@ class ScaleOpsSpec extends SparkSpec {
       "text_repetition", "text_bm25_topk", "cms_heavy_hitters",
       // the round-9 multimodal phash family (shared aHash frame memo)
       "mm_phash_pairs", "mm_phash_clusters", "mm_phash_incremental",
-      "mm_phash_stored")
+      "mm_phash_stored",
+      // round-9 stored graph maintenance (batch bands memo feeds the
+      // edge-state advance)
+      "graph_domain_rank_stored")
     def run(q: String) = SparkEntry.queries(q)(spark, sf())
       .collect().map(_.toSeq).sortBy(_.mkString("|"))
     val off = qs.map(q => q -> run(q)).toMap
