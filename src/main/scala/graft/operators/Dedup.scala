@@ -717,6 +717,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Ids of `train` docs whose token set near-duplicates ANY `eval` doc —
+    * the fuzzy decontamination tier as a reusable operator (the
+    * `dedup_decontam_fuzzy` query shape, factored for the curation
+    * pipeline): MinHash band CROSS-candidates only (train × eval — never
+    * train × train, the corpus is never self-paired here), then the exact
+    * bitset-Jaccard verify at `minJaccard`. Id sets must be disjoint.
+    * Returns a one-column frame (`idCol`) of contaminated training ids;
+    * scale shape is the incremental-probe shape — candidates are
+    * eval-blocked, the verify stage candidate-sized.
+    */
+  def fuzzyContaminatedIds(train: DataFrame, eval: DataFrame, idCol: String,
+                           textCol: String, k: Int = 16, r: Int = 4,
+                           minJaccard: Double = 0.7): DataFrame = {
+    val tT = distinctTokenRows(train, idCol, textCol).localCheckpoint(true)
+    val tE = distinctTokenRows(eval, idCol, textCol).localCheckpoint(true)
+    val bT = minhashBands(minhashSignatures(tT, idCol, k), idCol, k, r)
+    val bE = minhashBands(minhashSignatures(tE, idCol, k), idCol, k, r)
+    val cand = lshCrossCandidatePairs(bT, bE, idCol, k / r).localCheckpoint(true)
+    val parts = cand.select(col("a").as(idCol))
+      .union(cand.select(col("b").as(idCol))).distinct()
+    val toks = tT.unionByName(tE).join(parts, Seq(idCol), "left_semi")
+    jaccardVerifyBitset(cand, toks, idCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a").as(idCol)).distinct()
+  }
+
   /** Long-form Hamming band rows `(id, hash, band_idx, band_val,
     * band_key)` — [[longBands]]'s analogue for the bit-fingerprint family
     * ([[hammingPairs]]/[[hammingCrossPairs]]): one row per (id, band),

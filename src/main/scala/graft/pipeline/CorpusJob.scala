@@ -63,7 +63,21 @@ object CorpusJob {
       mix: Map[String, Double] = Map(
         "en" -> 0.50, "de" -> 0.20, "fr" -> 0.15, "es" -> 0.10, "it" -> 0.05),
       binTokens: Long = 2048L,
-      spanState: Boolean = false)
+      spanState: Boolean = false,
+      // the round-8 curation-ladder stages, composed (round 9):
+      // fuzzy near-dup decontamination ON by default; the trained-
+      // classifier token-budget cut keeps the best `budgetShare` of
+      // surviving tokens (1.0 = off); cluster-balanced diversity capping
+      // needs a document-embedding table, so it is opt-in
+      fuzzyDecontam: Boolean = true,
+      budgetShare: Double = 0.9,
+      // the classifier's "trusted domain" positive label. NOT src0: the
+      // fixture's src0 rows are exactly the eval split (source = src(id %
+      // 20)), so after decontamination the positive class would be empty
+      // and training fails loudly
+      clfTarget: String = "src1",
+      diversePerCell: Int = 0,
+      embeddingsDir: String = "")
 
   def parse(args: Array[String]): Config = {
     def parseMix(v: String): Map[String, Double] =
@@ -95,11 +109,19 @@ object CorpusJob {
       case "--mix" :: v :: t         => loop(t, cfg.copy(mix = parseMix(v)))
       case "--bin-tokens" :: v :: t  => loop(t, cfg.copy(binTokens = v.toLong))
       case "--span-state" :: t       => loop(t, cfg.copy(spanState = true))
+      case "--no-fuzzy-decontam" :: t => loop(t, cfg.copy(fuzzyDecontam = false))
+      case "--budget-share" :: v :: t => loop(t, cfg.copy(budgetShare = v.toDouble))
+      case "--clf-target" :: v :: t  => loop(t, cfg.copy(clfTarget = v))
+      case "--diverse-per-cell" :: v :: t =>
+        loop(t, cfg.copy(diversePerCell = v.toInt))
+      case "--embeddings" :: v :: t  => loop(t, cfg.copy(embeddingsDir = v))
       case Nil                       => cfg
       case bad :: _ => throw new IllegalArgumentException(
         s"unknown argument '$bad'; expected --input --out " +
           "[--min-tokens n] [--min-distinct-ratio r] [--min-avg-logp x] " +
-          "[--salt s] [--mix lang:share,...] [--bin-tokens n] [--span-state]")
+          "[--salt s] [--mix lang:share,...] [--bin-tokens n] [--span-state] " +
+          "[--no-fuzzy-decontam] [--budget-share x] " +
+          "[--diverse-per-cell n] [--embeddings dir]")
     }
     val cfg = loop(args.toList, Config())
     require(cfg.input.nonEmpty && cfg.out.nonEmpty, "--input and --out are required")
@@ -107,13 +129,18 @@ object CorpusJob {
       "thresholds out of range")
     require(cfg.mix.values.forall(v => v >= 0.0 && v <= 1.0), "--mix shares out of [0,1]")
     require(cfg.binTokens > 0, "--bin-tokens must be positive")
+    require(cfg.budgetShare > 0.0 && cfg.budgetShare <= 1.0,
+      "--budget-share must be in (0, 1] (1.0 disables the cut)")
+    require(cfg.diversePerCell == 0 || cfg.embeddingsDir.nonEmpty,
+      "--diverse-per-cell needs --embeddings <dir> (the document-embedding table)")
     cfg
   }
 
   final case class Funnel(
       input: Long, exactKept: Long, bowKept: Long, nearKept: Long,
-      spanCutDocs: Long, cleanKept: Long, screenedKept: Long,
-      qualityKept: Long, mixKept: Long, nBins: Long,
+      cleanKept: Long, fuzzyKept: Long, spanCutDocs: Long,
+      screenedKept: Long, qualityKept: Long, budgetKept: Long,
+      mixKept: Long, diverseKept: Long, nBins: Long,
       perSplit: Map[String, Long])
 
   /** Run the curation; writes the corpus partitioned by split and returns
@@ -167,26 +194,55 @@ object CorpusJob {
     val clean0 = Bloom.decontaminate(
       near.filter(col("doc_id") % 10 =!= 0), md5(col("text")), blocklist)
 
-    val (out, t) = curateTail(spark, clean0, nInput, cfg)
-    (out, Funnel(nInput, nExact, nBow, nNear, t.spanCutDocs, t.cleanKept,
-                 t.screenedKept, t.qualityKept, t.mixKept, t.nBins, t.perSplit))
+    // the eval side of the FUZZY decontamination tier: original eval
+    // text, pre-dedup (an eval doc deduplicated away upstream must still
+    // contaminate its surviving near-twin)
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text")
+    val (out, t) = curateTail(spark, clean0, evalDocs, nInput, cfg)
+    (out, Funnel(nInput, nExact, nBow, nNear, t.cleanKept, t.fuzzyKept,
+                 t.spanCutDocs, t.screenedKept, t.qualityKept, t.budgetKept,
+                 t.mixKept, t.diverseKept, t.nBins, t.perSplit))
   }
 
-  /** Release-tail counts — the [[Funnel]] fields stages 3b→6 own. */
+  /** Release-tail counts — the [[Funnel]] fields stages 3a→6 own. */
   final case class TailCounts(
-      spanCutDocs: Long, cleanKept: Long, screenedKept: Long,
-      qualityKept: Long, mixKept: Long, nBins: Long,
+      cleanKept: Long, fuzzyKept: Long, spanCutDocs: Long,
+      screenedKept: Long, qualityKept: Long, budgetKept: Long,
+      mixKept: Long, diverseKept: Long, nBins: Long,
       perSplit: Map[String, Long])
 
-  /** Stages 3b→6 (span cut → screens → LM → mix → packing → split →
-    * write), factored out of [[execute]] and shared VERBATIM with the
-    * streaming twin ([[CorpusStream]]): the per-release tail is one code
-    * path, so "N micro-batch publishes ≡ one batch run" holds for it by
-    * construction and the equivalence spec only has to prove the
-    * incremental dedup head.
+  /** Stages 3a→6 (fuzzy decontamination → span cut → screens → LM →
+    * budget cut → mix → diversity → packing → split → write), factored
+    * out of [[execute]] and shared VERBATIM with the streaming twin
+    * ([[CorpusStream]]): the per-release tail is one code path, so "N
+    * micro-batch publishes ≡ one batch run" holds for it by construction
+    * and the equivalence spec only has to prove the incremental dedup
+    * head. `evalDocs` is the eval-split side of the fuzzy tier —
+    * ORIGINAL text, pre-dedup (the batch job passes the raw input's eval
+    * half; the stream its per-epoch eval state table — identical unions).
     */
   private[pipeline] def curateTail(spark: SparkSession, clean0: DataFrame,
-                                   nInput: Long, cfg: Config): (DataFrame, TailCounts) = {
+                                   evalDocs: DataFrame, nInput: Long,
+                                   cfg: Config): (DataFrame, TailCounts) = {
+    val nClean0 = clean0.count()
+
+    // 3a. FUZZY decontamination (the dedup_decontam_fuzzy tier composed):
+    // drop training docs that are banded-MinHash near-duplicates
+    // (Jaccard >= 0.7) of ANY eval doc — the leakage the exact-hash
+    // blocklist cannot see. Cross-candidates only: the surviving corpus
+    // is never self-paired, the eval side is benchmark-sized.
+    val fuzzy =
+      if (!cfg.fuzzyDecontam) clean0
+      else {
+        val bad = Dedup.fuzzyContaminatedIds(
+          clean0.select("doc_id", "text"), evalDocs, "doc_id", "text")
+        clean0.join(bad, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      }
+    val nFuzzy = fuzzy.count()
+    require(nFuzzy > 0,
+      s"fuzzy decontamination emptied the corpus (clean=$nClean0)")
+
     // 3b. substring-span cut (the RefinedWeb-style exact-substring pass):
     // delete every later copy of a cross-doc duplicated 8-token span,
     // keeping the first. Document COUNT is unchanged (texts shrink, docs
@@ -195,15 +251,14 @@ object CorpusJob {
     // kept first occurrence. Zero-token docs fall out of the operator's
     // token stream; the left join + coalesce keeps them with their
     // original text.
-    val kept = Dedup.spanCut(clean0, "doc_id", "text", w = 8)
+    val kept = Dedup.spanCut(fuzzy, "doc_id", "text", w = 8)
       .select(col("doc_id"), col("n_cut"), col("kept_text"))
-    val cutAll = clean0.join(kept, Seq("doc_id"), "left_outer")
+    val cutAll = fuzzy.join(kept, Seq("doc_id"), "left_outer")
       .withColumn("text", coalesce(col("kept_text"), col("text")))
       .drop("kept_text")
       .localCheckpoint(true)
     val nSpanCutDocs = cutAll.filter(col("n_cut") > 0).count()
     val clean = cutAll.drop("n_cut")
-    val nClean = clean.count()
 
     // 4. quality screens on materialized tokens (never inline in a HOF)
     val screened = clean
@@ -237,25 +292,104 @@ object CorpusJob {
     require(nQuality > 0,
       s"LM screen emptied the corpus (screened=$nScreened): relax --min-avg-logp")
 
+    // 4a'. trained-classifier TOKEN-BUDGET cut (the FineWeb move,
+    // composing text_quality_classifier + sample_token_budget): train the
+    // deterministic hashed-unigram logistic regression on the survivors
+    // (integer micro-logit weights — the same replayable model the
+    // oracle-checked queries pin), score every doc, and keep the
+    // BEST-scoring docs until `budgetShare` of the surviving tokens is
+    // reached. The threshold is LOCATED by weighted descending histogram
+    // selection ([[graft.operators.OrderStats.selectWeightedDesc]]) —
+    // never a global sort — and ties at the threshold are admitted in
+    // deterministic doc_id order through the two-phase grouped prefix
+    // sum, so the cut is exact to the last partial document.
+    val budgeted =
+      if (cfg.budgetShare >= 1.0) quality
+      else {
+        // labeled, doc-normalized hashed-unigram features (the
+        // text_quality_classifier construction with the configurable
+        // trusted-domain label)
+        val feats = graft.operators.Classifier.milliFeatures(quality
+            .select(col("doc_id"),
+              when(col("source") === cfg.clfTarget, lit(1L)).otherwise(lit(0L)).as("y"),
+              explode(TextAnalysis.tokens(col("text"))).as("token"))
+            .select(col("doc_id"), col("y"),
+              pmod(TextAnalysis.tokenHash(col("token")), lit(256L)).as("bucket"))
+            .groupBy("doc_id", "y", "bucket").agg(count(lit(1)).as("tf")))
+          .localCheckpoint(true)
+        val w = graft.operators.Classifier.trainLogreg(feats, 256, 3)
+        val scored = graft.operators.Classifier.score(feats, w)
+          .select("doc_id", "score_nano")
+          .join(quality.select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("__nt")),
+            "doc_id")
+          .localCheckpoint(true)
+        val total = scored.agg(sum("__nt")).head().getLong(0)
+        val budget = (total * cfg.budgetShare).toLong
+        val (t, above, _) = graft.operators.OrderStats.selectWeightedDesc(
+          scored.select(col("score_nano").as("v"), col("__nt").as("w")), budget)
+        val ties = graft.operators.PrefixSum.runningSumGrouped(
+            scored.filter(col("score_nano") === t).withColumn("__g", lit(1)),
+            Seq("__g"),
+            floor(col("doc_id") / lit(graft.queries.TextQueries.PackBucketDocs)),
+            Seq(col("doc_id")), col("__nt"), "__cum")
+          .filter(col("__cum") + lit(above) <= lit(budget))
+        val keep = scored.filter(col("score_nano") > t).select("doc_id")
+          .unionByName(ties.select("doc_id"))
+        quality.join(keep, Seq("doc_id"), "left_semi").localCheckpoint(true)
+      }
+    val nBudget = budgeted.count()
+    require(nBudget > 0, "token-budget cut emptied the corpus: raise --budget-share")
+
     // 4b. language-mix sampling (the sample_mix_plan contract applied):
     // per-language keep rate = min(1, target_share · total / n_lang),
     // realized as the DETERMINISTIC stratified hash sample so reruns and
     // retries keep the same docs. The per-lang frame is #languages rows —
     // the one collect a mix plan is allowed.
     val mixed =
-      if (cfg.mix.isEmpty) quality
+      if (cfg.mix.isEmpty) budgeted
       else {
-        val rates = quality.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+        val rates = budgeted.groupBy("lang").agg(count(lit(1)).as("n")).collect()
           .map { r =>
             val lang = r.getString(0)
             val share = cfg.mix.getOrElse(lang, 0.0)
-            lang -> math.min(1.0, share * nQuality / r.getLong(1).toDouble)
+            lang -> math.min(1.0, share * nBudget / r.getLong(1).toDouble)
           }.toMap
-        Sampling.stratified(quality, col("lang"), rates, col("doc_id"), cfg.salt)
+        Sampling.stratified(budgeted, col("lang"), rates, col("doc_id"), cfg.salt)
           .localCheckpoint(true)
       }
     val nMixed = mixed.count()
     require(nMixed > 0, "mix sampling emptied the corpus: check --mix shares")
+
+    // 4b'. cluster-balanced DIVERSITY cap (the sample_diverse contract
+    // composed): k-means cells over the document-embedding table, at most
+    // `diversePerCell` docs kept per cell in deterministic hash order —
+    // the semantic-redundancy bound mix sampling (which only sees `lang`)
+    // cannot provide. Docs without an embedding row are kept: the cap
+    // bounds known redundancy, absence of evidence is not redundancy.
+    val diverse =
+      if (cfg.diversePerCell <= 0) mixed
+      else {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.VectorFunctions.register(spark)
+        val vecs = graft.operators.Similarity.prepared(
+          Tables.embeddings(spark, cfg.embeddingsDir)).select("vec_id", "v")
+        val cents = graft.operators.Similarity.kmeansFit(vecs, k = 5, rounds = 2)
+        val cells = graft.operators.Similarity.kmeansAssign(vecs, cents)
+          .select(col("vec_id").as("doc_id"),
+                  col("cluster").cast("long").as("__cell"))
+        val w = Window.partitionBy("__cell")
+          .orderBy(asc("__hk"), asc("doc_id"))
+        val keep = mixed.select("doc_id")
+          .join(cells, Seq("doc_id"), "left")
+          .withColumn("__hk", Sampling.hash60(col("doc_id"), cfg.salt + "-div"))
+          .withColumn("__rnk", row_number().over(w))
+          .filter(col("__cell").isNull || col("__rnk") <= cfg.diversePerCell)
+          .select("doc_id")
+        mixed.join(keep, Seq("doc_id"), "left_semi").localCheckpoint(true)
+      }
+    val nDiverse = diverse.count()
+    require(nDiverse > 0, "diversity cap emptied the corpus: raise --diverse-per-cell")
 
     // 4c. context-window packing (the text_pack_bins contract applied):
     // per-language running token sum, a doc belongs to the bin its FIRST
@@ -265,7 +399,7 @@ object CorpusJob {
     // serial per-lang window, but the dominant language never funnels
     // through one window task.
     val packed = graft.operators.PrefixSum.runningSumGrouped(
-        mixed.withColumn("n_toks",
+        diverse.withColumn("n_toks",
           size(TextAnalysis.tokens(col("text"))).cast("long")),
         Seq("lang"),
         floor(col("doc_id") / lit(graft.queries.TextQueries.PackBucketDocs)),
@@ -299,8 +433,8 @@ object CorpusJob {
     }
     val perSplit = out.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (out, TailCounts(nSpanCutDocs, nClean, nScreened, nQuality, nMixed,
-                     nBins, perSplit))
+    (out, TailCounts(nClean0, nFuzzy, nSpanCutDocs, nScreened, nQuality,
+                     nBudget, nMixed, nDiverse, nBins, perSplit))
   }
 
   def main(args: Array[String]): Unit = {
@@ -316,8 +450,11 @@ object CorpusJob {
     println(
       s"""{"metric":"corpus_funnel","input":${f.input},"exact_kept":${f.exactKept},""" +
       s""""bow_kept":${f.bowKept},"near_kept":${f.nearKept},""" +
-      s""""span_cut_docs":${f.spanCutDocs},"clean_kept":${f.cleanKept},""" +
+      s""""clean_kept":${f.cleanKept},"fuzzy_kept":${f.fuzzyKept},""" +
+      s""""span_cut_docs":${f.spanCutDocs},""" +
       s""""screened_kept":${f.screenedKept},"quality_kept":${f.qualityKept},""" +
-      s""""mix_kept":${f.mixKept},"n_bins":${f.nBins},"splits":$splits,"out":"${cfg.out}"}""")
+      s""""budget_kept":${f.budgetKept},"mix_kept":${f.mixKept},""" +
+      s""""diverse_kept":${f.diverseKept},"n_bins":${f.nBins},""" +
+      s""""splits":$splits,"out":"${cfg.out}"}""")
   }
 }

@@ -60,23 +60,29 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    the streaming checkpoint commit) is a no-op guard at entry.
   *
   * CorpusStreamCrashSpec kills the transition after every prefix of its
-  * seven writes and proves the replay converges to the clean-run state.
+  * eight writes and proves the replay converges to the clean-run state.
   */
 object CorpusStream {
 
-  /** Catalog table names for one stream's standing state. */
+  /** Catalog table names for one stream's standing state. `evals` holds
+    * each epoch's ORIGINAL eval-split documents (doc_id, text) — the eval
+    * side of the release tail's fuzzy decontamination probe, which must
+    * see pre-dedup eval text (an eval doc deduplicated away upstream must
+    * still contaminate its surviving near-twin), exactly as the batch job
+    * derives it from its raw input.
+    */
   final case class StateNames(hashes: String, bows: String, raw: String,
                               sims: String, comps: String, block: String,
-                              meta: String)
+                              evals: String, meta: String)
 
   def names(prefix: String): StateNames =
     StateNames(s"${prefix}_hashes", s"${prefix}_bows", s"${prefix}_raw",
                s"${prefix}_sims", s"${prefix}_comps", s"${prefix}_block",
-               s"${prefix}_meta")
+               s"${prefix}_evals", s"${prefix}_meta")
 
   /** Drop all state tables (test hygiene / stream reset). */
   def reset(s: SparkSession, n: StateNames): Unit =
-    Seq(n.hashes, n.bows, n.raw, n.sims, n.comps, n.block, n.meta)
+    Seq(n.hashes, n.bows, n.raw, n.sims, n.comps, n.block, n.evals, n.meta)
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
 
   private def appendTable(df: DataFrame, table: String): Unit =
@@ -264,9 +270,12 @@ object CorpusStream {
     // mergedComps materializes its result eagerly (localCheckpoint)
     val compsSnap = DedupState.mergedComps(s, "doc_id", bowKeep.select("doc_id"),
       selfEdges.unionByName(crossEdges), standingComps)
-    // 3. decontamination blocklist delta: eval docs hash ORIGINAL text
+    // 3. decontamination blocklist delta: eval docs hash ORIGINAL text;
+    // the eval docs themselves also persist (the fuzzy tier's probe side)
     val blockDelta = b.filter(col("doc_id") % 10 === 0)
       .select(md5(col("text")).as("h")).localCheckpoint(true)
+    val evalDelta = b.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").localCheckpoint(true)
     // ---- writes: every one replaces only this epoch's partition; the
     // marker goes LAST, so a crash anywhere leaves the epoch uncommitted
     // and the replay overwrites the same partitions
@@ -278,6 +287,7 @@ object CorpusStream {
     w(writeEpoch(bowKeep, n.raw, epoch))
     w(writeEpoch(sim, n.sims, epoch))
     w(writeEpoch(blockDelta, n.block, epoch))
+    w(writeEpoch(evalDelta, n.evals, epoch))
     w(writeEpoch(compsSnap, n.comps, epoch))
     w(appendTable(Seq((epoch, batchMaxId)).toDF("epoch", "max_doc_id"), n.meta))
   }
@@ -300,7 +310,9 @@ object CorpusStream {
     val clean0 = Bloom.decontaminate(
       near.filter(col("doc_id") % 10 =!= 0), md5(col("text")),
       stateTable(s, n, n.block, wm, sys.error("block state table missing")))
-    val res = CorpusJob.curateTail(s, clean0, raw.count(), cfg)
+    val evalDocs = stateTable(s, n, n.evals, wm,
+      sys.error("evals state table missing"))
+    val res = CorpusJob.curateTail(s, clean0, evalDocs, raw.count(), cfg)
     // optional versioned release: every epoch's snapshot goes through the
     // transactional SnapshotStore swap too — readers follow `_CURRENT` and
     // can never observe a half-written corpus, each epoch is a time-travel

@@ -22,13 +22,76 @@ class CorpusJobSpec extends SparkSpec {
     assert(f.exactKept >= f.bowKept)
     assert(f.bowKept >= f.nearKept)
     assert(f.nearKept >= f.cleanKept)
-    assert(f.cleanKept >= f.screenedKept)
+    assert(f.cleanKept >= f.fuzzyKept)
+    assert(f.fuzzyKept >= f.screenedKept)
     assert(f.screenedKept >= f.qualityKept)
-    assert(f.qualityKept >= f.mixKept)
-    assert(f.mixKept > 0, "curation must not empty the corpus")
-    assert(f.spanCutDocs <= f.cleanKept, "span cut touches only surviving docs")
-    assert(f.perSplit.values.sum === f.mixKept,
+    assert(f.qualityKept >= f.budgetKept)
+    assert(f.budgetKept >= f.mixKept)
+    assert(f.mixKept >= f.diverseKept)
+    assert(f.diverseKept > 0, "curation must not empty the corpus")
+    // the new ladder stages actually fire on the fixture
+    assert(f.fuzzyKept < f.cleanKept, "fuzzy decontamination must remove docs")
+    assert(f.budgetKept < f.qualityKept, "token-budget cut must remove docs")
+    assert(f.spanCutDocs <= f.fuzzyKept, "span cut touches only surviving docs")
+    assert(f.perSplit.values.sum === f.diverseKept,
       "splits must partition the curated corpus exactly")
+  }
+
+  test("no fuzzy eval near-duplicate survives curation") {
+    val (out, _) = result
+    val evalDocs = Tables.documents(spark, cfg.input)
+      .filter($"doc_id" % 10 === 0).select("doc_id", "text")
+    // recompute the banded cross probe over the OUTPUT: any training doc
+    // still >= 0.7 Jaccard against an eval doc leaked through. The output
+    // text is span-CUT, which only removes shared spans — a doc whose cut
+    // text still near-duplicates an eval doc is exactly the leak the
+    // fuzzy tier exists to stop (it probed pre-cut text, a superset).
+    val leaked = graft.operators.Dedup.fuzzyContaminatedIds(
+      out.select("doc_id", "text"), evalDocs, "doc_id", "text").count()
+    assert(leaked === 0L, s"$leaked fuzzy-contaminated docs survived")
+  }
+
+  test("token-budget cut keeps the best docs to within one partial document") {
+    // isolate the budget stage: mix/diversity off, so the output IS the
+    // budget stage's survivor set; a twin run with the cut disabled
+    // reconstructs the stage's input (same deterministic upstream)
+    val outA = java.nio.file.Files.createTempDirectory("graft-budget-all").toString
+    val outC = java.nio.file.Files.createTempDirectory("graft-budget-cut").toString
+    val (all, _) = CorpusJob.execute(spark,
+      cfg.copy(out = outA, mix = Map.empty, budgetShare = 1.0))
+    val (kept, _) = CorpusJob.execute(spark,
+      cfg.copy(out = outC, mix = Map.empty, budgetShare = 0.5))
+    def toks(df: org.apache.spark.sql.DataFrame) = df.select(
+      $"doc_id", size(graft.operators.TextAnalysis.tokens($"text")).cast("long").as("nt"))
+    assert(kept.join(all, Seq("doc_id"), "left_anti").count() === 0L,
+      "budget survivors must be a subset of the uncut corpus")
+    val total = toks(all).agg(sum("nt")).head().getLong(0)
+    val budget = (total * 0.5).toLong
+    val keptToks = toks(kept).agg(sum("nt")).head().getLong(0)
+    assert(keptToks <= budget, s"kept $keptToks tokens over budget $budget")
+    val excluded = toks(all).join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val maxExcluded = excluded.agg(max("nt")).head().getLong(0)
+    assert(budget - keptToks < maxExcluded,
+      s"cut left ${budget - keptToks} budget tokens unused with docs of up " +
+        s"to $maxExcluded tokens excluded — not a last-partial-doc boundary")
+  }
+
+  test("diversity cap bounds every embedding cluster") {
+    val outD = java.nio.file.Files.createTempDirectory("graft-diverse").toString
+    val cap = 15
+    val (out, f) = CorpusJob.execute(spark, cfg.copy(out = outD,
+      diversePerCell = cap, embeddingsDir = cfg.input))
+    assert(f.diverseKept < f.mixKept, "the cap must bite on the fixture")
+    // recompute the deterministic cells and verify the per-cell bound
+    graft.functions.VectorFunctions.register(spark)
+    val vecs = graft.operators.Similarity.prepared(
+      Tables.embeddings(spark, cfg.input)).select("vec_id", "v")
+    val cents = graft.operators.Similarity.kmeansFit(vecs, k = 5, rounds = 2)
+    val cells = graft.operators.Similarity.kmeansAssign(vecs, cents)
+      .select($"vec_id".as("doc_id"), $"cluster")
+    val over = out.join(cells, "doc_id").groupBy("cluster").count()
+      .filter($"count" > cap).count()
+    assert(over === 0L, "a cluster exceeded the diversity cap")
   }
 
   test("span cut leaves no cross-doc duplicated 8-token span in the output") {

@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   * naive multi-table append is not retry-safe — if the hash table
   * advanced but the survivor table didn't, the replay computes "no new
   * hashes" and silently loses the batch's documents. These tests kill
-  * the epoch-1 transition after every write prefix (0..7 of its 7
-  * writes — 7 = committed, exercising the replay no-op guard), replay
+  * the epoch-1 transition after every write prefix (0..8 of its 8
+  * writes — 8 = committed, exercising the replay no-op guard), replay
   * it, ingest one more epoch, and require the final published corpus to
   * be row-identical to the clean run: the SnapshotStoreSpec
   * kill-at-every-point discipline applied to the multi-table head state.
@@ -74,8 +74,8 @@ class CorpusStreamCrashSpec extends SparkSpec {
     assert(got.exceptAll(cleanOut).isEmpty && cleanOut.exceptAll(got).isEmpty)
   }
 
-  for (cut <- 0 to 7) {
-    test(s"replay after a crash $cut/7 writes into epoch 1 converges") {
+  for (cut <- 0 to 8) {
+    test(s"replay after a crash $cut/8 writes into epoch 1 converges") {
       val out = java.nio.file.Files.createTempDirectory(s"graft-crash-$cut").toString
       val n = CorpusStream.names(s"graft_crash_$cut")
       CorpusStream.reset(spark, n)
