@@ -128,7 +128,7 @@ object Bench {
     // THIS run's medians over exactly the queries the comparator completed
     // ("status":"ok") against the comparator's total — same queries, same
     // data, one number the perf gate can read straight off the artifact
-    val duckPath = sys.env.getOrElse("SPARK_GRAFT_DUCK_JSON", "DUCK_r08.json")
+    val duckPath = sys.env.getOrElse("SPARK_GRAFT_DUCK_JSON", "DUCK_r09.json")
     val duck: Option[(Double, Map[String, Double])] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
@@ -187,16 +187,18 @@ object Bench {
     // weak are ALWAYS included (env-overridable pin list) so their
     // noise-vs-regression question is answerable from the tail alone;
     // every query still lands in bench_out.json at full precision.
-    // Pin list rotates each round to the CURRENT top cost tier (round 8:
-    // the round-7 verdict's weak/watch set — CDC, multiprobe, DSIR — plus
-    // the queries whose algebra changed this round: packing, tiers,
-    // median, PQ) — earlier rounds' cleared flags would waste the budget.
+    // Pin list rotates each round to the CURRENT top cost tier (round 9:
+    // the round-8 verdict's weak/watch set — the rerouted one-pass text
+    // tier, salted join, selection queries, c1 — plus the queries whose
+    // plans changed this round: BM25 and the new stored/mm families) —
+    // earlier rounds' cleared flags would waste the budget.
     val pinned = sys.env.get("SPARK_GRAFT_BENCH_PIN")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("dedup_cdc_chunks", "dedup_cdc_incremental",
-        "sim_lsh_multiprobe", "sample_dsir", "text_pack_bins_bpe",
-        "text_quality_tiers", "profile_median_scalable", "sim_pq_ann",
-        "text_clf_eval"))
+      .getOrElse(Set("text_tfidf", "text_unigram_logprob", "text_repetition",
+        "cms_heavy_hitters", "c24_salted_join", "c1_join_agg_topk",
+        "profile_median_scalable", "profile_median_by_type",
+        "text_bm25_topk", "text_bm25_stored", "graph_domain_rank_stored",
+        "mm_phash_clusters", "mm_phash_incremental", "mm_phash_stored"))
     val byCost = perQuery.sortBy(-_._2)
     def line(n: Int): String = {
       val pin = byCost.filter(t => pinned(t._1))

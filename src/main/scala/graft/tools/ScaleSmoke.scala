@@ -335,34 +335,59 @@ object ScaleSmoke {
       require(m == f, s"epoch-advance $what table diverged at 10x: $m != $f")
     }
 
+    // stored graph maintenance at 10x: the per-epoch edge-partial
+    // decomposition (corpus-self off the bucketed state + one batch delta
+    // via the SAME incremental probes the merge above just priced) must
+    // reproduce the recomputed rank row-for-row — the equivalence
+    // graph_domain_rank_stored's shared oracle pins at sf0.01, held here
+    // at 10x. The state build is timed apart from the rank refresh: the
+    // refresh is what a re-rank costs once pair work is paid per epoch
+    // (the merge-vs-rebuild ratio above prices that pair work).
+    val t0GstB = System.nanoTime()
+    graft.queries.GraphQueries.edgeState(spark, dir)
+    val tGstBuild = (System.nanoTime() - t0GstB) / 1e9
+    val t0GstR = System.nanoTime()
+    val rankStored = graft.queries.GraphQueries.domainRankStored(spark, dir)
+      .collect().map(_.toSeq)
+    val tGstRank = (System.nanoTime() - t0GstR) / 1e9
+    val rankFull = graft.queries.GraphQueries.domainRank(spark, dir)
+      .collect().map(_.toSeq)
+    require(rankStored.toSeq == rankFull.toSeq,
+      "stored graph rank diverged from the recompute at 10x")
+
     // the flagship curation job end-to-end at 10x: funnel must narrow
-    // monotonically and stay inside the same wall budget
+    // monotonically (including the round-9 fuzzy-decontamination and
+    // token-budget stages) and stay inside the same wall budget
     val t0Corpus = System.nanoTime()
     val (_, funnel) = graft.pipeline.CorpusJob.execute(spark,
       graft.pipeline.CorpusJob.Config(input = dir,
         out = java.nio.file.Files.createTempDirectory("graft-sf1-corpus").toString))
     val tCorpus = (System.nanoTime() - t0Corpus) / 1e9
-    require(funnel.input == nDocs && funnel.mixKept > 0 &&
+    require(funnel.input == nDocs && funnel.diverseKept > 0 &&
       funnel.input >= funnel.exactKept && funnel.exactKept >= funnel.bowKept &&
       funnel.bowKept >= funnel.nearKept &&
-      funnel.nearKept >= funnel.cleanKept && funnel.cleanKept >= funnel.screenedKept &&
+      funnel.nearKept >= funnel.cleanKept && funnel.cleanKept >= funnel.fuzzyKept &&
+      funnel.fuzzyKept >= funnel.screenedKept &&
       funnel.screenedKept >= funnel.qualityKept &&
-      funnel.qualityKept >= funnel.mixKept && funnel.spanCutDocs <= funnel.cleanKept,
+      funnel.qualityKept >= funnel.budgetKept &&
+      funnel.budgetKept >= funnel.mixKept &&
+      funnel.mixKept >= funnel.diverseKept &&
+      funnel.spanCutDocs <= funnel.fuzzyKept,
       s"corpus funnel broken at 10x: $funnel")
 
     val total = tPairs + tClusters + tNgram + tContain + tSpans + tSpansMin +
       tHeavy + tGraph + tBigram + tPrefix + tTri + tCdc + tPhash + tBpe +
-      tClf + tPack + tMerge + tRebuild + tCorpus
+      tClf + tPack + tMerge + tRebuild + tGstBuild + tGstRank + tCorpus
     require(total <= budgetSec,
       f"budget blown: pairs $tPairs%.1f + clusters $tClusters%.1f + ngram $tNgram%.1f + " +
         f"containment $tContain%.1f + spans $tSpans%.1f + spans_min $tSpansMin%.1f + " +
         f"heavy $tHeavy%.1f + graph $tGraph%.1f + bigram $tBigram%.1f + " +
         f"prefix $tPrefix%.1f + triangles $tTri%.1f + cdc $tCdc%.1f + " +
         f"phash $tPhash%.1f + bpe $tBpe%.1f + clf $tClf%.1f + pack $tPack%.1f + " +
-        f"merge $tMerge%.1f + rebuild $tRebuild%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
+        f"merge $tMerge%.1f + rebuild $tRebuild%.1f + graph-state $tGstBuild%.1f/$tGstRank%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
 
     val json =
-      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"bpe_sec":$tBpe%.2f,"bpe_types":$types10,"clf_sec":$tClf%.2f,"pack_sec":$tPack%.2f,"merge_sec":$tMerge%.2f,"rebuild_sec":$tRebuild%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.mixKept},"span_cut_docs":${funnel.spanCutDocs},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"bpe_sec":$tBpe%.2f,"bpe_types":$types10,"clf_sec":$tClf%.2f,"pack_sec":$tPack%.2f,"merge_sec":$tMerge%.2f,"rebuild_sec":$tRebuild%.2f,"graph_state_build_sec":$tGstBuild%.2f,"graph_state_rank_sec":$tGstRank%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.diverseKept},"span_cut_docs":${funnel.spanCutDocs},"fuzzy_kept":${funnel.fuzzyKept},"budget_kept":${funnel.budgetKept},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

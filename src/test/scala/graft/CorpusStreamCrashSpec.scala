@@ -57,6 +57,34 @@ class CorpusStreamCrashSpec extends SparkSpec {
     assert(e.getMessage.contains("successor"))
   }
 
+  test("legacy (epoch)-only meta migrates in place; gapped legacy state fails loudly") {
+    import spark.implicits._
+    val n = CorpusStream.names("graft_crash_legacy")
+    CorpusStream.reset(spark, n)
+    CorpusStream.ingest(spark, epochs(0), n, 0L)
+    // downgrade the meta table to the legacy single-column schema (state
+    // written by the pre-round-9 code)
+    val eps = spark.table(n.meta).select("epoch").collect().map(_.getLong(0)).toSeq
+    eps.toDF("epoch").write.mode("overwrite").format("parquet").saveAsTable(n.meta)
+    // the next ingest reads the watermark THROUGH the migration: the old
+    // marker gets the unknown sentinel (ascending-ingest check skipped
+    // once), the new epoch commits a real max
+    CorpusStream.ingest(spark, epochs(1), n, 1L)
+    assert(spark.table(n.meta).columns.contains("max_doc_id"))
+    val rows = spark.table(n.meta).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows(0L) === -1L, s"migrated marker must carry the sentinel: $rows")
+    assert(rows(1L) === 159L, s"new epoch must record its real max: $rows")
+    // GAPPED legacy state could expose a crashed epoch's partials under
+    // the contiguous range read — must refuse, not resume wrong
+    val n2 = CorpusStream.names("graft_crash_legacy_gap")
+    CorpusStream.reset(spark, n2)
+    Seq(0L, 2L).toDF("epoch").write.mode("overwrite").format("parquet")
+      .saveAsTable(n2.meta)
+    val e = intercept[IllegalArgumentException] { CorpusStream.vacuum(spark, n2) }
+    assert(e.getMessage.contains("non-contiguous"))
+  }
+
   test("vacuum drops superseded comps snapshots; publish still serves the watermark") {
     val out = java.nio.file.Files.createTempDirectory("graft-crash-vac").toString
     val n = CorpusStream.names("graft_crash_vac")
