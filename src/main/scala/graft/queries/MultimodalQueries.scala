@@ -174,6 +174,25 @@ object MultimodalQueries {
       tbl
     })
 
+  /** Epoch-advance the stored media band state: bucket-aligned APPEND of
+    * one batch's fingerprint band rows — the media sibling of
+    * [[graft.operators.DedupState.merge]]'s bands append. The standing
+    * table is never rewritten or even read; Spark validates the bucket
+    * spec against the catalog, so a mismatched layout fails loudly
+    * instead of silently degrading the exchange-free probe. Band rows are
+    * per-document, so `advance(state(corpus), batch) ≡ state(corpus ∪
+    * batch)` row-for-row (MultimodalStateSpec pins it — that equivalence
+    * is what makes the rolling-media-ingest cost profile honest: per
+    * epoch, only the batch is decoded and banded).
+    */
+  private[graft] def mmAdvance(s: SparkSession, tbl: String,
+                               batchHashes: DataFrame): Unit =
+    graft.operators.Dedup.hammingLongBands(
+        batchHashes, "media_id", "ahash", bits = 60, nBands = 4)
+      .write.mode("append").format("parquet")
+      .bucketBy(4, "band_key").sortBy("band_key")
+      .saveAsTable(tbl)
+
   /** mm_phash_stored — [[phashIncremental]] against the PERSISTED band
     * state ([[mmState]]): the honest form of the rolling media ingest —
     * only the incoming batch is decoded and banded; the standing corpus

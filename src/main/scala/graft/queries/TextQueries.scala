@@ -194,7 +194,6 @@ object TextQueries {
     * deterministic double arithmetic so the oracle ranks identically.
     */
   def tfidf(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     // materialized once: the df aggregate and the score join both consume
     // it (shared across the text tier under the bench memo — see tfFrame)
@@ -206,9 +205,20 @@ object TextQueries {
     val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") * log(col("n").cast("double") / col("df").cast("double")))
-    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
-      .select(col("doc_id"), col("token"), round(col("score"), 4).as("tfidf"), col("rnk"))
+    // per-doc top-3 as a hash AGGREGATE (collect → sort ≤ doc-type-count
+    // entries → slice), not a ranking window: the window form pays a full
+    // sort of every (doc, token) row inside each partition after the
+    // exchange; the aggregate form moves the same rows but sorts only
+    // per-doc arrays. Ordering rule is identical — (score desc, token
+    // asc) realized as struct(-score, token) ascending; scores are
+    // tf·ln(N/df) ≥ 0, so negation is an exact order flip with no NaN.
+    scored
+      .groupBy("doc_id")
+      .agg(slice(array_sort(collect_list(
+        struct((-col("score")).as("ns"), col("token")))), 1, 3).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("p", "e")))
+      .select(col("doc_id"), col("e.token").as("token"),
+        round(-col("e.ns"), 4).as("tfidf"), (col("p") + 1).as("rnk"))
       .orderBy("doc_id", "rnk")
   }
 
