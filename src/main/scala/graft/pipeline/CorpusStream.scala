@@ -80,9 +80,12 @@ object CorpusStream {
                s"${prefix}_sims", s"${prefix}_comps", s"${prefix}_block",
                s"${prefix}_evals", s"${prefix}_meta")
 
-  /** Drop all state tables (test hygiene / stream reset). */
+  /** Drop all state tables (test hygiene / stream reset) — including the
+    * migration side tables a crashed [[migrateLegacyMeta]] can leave.
+    */
   def reset(s: SparkSession, n: StateNames): Unit =
-    Seq(n.hashes, n.bows, n.raw, n.sims, n.comps, n.block, n.evals, n.meta)
+    Seq(n.hashes, n.bows, n.raw, n.sims, n.comps, n.block, n.evals, n.meta,
+        migratingName(n), retiredName(n))
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
 
   private def appendTable(df: DataFrame, table: String): Unit =
@@ -121,7 +124,15 @@ object CorpusStream {
     */
   private final case class Watermark(hwm: Option[Long], maxDocId: Option[Long])
 
-  /** One-time in-place upgrade of a legacy `(epoch)`-only meta table to the
+  /** Migration side tables: `__migrating` stages the new-schema copy,
+    * `__retired` is the renamed-away legacy table — its EXISTENCE is the
+    * commit marker that the staged copy is complete (the rename that
+    * creates it runs only after the staged write fully succeeded).
+    */
+  private def migratingName(n: StateNames): String = s"${n.meta}__migrating"
+  private def retiredName(n: StateNames): String = s"${n.meta}__retired"
+
+  /** Explicit one-time upgrade of a legacy `(epoch)`-only meta table to the
     * `(epoch, max_doc_id)` schema: existing marker rows keep their epochs
     * with `max_doc_id = -1` ("unknown — predates tracking"), which the
     * ascending-ingest check treats as unverifiable (any doc_id ≥ 0 exceeds
@@ -130,8 +141,30 @@ object CorpusStream {
     * contiguous `epoch <= hwm` range read cannot represent — a gap would
     * expose the crashed epoch's partial partitions — so gapped legacy state
     * fails loudly (reset + re-ingest required) instead of resuming wrong.
+    *
+    * Crash safety (the meta table holds EVERY commit marker — losing it
+    * resets the watermark to None while data partitions persist, breaking
+    * the marker-written-last invariant): the upgrade never overwrites the
+    * live table in place. It stages the new-schema copy under a side name,
+    * then swaps through two catalog renames; retiring the legacy table is
+    * the commit point. A crash at any step is recoverable: before the
+    * commit point the legacy table is untouched (re-run the migration; a
+    * partial staged copy is dropped and rewritten), after it the retired
+    * marker lets [[resumeMigration]] — invoked from the read path when the
+    * meta table is absent — finish the swap. Run once from an operator
+    * entry point (or [[main]] startup), not from reads.
     */
-  private def migrateLegacyMeta(s: SparkSession, n: StateNames): Unit = {
+  def migrateLegacyMeta(s: SparkSession, n: StateNames): Unit =
+    migrateLegacyMetaUpTo(s, n, Int.MaxValue)
+
+  /** [[migrateLegacyMeta]] with a step budget — the crash-injection hook
+    * CorpusStreamCrashSpec uses to kill the swap after every step prefix.
+    */
+  private[graft] def migrateLegacyMetaUpTo(s: SparkSession, n: StateNames,
+                                           maxSteps: Int): Unit = {
+    resumeMigration(s, n) // finish a previously crashed swap first
+    if (!s.catalog.tableExists(n.meta)) return
+    if (s.table(n.meta).columns.contains("max_doc_id")) return // current
     import s.implicits._
     val epochs = s.table(n.meta).select("epoch").distinct()
       .collect().map(_.getLong(0)).sorted // marker rows: one per epoch, tiny
@@ -142,20 +175,56 @@ object CorpusStream {
           "partial partitions under the watermark range read; reset the " +
           "stream state and re-ingest")
     }
-    epochs.map(e => (e, -1L)).toSeq.toDF("epoch", "max_doc_id")
-      .write.mode("overwrite").format("parquet").saveAsTable(n.meta)
+    var steps = 0
+    def step(f: => Unit): Unit = if (steps < maxSteps) { f; steps += 1 }
+    // (1) stage the new-schema copy under a side name nothing reads; a
+    //     partial stage from an earlier crash is dropped and rewritten
+    step {
+      s.sql(s"DROP TABLE IF EXISTS ${migratingName(n)}")
+      epochs.map(e => (e, -1L)).toSeq.toDF("epoch", "max_doc_id")
+        .write.mode("errorifexists").format("parquet")
+        .saveAsTable(migratingName(n))
+    }
+    // (2) COMMIT POINT: retire the legacy table (runs only after the stage
+    //     fully succeeded, so the retired marker proves the stage complete)
+    step(s.sql(s"ALTER TABLE ${n.meta} RENAME TO ${retiredName(n)}"))
+    // (3) promote the staged copy to the live name
+    step(s.sql(s"ALTER TABLE ${migratingName(n)} RENAME TO ${n.meta}"))
+    // (4) cleanup
+    step(s.sql(s"DROP TABLE IF EXISTS ${retiredName(n)}"))
   }
 
-  private def watermark(s: SparkSession, n: StateNames): Watermark =
-    if (!s.catalog.tableExists(n.meta)) Watermark(None, None)
-    else {
-      if (!s.table(n.meta).columns.contains("max_doc_id"))
-        migrateLegacyMeta(s, n)
-      val r = s.table(n.meta)
-        .agg(max("epoch").as("h"), max("max_doc_id").as("m")).head()
-      if (r.isNullAt(0)) Watermark(None, None)
-      else Watermark(Some(r.getLong(0)), Some(r.getLong(1)))
+  /** Complete a [[migrateLegacyMeta]] swap a crash interrupted after its
+    * commit point: the retired marker proves the staged copy is complete,
+    * so promote it (if the live name is still vacant) and drop the marker.
+    * Idempotent; a no-op when no retired marker exists.
+    */
+  private def resumeMigration(s: SparkSession, n: StateNames): Unit =
+    if (s.catalog.tableExists(retiredName(n))) {
+      if (!s.catalog.tableExists(n.meta))
+        s.sql(s"ALTER TABLE ${migratingName(n)} RENAME TO ${n.meta}")
+      s.sql(s"DROP TABLE IF EXISTS ${retiredName(n)}")
     }
+
+  private def watermark(s: SparkSession, n: StateNames): Watermark = {
+    if (!s.catalog.tableExists(n.meta)) {
+      // the one legal way the meta table is absent while state exists: a
+      // migration crash between its two renames — the retired marker makes
+      // that window recoverable from any read
+      resumeMigration(s, n)
+      if (!s.catalog.tableExists(n.meta)) return Watermark(None, None)
+    }
+    if (!s.table(n.meta).columns.contains("max_doc_id"))
+      throw new IllegalStateException(
+        s"meta table ${n.meta} has the legacy (epoch)-only schema — run " +
+          "CorpusStream.migrateLegacyMeta(spark, names) once before " +
+          "resuming the stream (the upgrade is staged and crash-safe; " +
+          "an in-place lazy rewrite here could lose every commit marker)")
+    val r = s.table(n.meta)
+      .agg(max("epoch").as("h"), max("max_doc_id").as("m")).head()
+    if (r.isNullAt(0)) Watermark(None, None)
+    else Watermark(Some(r.getLong(0)), Some(r.getLong(1)))
+  }
 
   /** A state table restricted to committed epochs (`epoch <= hwm`),
     * partition column dropped — the only read path; half-applied epochs
@@ -362,6 +431,10 @@ object CorpusStream {
     val source = spark.readStream
       .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
       .parquet(cfg.input)
-    run(source, cfg, names(s"corpus_stream_${sfx}_$tag")).awaitTermination()
+    val n = names(s"corpus_stream_${sfx}_$tag")
+    // explicit migration entry point: upgrade pre-round-9 meta state once,
+    // at startup, before any read path can trip over the legacy schema
+    migrateLegacyMeta(spark, n)
+    run(source, cfg, n).awaitTermination()
   }
 }

@@ -134,5 +134,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("bloom_contains"),
       info("bloom_contains", classOf[graft.functions.BloomContains]),
       graft.functions.Bloom.containsBuilder))
+    e.injectFunction((FunctionIdentifier("topk_min"),
+      info("topk_min", classOf[graft.functions.TopKMinAgg]),
+      graft.functions.TopK.minBuilder))
   }
 }

@@ -77,14 +77,50 @@ object DedupQueries {
   /** Bounded memoization: the checkpointed frames are pinned in block
     * storage for as long as the map references them, so a session touching
     * many sf dirs must not accumulate them forever — past a handful of
-    * entries the cache clears and the ContextCleaner reclaims the dropped
-    * checkpoints once unreferenced. (Bench/Verify touch exactly one dir;
-    * this guards interactive/long-lived sessions.)
+    * entries the cache evicts every OTHER key, EXPLICITLY unpersisting any
+    * checkpointed frame it held (dropping the reference alone leaves the
+    * blocks pinned on executors until the ContextCleaner's next periodic
+    * GC — a slow leak over a long session). Hit/miss counters, when given,
+    * are derived from the mapping function itself (a flag set inside
+    * `computeIfAbsent`), so concurrent callers can never double-count the
+    * way a separate `containsKey` pre-check could. Eviction assumes the
+    * suite's sequential driver usage (Bench/Verify run queries one at a
+    * time and touch one dir); a frame evicted mid-job by a concurrent
+    * caller would lose its blocks with no lineage to recompute.
     */
-  private def memo[V](cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V],
-                      key: (SparkSession, String), make: () => V): V = {
-    if (cache.size > 3) cache.clear()
-    cache.computeIfAbsent(key, _ => make())
+  private[queries] def memo[V](
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V],
+      key: (SparkSession, String), make: () => V,
+      hits: java.util.concurrent.atomic.AtomicLong = null,
+      misses: java.util.concurrent.atomic.AtomicLong = null): V = {
+    if (cache.size > 3) {
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) { unpersistDeep(e.getValue); it.remove() }
+      }
+    }
+    var missed = false
+    val v = cache.computeIfAbsent(key, _ => { missed = true; make() })
+    if (hits ne null) (if (missed) misses else hits).incrementAndGet()
+    v
+  }
+
+  /** Unpersist every checkpointed frame inside an evicted memo value
+    * (frames ride alone or in tuples). A `localCheckpoint(true)` plan is a
+    * `LogicalRDD` over the persisted RDD — unpersist THAT rdd; `df.rdd`
+    * would wrap it in a fresh deserializing RDD whose unpersist frees
+    * nothing.
+    */
+  private def unpersistDeep(v: Any): Unit = v match {
+    case df: org.apache.spark.sql.Dataset[_] =>
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    case it: Iterable[_] => it.foreach(unpersistDeep) // before Product: a
+      // List's cons cells are Products — iterating avoids spine recursion
+    case p: Product => p.productIterator.foreach(unpersistDeep)
+    case _ => ()
   }
 
   /** Fixture corpus/batch split: standing corpus = `doc_id < splitId`,
@@ -178,9 +214,8 @@ object DedupQueries {
               TextAnalysis.tokens(col("text")).as("toks"))
     if (!share(s)) build()
     else {
-      (if (tokFrameCache.containsKey((s, d))) tokMemoHits else tokMemoMisses)
-        .incrementAndGet()
-      memo(tokFrameCache, (s, d), () => build().localCheckpoint(true))
+      memo(tokFrameCache, (s, d), () => build().localCheckpoint(true),
+           tokMemoHits, tokMemoMisses)
     }
   }
 
@@ -203,9 +238,7 @@ object DedupQueries {
       .localCheckpoint(true)
     if (!share(s)) build()
     else {
-      (if (shingleFrameCache.containsKey((s, d))) shMemoHits else shMemoMisses)
-        .incrementAndGet()
-      memo(shingleFrameCache, (s, d), build)
+      memo(shingleFrameCache, (s, d), build, shMemoHits, shMemoMisses)
     }
   }
 
@@ -229,9 +262,8 @@ object DedupQueries {
   private val maskMemoMisses = new java.util.concurrent.atomic.AtomicLong
 
   private[queries] def corpusShingleMasks(s: SparkSession, d: String): DataFrame = {
-    (if (maskCache.containsKey((s, d))) maskMemoHits else maskMemoMisses)
-      .incrementAndGet()
-    memo(maskCache, (s, d), () =>
+    memo(maskCache, (s, d), hits = maskMemoHits, misses = maskMemoMisses,
+      make = () =>
       Dedup.tokenMasks(
         shingleFrame(s, d).select(col("doc_id"), explode(col("sh")).as("token")),
         "doc_id").localCheckpoint(true))
@@ -292,9 +324,8 @@ object DedupQueries {
     def build(): DataFrame = Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text")
     if (!share(s)) build()
     else {
-      (if (cdcFrameCache.containsKey((s, d))) cdcMemoHits else cdcMemoMisses)
-        .incrementAndGet()
-      memo(cdcFrameCache, (s, d), () => build().localCheckpoint(true))
+      memo(cdcFrameCache, (s, d), () => build().localCheckpoint(true),
+           cdcMemoHits, cdcMemoMisses)
     }
   }
 
@@ -307,10 +338,12 @@ object DedupQueries {
     }
     if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build()
     else {
-      val hit = pairCache.containsKey((s, d))
-      (if (hit) pairMemoHits else pairMemoMisses).incrementAndGet()
-      System.err.println(s"[graft] minhashPairsRaw memo ${if (hit) "hit" else "miss"} for $d")
-      memo(pairCache, (s, d), () => build().localCheckpoint(true))
+      val before = pairMemoMisses.get
+      val v = memo(pairCache, (s, d), () => build().localCheckpoint(true),
+                   pairMemoHits, pairMemoMisses)
+      System.err.println(s"[graft] minhashPairsRaw memo " +
+        s"${if (pairMemoMisses.get == before) "hit" else "miss"} for $d")
+      v
     }
   }
 
@@ -446,9 +479,8 @@ object DedupQueries {
     def build(): DataFrame = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
     if (!share(s)) build()
     else {
-      (if (simCache.containsKey((s, d))) simMemoHits else simMemoMisses)
-        .incrementAndGet()
-      memo(simCache, (s, d), () => build().localCheckpoint(true))
+      memo(simCache, (s, d), () => build().localCheckpoint(true),
+           simMemoHits, simMemoMisses)
     }
   }
 

@@ -101,12 +101,8 @@ object MultimodalQueries {
   private def phashFrame(s: SparkSession, d: String): DataFrame = {
     def build(): DataFrame = hashBuild(s, d).localCheckpoint(true)
     if (!DedupQueries.share(s)) build()
-    else {
-      if (hashCache.size > 3) hashCache.clear()
-      (if (hashCache.containsKey((s, d))) mmMemoHits else mmMemoMisses)
-        .incrementAndGet()
-      hashCache.computeIfAbsent((s, d), _ => build())
-    }
+    else DedupQueries.memo(hashCache, (s, d), () => build(),
+                           mmMemoHits, mmMemoMisses)
   }
 
   /** mm_phash_clusters — connected components over [[phashPairs]]'s edge

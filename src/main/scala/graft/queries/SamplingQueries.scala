@@ -208,13 +208,9 @@ object SamplingQueries {
     if (!share(s))
       dsirFeatures(pred.foldLeft(Tables.documents(s, d))(_.filter(_)))
     else {
-      (if (dsirFeatCache.containsKey((s, d))) dsirMemoHits else dsirMemoMisses)
-        .incrementAndGet()
-      val full = {
-        if (dsirFeatCache.size > 3) dsirFeatCache.clear()
-        dsirFeatCache.computeIfAbsent((s, d),
-          _ => dsirFeatures(Tables.documents(s, d)))
-      }
+      val full = DedupQueries.memo(dsirFeatCache, (s, d),
+        () => dsirFeatures(Tables.documents(s, d)),
+        dsirMemoHits, dsirMemoMisses)
       pred.foldLeft(full)(_.filter(_))
     }
 

@@ -50,12 +50,8 @@ object SimilarityQueries {
       withBuckets(vecs, lshAnchors(vecs))
     }
     if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build()
-    else {
-      (if (bucketCache.containsKey((s, d))) annMemoHits else annMemoMisses)
-        .incrementAndGet()
-      if (bucketCache.size > 3) bucketCache.clear()
-      bucketCache.computeIfAbsent((s, d), _ => build().localCheckpoint(true))
-    }
+    else DedupQueries.memo(bucketCache, (s, d),
+      () => build().localCheckpoint(true), annMemoHits, annMemoMisses)
   }
 
   /** Lloyd-refined PQ codebooks for the corpus, cached per (session, sf
@@ -68,11 +64,9 @@ object SimilarityQueries {
   private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Seq[Seq[(Int, Seq[Double])]]]()
 
-  private def pqCbs(s: SparkSession, d: String): Seq[Seq[(Int, Seq[Double])]] = {
-    if (pqCbCache.size > 3) pqCbCache.clear()
-    pqCbCache.computeIfAbsent((s, d), _ =>
+  private def pqCbs(s: SparkSession, d: String): Seq[Seq[(Int, Seq[Double])]] =
+    DedupQueries.memo(pqCbCache, (s, d), () =>
       Similarity.pqCodebooks(prepared(Tables.embeddings(s, d)).select("vec_id", "v")))
-  }
 
   /** C13 — brute-force cosine similarity to vector 0, top-10. */
   def c13(s: SparkSession, d: String): DataFrame = {

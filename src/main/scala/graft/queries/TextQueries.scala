@@ -39,12 +39,8 @@ object TextQueries {
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         .localCheckpoint(true)
     if (!DedupQueries.share(s)) build()
-    else {
-      if (tfFrameCache.size > 3) tfFrameCache.clear()
-      (if (tfFrameCache.containsKey((s, d))) tfMemoHits else tfMemoMisses)
-        .incrementAndGet()
-      tfFrameCache.computeIfAbsent((s, d), _ => build())
-    }
+    else DedupQueries.memo(tfFrameCache, (s, d), () => build(),
+                           tfMemoHits, tfMemoMisses)
   }
 
   /** C12a — top-20 tokens by frequency (explode + agg + top-k). */
@@ -205,17 +201,22 @@ object TextQueries {
     val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") * log(col("n").cast("double") / col("df").cast("double")))
-    // per-doc top-3 as a hash AGGREGATE (collect → sort ≤ doc-type-count
-    // entries → slice), not a ranking window: the window form pays a full
-    // sort of every (doc, token) row inside each partition after the
-    // exchange; the aggregate form moves the same rows but sorts only
-    // per-doc arrays. Ordering rule is identical — (score desc, token
-    // asc) realized as struct(-score, token) ascending; scores are
-    // tf·ln(N/df) ≥ 0, so negation is an exact order flip with no NaN.
+    // per-doc top-3 as a BOUNDED hash aggregate (graft's topk_min — a
+    // size-3 heap per group), not a ranking window and not collect_list:
+    // the window form pays a full sort of every (doc, token) row inside
+    // each partition after the exchange, and a collect_list buffers a
+    // document's entire distinct-token set in ONE aggregation row — a
+    // pathological vocabulary concentrates memory in a single buffer that
+    // can neither spill nor split. The heap holds 3 entries per doc at
+    // every moment and ships 3 per partition as the partial. Ordering rule
+    // is identical — (score desc, token asc) realized as
+    // struct(-score, token) ascending; scores are tf·ln(N/df) ≥ 0, so
+    // negation is an exact order flip with no NaN.
+    graft.functions.TopK.register(s)
     scored
       .groupBy("doc_id")
-      .agg(slice(array_sort(collect_list(
-        struct((-col("score")).as("ns"), col("token")))), 1, 3).as("top"))
+      .agg(graft.functions.TopK.minK(
+        struct((-col("score")).as("ns"), col("token")), 3).as("top"))
       .select(col("doc_id"), posexplode(col("top")).as(Seq("p", "e")))
       .select(col("doc_id"), col("e.token").as("token"),
         round(-col("e.ns"), 4).as("tfidf"), (col("p") + 1).as("rnk"))
@@ -686,12 +687,8 @@ object TextQueries {
       (Seq[(Long, String, String, Long, Long)], DataFrame) = {
     if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean)
       bpeTrainBuild(s, d)
-    else {
-      if (trainCache.size > 3) trainCache.clear()
-      (if (trainCache.containsKey((s, d))) bpeMemoHits else bpeMemoMisses)
-        .incrementAndGet()
-      trainCache.computeIfAbsent((s, d), _ => bpeTrainBuild(s, d))
-    }
+    else DedupQueries.memo(trainCache, (s, d), () => bpeTrainBuild(s, d),
+                           bpeMemoHits, bpeMemoMisses)
   }
 
   private def bpeTrainBuild(s: SparkSession, d: String):
@@ -862,12 +859,8 @@ object TextQueries {
       (db, Classifier.trainLogreg(db, ClfBuckets, ClfRounds))
     }
     if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build()
-    else {
-      if (clfModelCache.size > 3) clfModelCache.clear()
-      (if (clfModelCache.containsKey((s, d))) clfMemoHits else clfMemoMisses)
-        .incrementAndGet()
-      clfModelCache.computeIfAbsent((s, d), _ => build())
-    }
+    else DedupQueries.memo(clfModelCache, (s, d), () => build(),
+                           clfMemoHits, clfMemoMisses)
   }
 
   def qualityClassifier(s: SparkSession, d: String): DataFrame = {

@@ -57,7 +57,7 @@ class CorpusStreamCrashSpec extends SparkSpec {
     assert(e.getMessage.contains("successor"))
   }
 
-  test("legacy (epoch)-only meta migrates in place; gapped legacy state fails loudly") {
+  test("legacy (epoch)-only meta: reads refuse loudly, explicit migration upgrades, gapped state fails") {
     import spark.implicits._
     val n = CorpusStream.names("graft_crash_legacy")
     CorpusStream.reset(spark, n)
@@ -66,9 +66,14 @@ class CorpusStreamCrashSpec extends SparkSpec {
     // written by the pre-round-9 code)
     val eps = spark.table(n.meta).select("epoch").collect().map(_.getLong(0)).toSeq
     eps.toDF("epoch").write.mode("overwrite").format("parquet").saveAsTable(n.meta)
-    // the next ingest reads the watermark THROUGH the migration: the old
-    // marker gets the unknown sentinel (ascending-ingest check skipped
-    // once), the new epoch commits a real max
+    // reads must NOT migrate lazily (an in-place rewrite from a read path
+    // could lose every commit marker on a crash) — they refuse and name
+    // the explicit entry point
+    val e0 = intercept[IllegalStateException] {
+      CorpusStream.ingest(spark, epochs(1), n, 1L)
+    }
+    assert(e0.getMessage.contains("migrateLegacyMeta"))
+    CorpusStream.migrateLegacyMeta(spark, n)
     CorpusStream.ingest(spark, epochs(1), n, 1L)
     assert(spark.table(n.meta).columns.contains("max_doc_id"))
     val rows = spark.table(n.meta).collect()
@@ -81,8 +86,50 @@ class CorpusStreamCrashSpec extends SparkSpec {
     CorpusStream.reset(spark, n2)
     Seq(0L, 2L).toDF("epoch").write.mode("overwrite").format("parquet")
       .saveAsTable(n2.meta)
-    val e = intercept[IllegalArgumentException] { CorpusStream.vacuum(spark, n2) }
+    val e = intercept[IllegalArgumentException] {
+      CorpusStream.migrateLegacyMeta(spark, n2)
+    }
     assert(e.getMessage.contains("non-contiguous"))
+  }
+
+  for (cut <- 0 to 4) {
+    test(s"meta migration crashed after $cut/4 steps never loses a commit marker") {
+      import spark.implicits._
+      val n = CorpusStream.names(s"graft_crash_mig_$cut")
+      CorpusStream.reset(spark, n)
+      CorpusStream.ingest(spark, epochs(0), n, 0L)
+      val eps = spark.table(n.meta).select("epoch").collect().map(_.getLong(0)).toSeq
+      eps.toDF("epoch").write.mode("overwrite").format("parquet").saveAsTable(n.meta)
+      CorpusStream.migrateLegacyMetaUpTo(spark, n, cut) // the crash
+      // recovery: before the commit point (cut <= 1) the legacy table is
+      // untouched and the migration re-runs; after it, the retired marker
+      // lets the swap resume — in both cases every marker survives
+      CorpusStream.migrateLegacyMeta(spark, n)
+      assert(spark.table(n.meta).columns.contains("max_doc_id"))
+      assert(spark.table(n.meta).select("epoch").collect().map(_.getLong(0)).toSet
+        === eps.toSet, s"commit markers lost by a crash at step $cut")
+      assert(!spark.catalog.tableExists(s"${n.meta}__migrating") &&
+             !spark.catalog.tableExists(s"${n.meta}__retired"),
+        "migration side tables must not linger after completion")
+      // the stream resumes: next epoch ingests against the migrated state
+      CorpusStream.ingest(spark, epochs(1), n, 1L)
+    }
+  }
+
+  test("migration crash between the renames auto-resumes from the read path") {
+    import spark.implicits._
+    val n = CorpusStream.names("graft_crash_mig_read")
+    CorpusStream.reset(spark, n)
+    CorpusStream.ingest(spark, epochs(0), n, 0L)
+    val eps = spark.table(n.meta).select("epoch").collect().map(_.getLong(0)).toSeq
+    eps.toDF("epoch").write.mode("overwrite").format("parquet").saveAsTable(n.meta)
+    CorpusStream.migrateLegacyMetaUpTo(spark, n, 2) // meta absent, marker live
+    assert(!spark.catalog.tableExists(n.meta))
+    // a bare read (no explicit migration call) finds the retired marker and
+    // finishes the swap instead of treating the stream as fresh
+    CorpusStream.ingest(spark, epochs(1), n, 1L)
+    assert(spark.table(n.meta).select("epoch").collect().map(_.getLong(0)).toSet
+      === Set(0L, 1L))
   }
 
   test("vacuum drops superseded comps snapshots; publish still serves the watermark") {

@@ -352,6 +352,10 @@ class PlanAuditSpec extends SparkSpec {
   test("mm_phash_stored: media band probe reads bucketed state, no corpus-side exchange") {
     // pin the sort-merge shape (the tiny fixture would broadcast, which
     // trivially has no exchange and would mask a missing bucketing)
+    // restore the CAPTURED value, not a hard-coded default: a literal here
+    // would silently change config for every later test if the suite's
+    // session default ever differs
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val plan = finalPlan(
@@ -365,7 +369,7 @@ class PlanAuditSpec extends SparkSpec {
       assert("Exchange hashpartitioning\\(a_bk".r.findAllIn(plan).size <= 1, plan)
       assert(!plan.contains("CartesianProduct") &&
              !plan.contains("BroadcastNestedLoopJoin"), plan)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("graph_domain_rank_stored: edge partial re-aggregation is exchange-free off the bucketed state") {
