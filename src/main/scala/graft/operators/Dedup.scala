@@ -458,8 +458,11 @@ object Dedup {
     // stops Catalyst from folding, pruning, or re-evaluating it, and the
     // checkpoint materializes every output column exactly once per row
     val tick = udf { c: Boolean => if (c) acc.add(1L); true }.asNondeterministic()
-    val ck = df.withColumn("__probe", tick(coalesce(flag, lit(false))))
-      .localCheckpoint(true)
+    // Materialize.frame: eager localCheckpoint by default, reliable
+    // checkpoint under spark.graft.checkpoint.dir (cluster posture — see
+    // that object's accumulator note for why the count stays zero-exact)
+    val ck = Materialize.frame(
+      df.withColumn("__probe", tick(coalesce(flag, lit(false)))))
     (ck.select(keep.map(col): _*), acc.value)
   }
 
@@ -475,12 +478,12 @@ object Dedup {
         .filter(col("src") =!= col("dst")),
       lit(true), Seq("src", "dst"))
     var g = g0
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
-      .localCheckpoint(true)
+    var labels = Materialize.frame(
+      nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
     var i = 0
     var done = e0 == 0L
     while (!done && i < maxIter) {
-      var m = neighbourMin(g).localCheckpoint(true)
+      var m = Materialize.frame(neighbourMin(g))
       // pointer jumping on the map alone: squaring halves the forest depth
       // per pass, each pass a self-join of the node-sized (never
       // edge-sized) frame; dense graphs stabilize after one pass
@@ -517,9 +520,9 @@ object Dedup {
       import scala.concurrent.duration.Duration
       val prevLabels = labels
       val fLabels = Future {
-        prevLabels.join(m, prevLabels("comp") === m("__mid"), "left_outer")
-          .select(col("id"), coalesce(col("__mv"), col("comp")).as("comp"))
-          .localCheckpoint(true)
+        Materialize.frame(
+          prevLabels.join(m, prevLabels("comp") === m("__mid"), "left_outer")
+            .select(col("id"), coalesce(col("__mv"), col("comp")).as("comp")))
       }
       // remap the undirected list; canonicalize (least, greatest) so the
       // distinct() collapses both orientations of a contracted edge; the

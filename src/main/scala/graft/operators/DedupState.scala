@@ -146,7 +146,7 @@ object DedupState {
             Seq("b"), "left")
       .select(coalesce(col("ca"), col("a")).as("a"),
               coalesce(col("cb"), col("b")).as("b"))
-      .localCheckpoint(true)
+      .transform(Materialize.frame)
     val touched = contracted.select(col("a").as(idCol))
       .unionByName(contracted.select(col("b").as(idCol)))
     val nodes = batchIds.select(col(idCol)).unionByName(touched).distinct()
@@ -159,7 +159,8 @@ object DedupState {
       .select(col(idCol), coalesce(col("__newc"), col("comp")).as("comp"))
       .unionByName(batchAssign)
       // materialize BEFORE the caller overwrites the frame this reads
-      .localCheckpoint(true)
+      // (reliable under spark.graft.checkpoint.dir, like every CC round)
+      .transform(Materialize.frame)
   }
 
   /** Persist the standing component assignments `(id, comp)` — the third

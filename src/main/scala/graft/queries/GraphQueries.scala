@@ -8,8 +8,10 @@ import graft.Tables
 /** Graph analytics over relations the corpus already implies — no
   * separate graph store, no vertex/edge RDDs: nodes and edges are
   * DataFrames, an iteration is a join + aggregate, and iterative state is
-  * truncated with `localCheckpoint` exactly where a 100 TB deployment
-  * would checkpoint between supersteps.
+  * truncated via [[graft.operators.Materialize.frame]] exactly where a
+  * 100 TB deployment checkpoints between supersteps — executor-local by
+  * default, RELIABLE (filesystem-backed, survives executor loss) when
+  * `spark.graft.checkpoint.dir` is set.
   */
 object GraphQueries {
 
@@ -86,24 +88,28 @@ object GraphQueries {
     val docsrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
     val edges0 = ec
       .join(ec.groupBy("src").agg(sum("w").as("outw")), "src")
-    val edges = if (checkpointEdges) edges0.localCheckpoint(true) else edges0
-    val nodes = docsrc.select(col("source").as("node")).distinct()
-      .localCheckpoint(true)
+    // Materialize.frame: localCheckpoint by default, reliable checkpoint
+    // under spark.graft.checkpoint.dir — the cluster-durability switch for
+    // every superstep frame here
+    val edges =
+      if (checkpointEdges) graft.operators.Materialize.frame(edges0) else edges0
+    val nodes = graft.operators.Materialize.frame(
+      docsrc.select(col("source").as("node")).distinct())
     val nTotal = nodes.agg(count(lit(1)).as("n"))
 
-    var rank: DataFrame = nodes.crossJoin(broadcast(nTotal))
-      .select(col("node"), expr(s"CAST($Scale AS BIGINT) div n").as("r"))
-      .localCheckpoint(true)
+    var rank: DataFrame = graft.operators.Materialize.frame(
+      nodes.crossJoin(broadcast(nTotal))
+        .select(col("node"), expr(s"CAST($Scale AS BIGINT) div n").as("r")))
     for (_ <- 1 to Iters) {
       val contrib = rank.join(edges, rank("node") === edges("src"))
         .select(col("dst").as("node2"),
           expr(s"($Damp * r * w) div ($DampDen * outw)").as("c"))
         .groupBy("node2").agg(sum("c").as("c"))
-      rank = nodes.crossJoin(broadcast(nTotal))
-        .join(contrib, col("node") === col("node2"), "left")
-        .select(col("node"),
-          (expr(s"CAST($BaseNum AS BIGINT) div n") + coalesce(col("c"), lit(0L))).as("r"))
-        .localCheckpoint(true)
+      rank = graft.operators.Materialize.frame(
+        nodes.crossJoin(broadcast(nTotal))
+          .join(contrib, col("node") === col("node2"), "left")
+          .select(col("node"),
+            (expr(s"CAST($BaseNum AS BIGINT) div n") + coalesce(col("c"), lit(0L))).as("r")))
     }
     // derive in-weights from the CHECKPOINTED edge frame, not the lazy ec
     // plan — ec's lineage contains the whole pair pipeline, which would
