@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   *     second-line tool, available as [[graft.queries.DedupQueries]]);
   *  3. decontamination — drop training docs whose exact text hash appears
   *     in the eval blocklist (doc_id % 10 = 0), bloom-prefiltered so only
-  *     probe hits pay the anti-join;
+  *     probe hits pay the anti-join; the fuzzy near-dup tier (3a) runs in
+  *     the shared release tail, and the opt-in media tier (3a' —
+  *     `--media-decontam`) drops docs whose media fingerprint near-dups an
+  *     eval doc's;
   *  3b. substring-span cut — delete every later copy of a cross-doc
   *     duplicated 8-token span ([[graft.operators.Dedup.spanCut]]): docs
   *     survive, redundant tokens don't;
@@ -70,6 +73,11 @@ object CorpusJob {
       // surviving tokens (1.0 = off); cluster-balanced diversity capping
       // needs a document-embedding table, so it is opt-in
       fuzzyDecontam: Boolean = true,
+      // media decontamination (round 10): drop training docs whose derived
+      // media fingerprint (60-bit aHash) sits within Hamming 3 of any eval
+      // doc's — the mm_decontam tier composed. Opt-in: it decodes the
+      // media column, which only exists for corpora that carry one
+      mediaDecontam: Boolean = false,
       budgetShare: Double = 0.9,
       // the classifier's "trusted domain" positive label. NOT src0: the
       // fixture's src0 rows are exactly the eval split (source = src(id %
@@ -110,6 +118,7 @@ object CorpusJob {
       case "--bin-tokens" :: v :: t  => loop(t, cfg.copy(binTokens = v.toLong))
       case "--span-state" :: t       => loop(t, cfg.copy(spanState = true))
       case "--no-fuzzy-decontam" :: t => loop(t, cfg.copy(fuzzyDecontam = false))
+      case "--media-decontam" :: t   => loop(t, cfg.copy(mediaDecontam = true))
       case "--budget-share" :: v :: t => loop(t, cfg.copy(budgetShare = v.toDouble))
       case "--clf-target" :: v :: t  => loop(t, cfg.copy(clfTarget = v))
       case "--diverse-per-cell" :: v :: t =>
@@ -120,7 +129,7 @@ object CorpusJob {
         s"unknown argument '$bad'; expected --input --out " +
           "[--min-tokens n] [--min-distinct-ratio r] [--min-avg-logp x] " +
           "[--salt s] [--mix lang:share,...] [--bin-tokens n] [--span-state] " +
-          "[--no-fuzzy-decontam] [--budget-share x] " +
+          "[--no-fuzzy-decontam] [--media-decontam] [--budget-share x] " +
           "[--diverse-per-cell n] [--embeddings dir]")
     }
     val cfg = loop(args.toList, Config())
@@ -138,7 +147,7 @@ object CorpusJob {
 
   final case class Funnel(
       input: Long, exactKept: Long, bowKept: Long, nearKept: Long,
-      cleanKept: Long, fuzzyKept: Long, spanCutDocs: Long,
+      cleanKept: Long, fuzzyKept: Long, mmKept: Long, spanCutDocs: Long,
       screenedKept: Long, qualityKept: Long, budgetKept: Long,
       mixKept: Long, diverseKept: Long, nBins: Long,
       perSplit: Map[String, Long])
@@ -201,13 +210,13 @@ object CorpusJob {
       .select("doc_id", "text")
     val (out, t) = curateTail(spark, clean0, evalDocs, nInput, cfg)
     (out, Funnel(nInput, nExact, nBow, nNear, t.cleanKept, t.fuzzyKept,
-                 t.spanCutDocs, t.screenedKept, t.qualityKept, t.budgetKept,
-                 t.mixKept, t.diverseKept, t.nBins, t.perSplit))
+                 t.mmKept, t.spanCutDocs, t.screenedKept, t.qualityKept,
+                 t.budgetKept, t.mixKept, t.diverseKept, t.nBins, t.perSplit))
   }
 
   /** Release-tail counts — the [[Funnel]] fields stages 3a→6 own. */
   final case class TailCounts(
-      cleanKept: Long, fuzzyKept: Long, spanCutDocs: Long,
+      cleanKept: Long, fuzzyKept: Long, mmKept: Long, spanCutDocs: Long,
       screenedKept: Long, qualityKept: Long, budgetKept: Long,
       mixKept: Long, diverseKept: Long, nBins: Long,
       perSplit: Map[String, Long])
@@ -243,6 +252,32 @@ object CorpusJob {
     require(nFuzzy > 0,
       s"fuzzy decontamination emptied the corpus (clean=$nClean0)")
 
+    // 3a'. MEDIA decontamination (the mm_decontam tier composed, opt-in):
+    // drop training docs whose derived media fingerprint (60-bit aHash)
+    // sits within Hamming 3 of ANY eval doc's — text leakage the fuzzy
+    // tier already catches can also ride a near-identical media payload,
+    // and vice versa. Banded cross probe only (train bands × eval bands
+    // through the persistable long-band shape); eval side derives from
+    // the SAME pre-dedup evalDocs the fuzzy tier probes, so a
+    // deduplicated-away eval twin still contaminates.
+    val mm =
+      if (!cfg.mediaDecontam) fuzzy
+      else {
+        import graft.multimodal.Multimodal
+        def fp(df: DataFrame): DataFrame = Dedup.hammingLongBands(
+          Multimodal.ahash(Multimodal.mediaFromText(
+              df.select("doc_id", "text"), "doc_id", "text", "image", "corpus"), 60)
+            .filter(col("n_bytes") > 0),
+          "media_id", "ahash", bits = 60, nBands = 4)
+        val bad = Dedup.hammingCrossPairsLong(fp(fuzzy), fp(evalDocs),
+            "media_id", "ahash", bits = 60, nBands = 4, maxHamming = 3)
+          .select(col("a").as("doc_id")).distinct()
+        fuzzy.join(bad, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      }
+    val nMm = mm.count()
+    require(nMm > 0,
+      s"media decontamination emptied the corpus (fuzzy=$nFuzzy)")
+
     // 3b. substring-span cut (the RefinedWeb-style exact-substring pass):
     // delete every later copy of a cross-doc duplicated 8-token span,
     // keeping the first. Document COUNT is unchanged (texts shrink, docs
@@ -251,9 +286,9 @@ object CorpusJob {
     // kept first occurrence. Zero-token docs fall out of the operator's
     // token stream; the left join + coalesce keeps them with their
     // original text.
-    val kept = Dedup.spanCut(fuzzy, "doc_id", "text", w = 8)
+    val kept = Dedup.spanCut(mm, "doc_id", "text", w = 8)
       .select(col("doc_id"), col("n_cut"), col("kept_text"))
-    val cutAll = fuzzy.join(kept, Seq("doc_id"), "left_outer")
+    val cutAll = mm.join(kept, Seq("doc_id"), "left_outer")
       .withColumn("text", coalesce(col("kept_text"), col("text")))
       .drop("kept_text")
       .localCheckpoint(true)
@@ -433,7 +468,7 @@ object CorpusJob {
     }
     val perSplit = out.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (out, TailCounts(nClean0, nFuzzy, nSpanCutDocs, nScreened, nQuality,
+    (out, TailCounts(nClean0, nFuzzy, nMm, nSpanCutDocs, nScreened, nQuality,
                      nBudget, nMixed, nDiverse, nBins, perSplit))
   }
 
@@ -451,7 +486,7 @@ object CorpusJob {
       s"""{"metric":"corpus_funnel","input":${f.input},"exact_kept":${f.exactKept},""" +
       s""""bow_kept":${f.bowKept},"near_kept":${f.nearKept},""" +
       s""""clean_kept":${f.cleanKept},"fuzzy_kept":${f.fuzzyKept},""" +
-      s""""span_cut_docs":${f.spanCutDocs},""" +
+      s""""mm_kept":${f.mmKept},"span_cut_docs":${f.spanCutDocs},""" +
       s""""screened_kept":${f.screenedKept},"quality_kept":${f.qualityKept},""" +
       s""""budget_kept":${f.budgetKept},"mix_kept":${f.mixKept},""" +
       s""""diverse_kept":${f.diverseKept},"n_bins":${f.nBins},""" +

@@ -210,6 +210,40 @@ object MultimodalQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** mm_decontam — the MEDIA decontamination tier, completing the
+    * text-side ladder's symmetry (exact-hash / fuzzy / span leakage have
+    * had no media twin): training media whose 60-bit aHash sits within
+    * Hamming 3 of ANY eval-split media fingerprint (media_id % 10 = 0 —
+    * the shared eval convention) are leakage, found by the banded CROSS
+    * probe ([[graft.operators.Dedup.hammingCrossPairsLong]] over
+    * [[graft.operators.Dedup.hammingLongBands]] rows — train × eval only,
+    * the corpus is never self-paired, the eval side is benchmark-sized
+    * and broadcastable at 100 TB). Output is the per-source leakage
+    * REPORT an operator reads before enabling the purge: training-media
+    * count and contaminated count per source.
+    */
+  def mmDecontam(s: SparkSession, d: String): DataFrame = {
+    val hashes = phashFrame(s, d)
+    val train = hashes.filter(col("media_id") % 10 =!= 0)
+    val ev = hashes.filter(col("media_id") % 10 === 0)
+    val bad = graft.operators.Dedup.hammingCrossPairsLong(
+        graft.operators.Dedup.hammingLongBands(train, "media_id", "ahash",
+          bits = 60, nBands = 4),
+        graft.operators.Dedup.hammingLongBands(ev, "media_id", "ahash",
+          bits = 60, nBands = 4),
+        "media_id", "ahash", bits = 60, nBands = 4, maxHamming = 3)
+      .select(col("a").as("media_id")).distinct()
+      .withColumn("__c", lit(1L))
+    val src = Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"), col("source"))
+    train.join(src, Seq("media_id"))
+      .join(bad, Seq("media_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_media"),
+           sum(coalesce(col("__c"), lit(0L))).as("n_contaminated"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> (decodeMeta _),
     "mm_frame_sample" -> (frameSample _),
@@ -217,6 +251,7 @@ object MultimodalQueries {
     "mm_phash_clusters" -> (phashClusters _),
     "mm_phash_incremental" -> (phashIncremental _),
     "mm_phash_stored" -> (phashStored _),
+    "mm_decontam" -> (mmDecontam _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -297,6 +332,26 @@ object MultimodalQueries {
     // the stored probe is row-identical to the recomputing form — the
     // shared oracle IS the proof the bucketed state loses nothing
     "mm_phash_stored" -> phashCrossSql,
+    "mm_decontam" ->
+      // the factored aHash chain + the cross-split banding rule restated:
+      // train (media_id % 10 <> 0) candidates vs eval (= 0) bands, popcount
+      // verify, then the per-source leakage rollup
+      s"""WITH $phashCtes,
+         |cand AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b
+         |         FROM bl x JOIN bl y ON x.j = y.j AND x.bv = y.bv
+         |         WHERE x.media_id % 10 <> 0 AND y.media_id % 10 = 0),
+         |bad AS (SELECT DISTINCT c.a AS media_id FROM cand c
+         |        JOIN h ha ON c.a = ha.media_id
+         |        JOIN h hb ON c.b = hb.media_id
+         |        WHERE bit_count(xor(ha.ahash, hb.ahash)) <= 3),
+         |tr AS (SELECT m.media_id, d.source FROM m
+         |       JOIN documents d ON m.media_id = d.doc_id
+         |       WHERE m.media_id % 10 <> 0)
+         |SELECT tr.source,
+         |  CAST(count(*) AS BIGINT) AS n_media,
+         |  CAST(sum(CASE WHEN bad.media_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+         |FROM tr LEFT JOIN bad ON tr.media_id = bad.media_id
+         |GROUP BY tr.source ORDER BY source""".stripMargin,
   )
 
   /** The byte-stripe aHash chain `m → p → v → st → tot → h → bl` shared by

@@ -23,7 +23,9 @@ class CorpusJobSpec extends SparkSpec {
     assert(f.bowKept >= f.nearKept)
     assert(f.nearKept >= f.cleanKept)
     assert(f.cleanKept >= f.fuzzyKept)
-    assert(f.fuzzyKept >= f.screenedKept)
+    assert(f.fuzzyKept >= f.mmKept)
+    assert(f.mmKept === f.fuzzyKept, "media tier is opt-in: a no-op by default")
+    assert(f.mmKept >= f.screenedKept)
     assert(f.screenedKept >= f.qualityKept)
     assert(f.qualityKept >= f.budgetKept)
     assert(f.budgetKept >= f.mixKept)
@@ -35,6 +37,20 @@ class CorpusJobSpec extends SparkSpec {
     assert(f.spanCutDocs <= f.fuzzyKept, "span cut touches only surviving docs")
     assert(f.perSplit.values.sum === f.diverseKept,
       "splits must partition the curated corpus exactly")
+  }
+
+  test("media decontamination tier drops media-fingerprint near-dups of eval docs") {
+    // fuzzy OFF so the media tier is the only near-dup decontamination in
+    // play: the docs whose derived media fingerprint Hamming-near-dups an
+    // eval doc's must fall to THIS tier, not an upstream one
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus-mm").toString
+    val (_, f) = CorpusJob.execute(spark, CorpusJob.Config(
+      input = sf("sf0.001"), out = out,
+      fuzzyDecontam = false, mediaDecontam = true))
+    assert(f.fuzzyKept === f.cleanKept, "fuzzy tier disabled for isolation")
+    assert(f.mmKept < f.fuzzyKept, "media tier must remove docs on the fixture")
+    assert(f.mmKept > 0)
+    assert(f.mmKept >= f.screenedKept)
   }
 
   test("no fuzzy eval near-duplicate survives curation") {

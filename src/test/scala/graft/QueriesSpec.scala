@@ -140,6 +140,7 @@ class QueriesSpec extends SparkSpec {
     "mm_phash_clusters" -> 500L,
     "mm_phash_incremental" -> 9L,
     "mm_phash_stored" -> 9L,
+    "mm_decontam" -> 18L,
     "dedup_cdc_incremental" -> 58L,
     "text_bpe_pairs" -> 20L,
     "text_bpe_merges" -> 3L,
