@@ -1332,7 +1332,7 @@ object DedupQueries {
   // ---- oracle SQL ----------------------------------------------------------
 
   private val tokCte =
-    """tok AS (
+    """tok AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, token FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
       |  WHERE token <> '')""".stripMargin
@@ -1392,6 +1392,11 @@ object DedupQueries {
       |    CAST(sum(vote * (CAST(1 AS BIGINT) << CAST(b AS INTEGER))) AS BIGINT) AS simhash
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  // MATERIALIZED: DuckDB 1.0 INLINES a CTE at every reference, so a
+  // multi-referenced stage (tok feeds sig + sz + both inter sides; bl
+  // self-joins) re-runs per reference — at sf0.1 that is what pushed the
+  // graph/cluster/incremental oracles past the comparator's 300 s budget.
+  // The hint pins each stage to one evaluation; results are unchanged.
   private val sigBandsCtes =
     s"""$tokCte,
        |sig AS (
@@ -1412,7 +1417,7 @@ object DedupQueries {
     */
   private[queries] def verifiedPairsCtesWith(candPred: String): String =
     s"""$sigBandsCtes,
-       |bl AS (
+       |bl AS MATERIALIZED (
        |  SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM bands
        |  UNION ALL SELECT doc_id, 1, band1 FROM bands
        |  UNION ALL SELECT doc_id, 2, band2 FROM bands
@@ -1429,7 +1434,7 @@ object DedupQueries {
        |  JOIN tok ta ON c.a = ta.doc_id
        |  JOIN tok tb ON c.b = tb.doc_id AND ta.token = tb.token
        |  GROUP BY c.a, c.b),
-       |vp AS (
+       |vp AS MATERIALIZED (
        |  SELECT i.a, i.b,
        |    CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) AS jac
        |  FROM inter i
@@ -1444,13 +1449,60 @@ object DedupQueries {
     * queries differ only in WHERE the corpus bands/tokens come from
     * (recompute vs bucketed state), never in what they emit.
     */
-  /** Shared by `dedup_clusters` and `dedup_clusters_stored`: the pair
-    * pipeline restated band-by-band, then the transitive closure as a
-    * recursive CTE.
+  /** The connected-components tail of the clusters oracle as a BOUNDED
+    * unrolled round chain (hash-min label propagation + one pointer-jump
+    * per round — the bpeMerges per-round-CTE device applied to CC):
+    * DuckDB's recursive-CTE transitive closure enumerates (node,
+    * reachable-smaller-root) pairs, which explodes combinatorially on the
+    * near-clique components the sf0.1 fixture contains (the sweep's one
+    * "does not complete" family), whereas the monotone hash-min round is
+    * edge-sized and the jump halves forest depth per round, so
+    * [[CcRounds]] = 12 covers component depth ≫ the corpus sizes the
+    * comparator runs. BOUNDED ≠ approximate: every update is a `least`,
+    * so labels only descend, and the final CASE raises `error(...)` if the
+    * last two rounds differ — a non-converged chain fails the gate loudly
+    * instead of hashing a wrong answer. At a fixpoint all labels within a
+    * component are provably its minimum id (an unstable edge would still
+    * be descending).
+    */
+  private val CcRounds = 12
+
+  private def ccChain(nodesSql: String, edgesRel: String): String = {
+    val rounds = (1 to CcRounds).map { k =>
+      val prev = s"l${k - 1}"
+      s"""nm$k AS (
+         |  SELECT e.src AS id, min(l.lbl) AS nl
+         |  FROM $edgesRel e JOIN $prev l ON e.dst = l.id GROUP BY e.src),
+         |j$k AS MATERIALIZED (
+         |  SELECT l.id, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl
+         |  FROM $prev l LEFT JOIN nm$k m ON l.id = m.id),
+         |l$k AS MATERIALIZED (
+         |  SELECT x.id, least(x.lbl, coalesce(y.lbl, x.lbl)) AS lbl
+         |  FROM j$k x LEFT JOIN j$k y ON x.lbl = y.id)""".stripMargin
+    }
+    s"""l0 AS MATERIALIZED ($nodesSql),
+       |${rounds.mkString(",\n")},
+       |chk AS (SELECT CAST(count(*) AS BIGINT) AS c
+       |        FROM l$CcRounds x JOIN l${CcRounds - 1} y
+       |          ON x.id = y.id AND x.lbl <> y.lbl)""".stripMargin
+  }
+
+  /** The converged-label projection every [[ccChain]] consumer selects
+    * from: the component id, poisoned loudly when the chain did not reach
+    * its fixpoint.
+    */
+  private val ccLbl: String =
+    s"""CAST(CASE WHEN (SELECT c FROM chk) > 0
+       |          THEN error('cc hash-min chain not converged in $CcRounds rounds')
+       |          ELSE lbl END AS BIGINT)""".stripMargin
+
+  /** Shared by `dedup_clusters`, `dedup_clusters_stored` and
+    * `dedup_clusters_incremental`: the pair pipeline restated
+    * band-by-band, then the bounded [[ccChain]] closure.
     */
   private val clustersSql: String =
-    s"""WITH RECURSIVE $sigBandsCtes,
-       |bl AS (
+    s"""WITH $sigBandsCtes,
+       |bl AS MATERIALIZED (
        |  SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM bands
        |  UNION ALL SELECT doc_id, 1, band1 FROM bands
        |  UNION ALL SELECT doc_id, 2, band2 FROM bands
@@ -1467,24 +1519,21 @@ object DedupQueries {
        |  JOIN tok ta ON c.a = ta.doc_id
        |  JOIN tok tb ON c.b = tb.doc_id AND ta.token = tb.token
        |  GROUP BY c.a, c.b),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT i.a AS doc_a, i.b AS doc_b
        |  FROM inter i JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id
        |  WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.7),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |cc AS (
-       |  SELECT doc_id AS id, doc_id AS root FROM documents
-       |  UNION
-       |  SELECT e.dst, cc.root FROM cc JOIN edges e ON cc.id = e.src)
-       |SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS comp,
-       |       (id = min(root)) AS keeper
-       |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
+       |${ccChain("SELECT doc_id AS id, doc_id AS lbl FROM documents", "edges")}
+       |SELECT id AS doc_id, $ccLbl AS comp,
+       |       (id = lbl) AS keeper
+       |FROM l$CcRounds ORDER BY doc_id""".stripMargin
 
   private val incrementalSql: String =
     s"""WITH $sigBandsCtes,
-       |bl AS (
+       |bl AS MATERIALIZED (
        |  SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM bands
        |  UNION ALL SELECT doc_id, 1, band1 FROM bands
        |  UNION ALL SELECT doc_id, 2, band2 FROM bands
@@ -1703,7 +1752,7 @@ object DedupQueries {
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH $simhashCtes,
-         |bl AS (
+         |bl AS MATERIALIZED (
          |  SELECT doc_id, (simhash >> CAST(15 * j AS INTEGER)) & 32767 AS bv, j
          |  FROM sh, range(0, 4) AS r(j)),
          |cand AS (

@@ -317,22 +317,22 @@ object GraphQueries {
       |  WHERE da.source <> db.source),
       |ed AS (SELECT s1 AS src, s2 AS dst FROM e0
       |       UNION ALL SELECT s2 AS src, s1 AS dst FROM e0),
-      |ec AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      |ec AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
       |       FROM ed GROUP BY src, dst)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "graph_triangles" ->
       s"""WITH ${DedupQueries.verifiedPairsCtes},
          |$domainEdgeCtes,
-         |und AS (SELECT src AS a, dst AS b FROM ec WHERE src < dst),
+         |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM ec WHERE src < dst),
          |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
          |        FROM (SELECT a AS node FROM und
          |              UNION ALL SELECT b AS node FROM und)
          |        GROUP BY node),
-         |k AS (SELECT node, deg,
+         |k AS MATERIALIZED (SELECT node, deg,
          |        lpad(CAST(deg AS VARCHAR), 10, '0') || ':' || node AS k
          |      FROM deg),
-         |ore AS (
+         |ore AS MATERIALIZED (
          |  SELECT least(ka.k, kb.k) AS klo, greatest(ka.k, kb.k) AS khi
          |  FROM und
          |  JOIN k ka ON und.a = ka.node
@@ -341,7 +341,7 @@ object GraphQueries {
          |  SELECT e1.klo AS kx, e1.khi AS ky, e2.khi AS kz
          |  FROM ore e1 JOIN ore e2 ON e1.klo = e2.klo
          |  WHERE e1.khi < e2.khi),
-         |tri AS (
+         |tri AS MATERIALIZED (
          |  SELECT kx, ky, kz FROM wedge
          |  WHERE EXISTS (SELECT 1 FROM ore
          |                WHERE ore.klo = wedge.ky AND ore.khi = wedge.kz)),
@@ -350,7 +350,7 @@ object GraphQueries {
          |               UNION ALL SELECT ky AS k FROM tri
          |               UNION ALL SELECT kz AS k FROM tri)
          |         GROUP BY k),
-         |nodes AS (SELECT DISTINCT source AS node FROM documents)
+         |nodes AS MATERIALIZED (SELECT DISTINCT source AS node FROM documents)
          |SELECT nodes.node AS source,
          |  coalesce(k.deg, CAST(0 AS BIGINT)) AS deg,
          |  coalesce(pern.tri, CAST(0 AS BIGINT)) AS tri,
@@ -365,8 +365,8 @@ object GraphQueries {
     "graph_domain_communities" ->
       s"""WITH RECURSIVE ${DedupQueries.verifiedPairsCtes},
          |$domainEdgeCtes,
-         |ew AS (SELECT src, dst FROM ec WHERE w >= $MinW),
-         |nodes AS (SELECT DISTINCT source AS node FROM documents),
+         |ew AS MATERIALIZED (SELECT src, dst FROM ec WHERE w >= $MinW),
+         |nodes AS MATERIALIZED (SELECT DISTINCT source AS node FROM documents),
          |cc AS (
          |  SELECT node AS id, node AS root FROM nodes
          |  UNION
@@ -388,8 +388,8 @@ object GraphQueries {
     s"""WITH ${DedupQueries.verifiedPairsCtes},
        |$domainEdgeCtes,
        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM ec GROUP BY src),
-       |e AS (SELECT ec.src, ec.dst, ec.w, ow.outw FROM ec JOIN ow USING (src)),
-       |nodes AS (SELECT DISTINCT source AS node FROM documents),
+       |e AS MATERIALIZED (SELECT ec.src, ec.dst, ec.w, ow.outw FROM ec JOIN ow USING (src)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT source AS node FROM documents),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
        |inw AS (SELECT dst AS node, CAST(sum(w) AS BIGINT) AS dup_w
        |        FROM ec GROUP BY dst),

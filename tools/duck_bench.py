@@ -9,14 +9,15 @@ Runs every oracle SQL against the sf parquet tables in DuckDB with the
 given thread count and records the per-query median wall seconds — the
 like-for-like denominator for BENCH_rNN's Spark medians (same queries,
 same data, same box). Each query runs in its OWN subprocess so a
-non-terminating plan (the dedup_clusters* recursive-CTE closure at sf0.1)
-is killed at --timeout and recorded as such instead of hanging the sweep.
+non-terminating plan is killed at --timeout and recorded as such instead
+of hanging the sweep.
 
-Excluded-by-default queries (--exclude overrides): the three
-dedup_clusters* entries share one recursive-CTE oracle whose closure is
-effectively unbounded at sf0.1; they are marked "excluded" with a note, and
-correctness for them is established separately (python union-find at sf0.1,
-the CTE itself at sf0.01).
+No queries are excluded by default since round 10: the dedup_clusters*
+oracles now close their components with a bounded unrolled hash-min chain
+(self-poisoning on non-convergence) instead of the recursive-CTE
+transitive closure that could not complete at sf0.1, and the heavy shared
+CTE stages carry MATERIALIZED hints so DuckDB 1.0 stops re-inlining the
+pair pipeline per reference. --exclude a,b,c still skips named queries.
 """
 import json
 import statistics
@@ -26,11 +27,8 @@ import time
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-DEFAULT_EXCLUDE = {
-    "dedup_clusters", "dedup_clusters_stored", "dedup_clusters_incremental",
-}
-EXCLUDE_NOTE = ("recursive-CTE transitive closure does not complete at sf0.1; "
-                "correctness checked via python union-find instead")
+DEFAULT_EXCLUDE = set()
+EXCLUDE_NOTE = "excluded via --exclude"
 
 
 def run_one(sf_dir, threads, reps):
