@@ -391,13 +391,53 @@ object CorpusStream {
     res
   }
 
+  /** Per-epoch ANN-index maintenance attached to the rolling ingest — the
+    * consumer [[graft.operators.IndexMaintenance]] was built for: the
+    * stream keeps a stored IVF snapshot next to its curated corpus, and
+    * every `every`-th committed epoch audits its recall against the live
+    * vectors, retraining + republishing through the transactional swap on
+    * a floor breach. `vectors`/`queries` are providers (the live embedding
+    * table grows with ingest — the whole reason recall decays).
+    */
+  final case class AnnMaintenance(
+      root: String,
+      vectors: SparkSession => DataFrame,
+      queries: SparkSession => DataFrame,
+      floorMilli: Long, k: Int, rounds: Int, dim: Int,
+      every: Int = 1,
+      validator: DataFrame => Unit = _ => ()) {
+    require(every >= 1, s"every must be >= 1, got $every")
+  }
+
+  /** One maintenance pass that CANNOT kill the ingest: maintenance is
+    * advisory (a stale-but-serving index), so a failure — including a
+    * crash mid-republish, which [[graft.sinks.SnapshotStore.publish]]'s
+    * protocol already confines to "old snapshot stays live" — is logged
+    * and retried at the next scheduled epoch instead of failing the
+    * micro-batch and blocking document ingest behind an index problem.
+    */
+  private[pipeline] def maintainQuietly(
+      s: SparkSession, a: AnnMaintenance): Option[graft.operators.IndexMaintenance.Report] =
+    try Some(graft.operators.IndexMaintenance.maintain(
+      s, a.vectors(s), a.queries(s), a.root, a.floorMilli, a.k, a.rounds,
+      a.dim, validator = a.validator))
+    catch { case e: Throwable =>
+      System.err.println("[corpus-stream] index maintenance failed (old " +
+        s"snapshot stays live; retried next scheduled epoch): ${e.getMessage}")
+      None
+    }
+
   /** Attach the rolling ingest to a streaming documents source: every
     * micro-batch advances the head state (epoch = the streaming batchId,
     * which Structured Streaming reuses on replay — exactly what the
-    * idempotent transition needs) and republishes the snapshot.
+    * idempotent transition needs) and republishes the snapshot; with `ann`
+    * configured, every `ann.every`-th epoch also runs the ANN-index
+    * maintenance pass (audit → retrain-on-breach → transactional
+    * republish) against the stored IVF snapshot.
     */
   def run(source: DataFrame, cfg: CorpusJob.Config, n: StateNames,
-          snapshotRoot: Option[String] = None): StreamingQuery =
+          snapshotRoot: Option[String] = None,
+          ann: Option[AnnMaintenance] = None): StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
@@ -407,6 +447,7 @@ object CorpusStream {
         // watermark) are dead weight once this epoch committed — trim
         // per batch so state growth is bounded by data, not by snapshots
         vacuum(s, n)
+        ann.foreach(a => if (batchId % a.every == 0) maintainQuietly(s, a))
         ()
       }
       .start()
