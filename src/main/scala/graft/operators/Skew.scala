@@ -74,4 +74,47 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** HOT-KEY-SCOPED two-path salted equi-join (the `c24_salted_join`
+    * shape, factored): a blanket [[saltedJoin]] replicates the WHOLE dim
+    * `salts`× — at 100 TB that multiplies the dominant shuffle by the salt
+    * factor to fix a handful of keys. This form pays replication only
+    * where skew lives:
+    *
+    *  1. census the fact side for keys with ≥ `hotMinRows` rows — a
+    *     key-grain aggregate, broadcast (hot keys are FEW by definition;
+    *     a million hot keys is a repartition problem, not a salt problem);
+    *  2. HOT slice: salt fact rows (deterministic content salt via
+    *     `saltOn`), explode ONLY the hot dim rows `salts`×, join on
+    *     (key, salt) — the one hot reducer becomes `salts` even ones;
+    *  3. COLD tier: plain equi-join, untouched;
+    *  4. union — row-identical to the plain join (ScaleOpsSpec pins the
+    *     two-path plan, ScaleSmoke measures the balance on a planted-skew
+    *     fixture).
+    *
+    * `dim` must be unique per key (a dimension); output columns = fact ++
+    * dim columns minus the dim's join key.
+    */
+  def hotScopedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                    dimKey: String, hotMinRows: Long, salts: Int,
+                    saltOn: Column): DataFrame = {
+    require(salts >= 2, s"salts must be >= 2, got $salts")
+    val hot = broadcast(
+      fact.groupBy(factKey).agg(count(lit(1)).as("__f"))
+        .filter(col("__f") >= hotMinRows)
+        .select(col(factKey).as("__hk")))
+    val factHot = fact.join(hot, col(factKey) === col("__hk"), "left_semi")
+      .withColumn("__salt", pmod(saltOn.cast("long"), lit(salts.toLong)))
+    val factCold = fact.join(hot, col(factKey) === col("__hk"), "left_anti")
+    val dimHot = dim.join(hot, col(dimKey) === col("__hk"), "left_semi")
+      .withColumn("__dsalt",
+        explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    val hotSide = factHot
+      .join(dimHot.hint("merge"),
+        col(factKey) === col(dimKey) && col("__salt") === col("__dsalt"))
+      .drop("__salt", "__dsalt", dimKey)
+    val coldSide = factCold.join(dim.hint("merge"), col(factKey) === col(dimKey))
+      .drop(dimKey)
+    hotSide.unionByName(coldSide)
+  }
 }

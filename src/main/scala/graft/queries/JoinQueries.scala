@@ -215,24 +215,9 @@ object JoinQueries {
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
               col("l_linenumber"))
     val ords = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
-    val hot = broadcast(
-      li.groupBy("l_orderkey").agg(count(lit(1)).as("__f"))
-        .filter(col("__f") >= HotKeyMinRows)
-        .select(col("l_orderkey").as("__hk")))
-    val liHot = li.join(hot, col("l_orderkey") === col("__hk"), "left_semi")
-      .withColumn("l_salt",
-        pmod(col("l_linenumber").cast("long"), lit(SaltS.toLong)))
-    val liCold = li.join(hot, col("l_orderkey") === col("__hk"), "left_anti")
-    val ordsHot = ords.join(hot, col("o_orderkey") === col("__hk"), "left_semi")
-      .select(col("o_orderkey"), col("o_orderpriority"),
-        explode(array((0 until SaltS).map(i => lit(i.toLong)): _*)).as("o_salt"))
-    val hotSide = liHot.join(ordsHot.hint("merge"),
-        col("l_orderkey") === col("o_orderkey") && col("l_salt") === col("o_salt"))
+    graft.operators.Skew.hotScopedJoin(li, ords, "l_orderkey", "o_orderkey",
+        hotMinRows = HotKeyMinRows, salts = SaltS, saltOn = col("l_linenumber"))
       .select("o_orderpriority", "l_extendedprice", "l_discount")
-    val coldSide = liCold.join(ords.hint("merge"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select("o_orderpriority", "l_extendedprice", "l_discount")
-    hotSide.unionByName(coldSide)
       .groupBy("o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
              .as("revenue"),

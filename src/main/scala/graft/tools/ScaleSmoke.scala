@@ -27,6 +27,36 @@ object ScaleSmoke {
   /** doc_id offset between replicas — also the replica discriminator. */
   val Offset = 10000000L
 
+  /** Per-stage task durations for the skew pins: the straggler metric is
+    * max/median task duration over QUALIFYING stages (≥ 16 tasks, max ≥
+    * 300 ms — below that, scheduler noise dominates and a "4x" means
+    * nothing).
+    */
+  private final class TaskDurListener extends org.apache.spark.scheduler.SparkListener {
+    private val durs = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]]()
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      if (te.taskInfo != null && te.taskInfo.successful) {
+        durs.computeIfAbsent(te.stageId,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]())
+          .add(te.taskInfo.duration)
+      }
+    }
+    def worstStragglerRatio(): Double = {
+      import scala.jdk.CollectionConverters._
+      val ratios = durs.values.asScala.toSeq.map(_.asScala.map(_.toLong).toSeq)
+        .filter(ts => ts.size >= 16 && ts.max >= 300L)
+        .map { ts =>
+          val sorted = ts.sorted
+          val med = math.max(sorted(sorted.size / 2), 1L)
+          sorted.last.toDouble / med
+        }
+      if (ratios.isEmpty) 1.0 else ratios.max
+    }
+    def reset(): Unit = durs.clear()
+  }
+
   /** N disjoint-vocabulary replicas of a documents frame. */
   def replicate(docs: DataFrame, copies: Int): DataFrame =
     (0 until copies).map { i =>
@@ -375,6 +405,60 @@ object ScaleSmoke {
       funnel.spanCutDocs <= funnel.fuzzyKept,
       s"corpus funnel broken at 10x: $funnel")
 
+    // hot-key-scoped salted join on a PLANTED-skew fixture at 10x row
+    // scale: 30% of the fact rows land on ONE key. AQE's skew-join split
+    // is disabled for the measurement — it would rescue the plain join
+    // here, and the operator exists precisely for the skews AQE cannot
+    // see or reach (aggregate shuffles, bucketed sides, off-plan
+    // engines). The pins: the fixture genuinely bites (the plain join's
+    // widest stage has a ≥4x-median straggler task), the two-path form
+    // has NO task past 4x its stage median, its row count is identical,
+    // and it holds wall-time parity with the straggling plain join.
+    val skewRows = nDocs * 100L
+    val skewKeys = 100000L
+    val skewFact = spark.range(skewRows).select(
+        when(pmod(col("id"), lit(10L)) < 3, lit(7L))
+          .otherwise(pmod(abs(hash(col("id"))), lit(skewKeys)).cast("long")).as("k"),
+        col("id").as("rowid"), (col("id") % 1000L).as("v"))
+      .localCheckpoint(true) // both runs time the JOIN, not range codegen
+    val skewDim = spark.range(skewKeys)
+      .select(col("id").as("dk"), (col("id") % 97L).as("attr"))
+      .localCheckpoint(true)
+    val stats = new TaskDurListener
+    spark.sparkContext.addSparkListener(stats)
+    val skewConfKey = "spark.sql.adaptive.skewJoin.enabled"
+    val prevSkewConf = spark.conf.get(skewConfKey, "true")
+    spark.conf.set(skewConfKey, "false")
+    val (tTwoPath, nTwoPath, twoStraggler) =
+      try {
+        val t0 = System.nanoTime()
+        val n = graft.operators.Skew.hotScopedJoin(skewFact, skewDim, "k", "dk",
+          hotMinRows = skewRows / 100L, salts = 32, saltOn = col("rowid")).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000) // listener bus drain
+        (t, n, stats.worstStragglerRatio())
+      } finally stats.reset()
+    val (tPlainJoin, nPlainJoin, plainStraggler) =
+      try {
+        val t0 = System.nanoTime()
+        val n = skewFact
+          .join(skewDim.hint("merge"), col("k") === col("dk")).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        (t, n, stats.worstStragglerRatio())
+      } finally {
+        spark.sparkContext.removeSparkListener(stats)
+        spark.conf.set(skewConfKey, prevSkewConf)
+      }
+    require(nTwoPath == nPlainJoin,
+      s"two-path salted join changed the row count: $nTwoPath != $nPlainJoin")
+    require(plainStraggler >= 4.0,
+      f"planted skew did not bite (plain-join straggler $plainStraggler%.1fx) — the pin is vacuous")
+    require(twoStraggler <= 4.0,
+      f"two-path salted join still straggles: worst task $twoStraggler%.1fx its stage median")
+    require(tTwoPath <= tPlainJoin * 1.5,
+      f"two-path salted join lost wall-time parity: $tTwoPath%.1fs vs plain $tPlainJoin%.1fs")
+
     val total = tPairs + tClusters + tNgram + tContain + tSpans + tSpansMin +
       tHeavy + tGraph + tBigram + tPrefix + tTri + tCdc + tPhash + tBpe +
       tClf + tPack + tMerge + tRebuild + tGstBuild + tGstRank + tCorpus
@@ -387,7 +471,7 @@ object ScaleSmoke {
         f"merge $tMerge%.1f + rebuild $tRebuild%.1f + graph-state $tGstBuild%.1f/$tGstRank%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
 
     val json =
-      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"bpe_sec":$tBpe%.2f,"bpe_types":$types10,"clf_sec":$tClf%.2f,"pack_sec":$tPack%.2f,"merge_sec":$tMerge%.2f,"rebuild_sec":$tRebuild%.2f,"graph_state_build_sec":$tGstBuild%.2f,"graph_state_rank_sec":$tGstRank%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.diverseKept},"span_cut_docs":${funnel.spanCutDocs},"fuzzy_kept":${funnel.fuzzyKept},"budget_kept":${funnel.budgetKept},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"skew_two_path_sec":$tTwoPath%.2f,"skew_plain_sec":$tPlainJoin%.2f,"skew_straggler_two":$twoStraggler%.2f,"skew_straggler_plain":$plainStraggler%.2f,"skew_rows":$skewRows,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"bpe_sec":$tBpe%.2f,"bpe_types":$types10,"clf_sec":$tClf%.2f,"pack_sec":$tPack%.2f,"merge_sec":$tMerge%.2f,"rebuild_sec":$tRebuild%.2f,"graph_state_build_sec":$tGstBuild%.2f,"graph_state_rank_sec":$tGstRank%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.diverseKept},"span_cut_docs":${funnel.spanCutDocs},"fuzzy_kept":${funnel.fuzzyKept},"budget_kept":${funnel.budgetKept},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
