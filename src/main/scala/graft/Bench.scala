@@ -165,7 +165,7 @@ object Bench {
     // THIS run's medians over exactly the queries the comparator completed
     // ("status":"ok") against the comparator's total — same queries, same
     // data, one number the perf gate can read straight off the artifact
-    val duckPath = sys.env.getOrElse("SPARK_GRAFT_DUCK_JSON", "DUCK_r09.json")
+    val duckPath = sys.env.getOrElse("SPARK_GRAFT_DUCK_JSON", "DUCK_r10.json")
     val duck: Option[(Double, Map[String, Double])] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
@@ -241,18 +241,18 @@ object Bench {
     // weak are ALWAYS included (env-overridable pin list) so their
     // noise-vs-regression question is answerable from the tail alone;
     // every query still lands in bench_out.json at full precision.
-    // Pin list rotates each round to the CURRENT top cost tier (round 9:
-    // the round-8 verdict's weak/watch set — the rerouted one-pass text
-    // tier, salted join, selection queries, c1 — plus the queries whose
-    // plans changed this round: BM25 and the new stored/mm families) —
+    // Pin list rotates each round to the CURRENT top cost tier (round 10:
+    // the round-9 verdict's weak set — the four floor-adjudication
+    // targets — plus the queries whose plans changed this round: tfidf's
+    // bounded top-k, the refactored salted join, the new mm_decontam, and
+    // the iterative CC/rank paths that now route through Materialize) —
     // earlier rounds' cleared flags would waste the budget.
     val pinned = sys.env.get("SPARK_GRAFT_BENCH_PIN")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("text_tfidf", "text_unigram_logprob", "text_repetition",
-        "cms_heavy_hitters", "c24_salted_join", "c1_join_agg_topk",
-        "profile_median_scalable", "profile_median_by_type",
-        "text_bm25_topk", "text_bm25_stored", "graph_domain_rank_stored",
-        "mm_phash_clusters", "mm_phash_incremental", "mm_phash_stored"))
+      .getOrElse(Set("text_pack_bins", "bloom_decontam", "bloom_semi_revenue",
+        "dedup_embedding", "text_tfidf", "c24_salted_join", "mm_decontam",
+        "dedup_clusters", "graph_domain_rank", "dedup_clusters_incremental",
+        "text_bm25_topk", "c1_join_agg_topk"))
     val byCost = perQuery.sortBy(-_._2)
     def line(n: Int): String = {
       val pin = byCost.filter(t => pinned(t._1))

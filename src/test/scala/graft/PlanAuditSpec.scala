@@ -477,7 +477,7 @@ class PlanAuditSpec extends SparkSpec {
     val plan = finalPlan(JoinQueries.saltedJoin(spark, sf()))
     // the whole point: the HOT path's shuffle key carries the salt, so a
     // hot orderkey spreads across S partitions...
-    assert("SortMergeJoin \\[l_orderkey#\\d+L?, l_salt#\\d+L?\\]".r
+    assert("SortMergeJoin \\[l_orderkey#\\d+L?, __salt#\\d+L?\\]".r
       .findFirstIn(plan).isDefined, plan)
     // ...while the COLD path joins on the bare key with no replication:
     // exactly ONE explode exists in the whole plan (the hot dim slice)
