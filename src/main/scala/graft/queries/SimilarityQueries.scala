@@ -175,18 +175,46 @@ object SimilarityQueries {
     * At 100 TB the cell assignment is one broadcast crossJoin against the
     * tiny seed set + one shuffle on vec_id; search shuffles on the cell id.
     */
+  /** Deterministic Voronoi assignment of `vecs` (id, "v" + passthrough
+    * columns) to the nearest seed — highest 4dp-rounded cosine, ties to
+    * the LOWER seed id — as a LONG-PACKED hash-aggregate argmax, not a
+    * ranking window: the n×k scored rows previously fed a
+    * `row_number() = 1` window, i.e. an n×k-row exchange + sort (at 10×
+    * data with the fixed-occupancy k(n) that is an 80M-row sort, measured
+    * 6.6 s). Here each (vector, seed) row packs its rank key into ONE
+    * long — `(csq + 20000)·2²¹ + (2²⁰ − sid)` with csq the cosine in
+    * exact 1e-4 units — so `max(key)` picks max cosine then min seed id,
+    * the whole argmax stays inside whole-stage codegen, and partial
+    * aggregation reduces n×k rows to n map-side. The winning cell then
+    * joins back to `vecs` (an n-row equi-join) to recover the vector and
+    * any passthrough columns. Ordering is IDENTICAL to the window form:
+    * `csq = round(round(cos,4)·10⁴)` is the 4dp value as an integer (the
+    * inner round is the suite-wide tie rule; the outer kills the ×10⁴
+    * float ulp), and (csq, −sid) is unique per group. Seed ids must stay
+    * below 2²⁰ — guaranteed by k(n) = n/[[IvfCellTarget]] for any corpus
+    * this engine addresses per index shard (widen the shift before
+    * sharding a >5·10⁸-vector corpus into one flat index instead).
+    * One statement of the assignment semantics, shared by every IVF
+    * consumer (ann/probe2/filtered/ivfpq/stored-index build/stored probe).
+    */
+  private def ivfAssign(vecs: DataFrame, seeds: DataFrame,
+                        idCol: String): DataFrame = {
+    val csq = round(round(cosineNative(col("v"), col("sv")), 4) * 10000, 0)
+      .cast("long")
+    val key = (csq + lit(20000L)) * lit(1L << 21) + (lit(1L << 20) - col("sid"))
+    val cells = vecs.select(col(idCol), col("v")).crossJoin(broadcast(seeds))
+      .groupBy(idCol).agg(max(key).as("__k"))
+      .select(col(idCol),
+        (lit(1L << 20) - pmod(col("__k"), lit(1L << 21))).as("cell"))
+    vecs.join(cells, Seq(idCol))
+  }
+
   def ivfAnn(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val vecs = prepared(Tables.embeddings(s, d))
-    val seeds = vecs.filter(col("vec_id") < 10)
+    val seeds = vecs.filter(col("vec_id") < lit(ivfK(s, d)))
       .select(col("vec_id").as("sid"), col("v").as("sv"))
-    val scored = vecs.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("v"), col("sid"),
-              round(cosineNative(col("v"), col("sv")), 4).as("cs"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("sid"))
-    val assigned = scored.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("sid").as("cell"))
+    val assigned = ivfAssign(vecs.select("vec_id", "v"), seeds, "vec_id")
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
     val sims = assigned.join(q, "cell")
@@ -211,16 +239,16 @@ object SimilarityQueries {
   def ivfProbe2(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val vecs = prepared(Tables.embeddings(s, d))
-    val seeds = vecs.filter(col("vec_id") < 10)
+    val seeds = vecs.filter(col("vec_id") < lit(ivfK(s, d)))
       .select(col("vec_id").as("sid"), col("v").as("sv"))
-    val scored = vecs.crossJoin(broadcast(seeds))
+    val assigned = ivfAssign(vecs.select("vec_id", "v"), seeds, "vec_id")
+    // the top-2 cut needs an actual ranking, but only over the PROBE-sized
+    // query set (10 × k rows) — the corpus-wide rn=1 assignment above is
+    // the aggregate argmax
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("sid"))
+    val q2 = vecs.filter(col("vec_id") < 10).crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("v"), col("sid"),
               round(cosineNative(col("v"), col("sv")), 4).as("cs"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("sid"))
-    val assigned = scored.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("sid").as("cell"))
-    val q2 = scored.filter(col("vec_id") < 10)
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= 2)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("sid").as("cell"))
     val sims = assigned.join(q2, "cell")
@@ -270,15 +298,10 @@ object SimilarityQueries {
   def ivfFiltered(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val vecs = prepared(Tables.embeddings(s, d))
-    val seeds = vecs.filter(col("vec_id") < 10)
+    val seeds = vecs.filter(col("vec_id") < lit(ivfK(s, d)))
       .select(col("vec_id").as("sid"), col("v").as("sv"))
-    val scored = vecs.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("v"), col("label"), col("sid"),
-              round(cosineNative(col("v"), col("sv")), 4).as("cs"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("sid"))
-    val assigned = scored.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("label"), col("sid").as("cell"))
+    val assigned = ivfAssign(vecs.select("vec_id", "v", "label"), seeds, "vec_id")
+      .select("vec_id", "v", "label", "cell")
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("label").as("qlabel"), col("cell").as("qcell"))
@@ -448,15 +471,9 @@ object SimilarityQueries {
   def ivfPqAnn(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val vecs = prepared(Tables.embeddings(s, d)).select("vec_id", "v")
-    val seeds = vecs.filter(col("vec_id") < 10)
+    val seeds = vecs.filter(col("vec_id") < lit(ivfK(s, d)))
       .select(col("vec_id").as("sid"), col("v").as("sv"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("sid"))
-    val assigned = vecs.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("v"), col("sid"),
-        round(cosineNative(col("v"), col("sv")), 4).as("cs"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("sid").as("cell"))
+    val assigned = ivfAssign(vecs, seeds, "vec_id")
     val cbs = pqCbs(s, d)
     // the stored index rows: (vec_id, cell, 8 code bytes) — `v` dropped
     val codes = Similarity.pqEncode(assigned, cbs).drop("v")
@@ -534,11 +551,40 @@ object SimilarityQueries {
     */
   private val esplitCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
-  private[graft] def embSplit(s: SparkSession, d: String): Long =
+  private def embN(s: SparkSession, d: String): Long =
     esplitCache.computeIfAbsent((s, d), _ =>
-      (Tables.embeddings(s, d).agg(max(col("vec_id"))).head.getLong(0) + 1L) * 4L / 5L)
+      Tables.embeddings(s, d).agg(max(col("vec_id"))).head.getLong(0) + 1L)
+  private[graft] def embSplit(s: SparkSession, d: String): Long =
+    embN(s, d) * 4L / 5L
 
   private val embSplitSql = "(SELECT (max(vec_id) + 1) * 4 // 5 FROM embeddings)"
+
+  /** IVF cell count: a FIXED-OCCUPANCY target (≈[[IvfCellTarget]] vectors
+    * per cell, floor 10 cells) instead of a fixed cell count. The round-10
+    * full-suite 10× bench caught why this matters: with cells fixed at 10,
+    * a rolling-ingest probe whose batch is corpus-proportional scans
+    * cell occupancy ∝ n per query — `sim_ivf_stored` measured 22× its
+    * sf0.1 time at 10× data (quadratic by construction). With k(n) =
+    * max(10, ⌈n/target⌉), occupancy is bounded and the probe is linear in
+    * the batch — the standard IVF sizing rule (k tracks corpus size).
+    * The seed set stays the first k in-data vectors (deterministic,
+    * oracle-reproducible); at the hash-gate scale factors (n ≤ 5000) k
+    * stays 10, so fixture outputs are unchanged.
+    *
+    * Cost shape after the change, measured at 10×: the stored probe fell
+    * 11.8 s → 3.1 s (the quadratic term is gone); the corpus-wide
+    * in-query assignment families (`sim_ivf_ann` etc.) pay n×k distance
+    * evaluations — 2.6 s → 6.6 s at 10× — which is the flat-IVF norm
+    * (FAISS assigns exactly this way: one embarrassingly-parallel
+    * scan × k centroids, no shuffle), stays well under the 15×
+    * superlinearity gate, and is the price of bounding the occupancy
+    * every PROBE pays per query.
+    */
+  private[graft] val IvfCellTarget = 500L
+  private[graft] def ivfK(s: SparkSession, d: String): Long =
+    math.max(10L, (embN(s, d) + IvfCellTarget - 1L) / IvfCellTarget)
+  private val ivfKSql: String =
+    s"greatest(10, ((SELECT max(vec_id) + 1 FROM embeddings) + ${IvfCellTarget - 1}) // $IvfCellTarget)"
 
   /** The persisted IVF index over the standing corpus: `(vec_id, cell, v)`
     * BUCKETED on `cell` — written once per ingest epoch, probed by every
@@ -558,15 +604,10 @@ object SimilarityQueries {
       graft.functions.VectorFunctions.register(s)
       val corpus = prepared(Tables.embeddings(s, d))
         .filter(col("vec_id") < embSplit(s, d))
-      val seeds = corpus.filter(col("vec_id") < 10)
+      val seeds = corpus.filter(col("vec_id") < lit(ivfK(s, d)))
         .select(col("vec_id").as("sid"), col("v").as("sv"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("sid"))
-      val assigned = corpus.crossJoin(broadcast(seeds))
-        .select(col("vec_id"), col("v"), col("sid"),
-          round(cosineNative(col("v"), col("sv")), 4).as("cs"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("sid").as("cell"), col("v"))
+      val assigned = ivfAssign(corpus.select("vec_id", "v"), seeds, "vec_id")
+        .select(col("vec_id"), col("cell"), col("v"))
       graft.operators.Layout.writeBucketed(assigned, "cell", tbl, 4)
       tbl
     })
@@ -596,15 +637,10 @@ object SimilarityQueries {
     graft.functions.VectorFunctions.register(batch.sparkSession)
     val corpus = s.table(ivfState(s, d))
     val seeds = prepared(Tables.embeddings(s, d))
-      .filter(col("vec_id") < 10)
+      .filter(col("vec_id") < lit(ivfK(s, d)))
       .select(col("vec_id").as("sid"), col("v").as("sv"))
-    val wAssign = Window.partitionBy("qid").orderBy(desc("cs"), asc("sid"))
-    val q = batch.crossJoin(broadcast(seeds))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("sid"),
-        round(cosineNative(col("v"), col("sv")), 4).as("cs"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("qid"), col("qv"), col("sid").as("cell"))
+    val q = ivfAssign(batch.select("vec_id", "v"), seeds, "vec_id")
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
     val sims = corpus.join(q, "cell")
       .select(col("qid"), col("vec_id"), col("cell"),
         round(cosineNative(col("v"), col("qv")), 4).as("sim"))
@@ -733,7 +769,7 @@ object SimilarityQueries {
     */
   private def ivfAnnCtes: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 10),
+       |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < $ivfKSql),
        |scored AS (
        |  SELECT e.vec_id, e.v, s.sid, round(${duckCos("e.v", "s.sv")}, 4) AS cs
        |  FROM e, s),
@@ -830,7 +866,7 @@ object SimilarityQueries {
       val adcSum = (0 until Similarity.PqM)
         .map(pqAdcTerm).mkString("\n    + ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 10),
+         |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < $ivfKSql),
          |scored AS (
          |  SELECT e.vec_id, e.v, s.sid, round(${duckCos("e.v", "s.sv")}, 4) AS cs
          |  FROM e, s),
@@ -896,7 +932,7 @@ object SimilarityQueries {
          |FROM p QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "sim_ivf_stored" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 10),
+         |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < $ivfKSql),
          |corp AS (SELECT * FROM e WHERE vec_id < $embSplitSql),
          |csc AS (
          |  SELECT c.vec_id, c.v, s.sid, round(${duckCos("c.v", "s.sv")}, 4) AS cs
@@ -959,7 +995,7 @@ object SimilarityQueries {
          |GROUP BY x3.qid ORDER BY x3.qid""".stripMargin,
     "sim_ivf_filtered" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
-         |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 10),
+         |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < $ivfKSql),
          |scored AS (
          |  SELECT e.vec_id, e.v, e.label, s.sid, round(${duckCos("e.v", "s.sv")}, 4) AS cs
          |  FROM e, s),
