@@ -197,15 +197,103 @@ object SimilarityQueries {
     * One statement of the assignment semantics, shared by every IVF
     * consumer (ann/probe2/filtered/ivfpq/stored-index build/stored probe).
     */
-  private def ivfAssign(vecs: DataFrame, seeds: DataFrame,
-                        idCol: String): DataFrame = {
+  /** EXACT nearest-seed core: n×k scored rows → map-side argmax.
+    * `vecs` must carry (idCol, "v"); `seeds` must carry ("sid", "sv").
+    * Returns (idCol, cell).
+    */
+  private[graft] def nearestSeed(vecs: DataFrame, seeds: DataFrame,
+                          idCol: String): DataFrame = {
     val csq = round(round(cosineNative(col("v"), col("sv")), 4) * 10000, 0)
       .cast("long")
     val key = (csq + lit(20000L)) * lit(1L << 21) + (lit(1L << 20) - col("sid"))
-    val cells = vecs.select(col(idCol), col("v")).crossJoin(broadcast(seeds))
+    vecs.select(col(idCol), col("v")).crossJoin(broadcast(seeds))
       .groupBy(idCol).agg(max(key).as("__k"))
       .select(col(idCol),
         (lit(1L << 20) - pmod(col("__k"), lit(1L << 21))).as("cell"))
+  }
+
+  /** Seed-count threshold above which [[ivfAssign]] switches to the
+    * two-level coarse-quantized path. With the fixed-occupancy sizing
+    * k(n) = n/[[IvfCellTarget]] the exact n×k assignment is O(n²/target)
+    * — invisible at fixture scales (k ≤ 100) but quadratic-in-corpus at
+    * the 100 TB posture, where an index (re)build would score every
+    * vector against hundreds of thousands of cells. The standard cure
+    * (FAISS-style coarse quantizer over the centroids) caps the scored
+    * pairs at n·(√k + 2k/√k) ≈ 3n√k: group the k seeds into √k
+    * super-cells, route each vector through its two nearest super-cells,
+    * and score only those super-cells' member seeds. The default threshold
+    * keeps every fixture-scale run on the EXACT path (byte-identical
+    * outputs, oracle untouched); IvfTwoLevelSpec forces the conf down and
+    * pins agreement + determinism + the no-seedless-supercell rescue.
+    */
+  private[graft] val TwoLevelMinKConf = "spark.graft.ivf.twoLevelMinK"
+  private val TwoLevelMinKDefault = 4096L
+
+  /** Deterministic Voronoi assignment of `vecs` to the nearest of the `k`
+    * seeds — exact argmax below [[TwoLevelMinKConf]] seeds, two-level
+    * coarse-quantized above it. The two-level route is the documented
+    * approximation every large IVF deployment makes (the true nearest
+    * seed can sit across a super-cell boundary — coarse probe2 below
+    * halves that exposure); both levels reuse the same packed
+    * (4dp-cosine, lowest-sid) argmax, so the path is exactly as
+    * deterministic as the flat one. Vectors whose probed super-cells
+    * contain no seeds at all (possible when a super-seed attracts no
+    * members — e.g. every seed sits nearer some other super-seed) are
+    * rescued by an exact pass over just those vectors, so the index
+    * always covers the full corpus.
+    */
+  private[graft] def ivfAssign(vecs: DataFrame, seeds: DataFrame,
+                        idCol: String, k: Long): DataFrame = {
+    val minK = vecs.sparkSession.conf
+      .get(TwoLevelMinKConf, TwoLevelMinKDefault.toString).toLong
+    val cells =
+      if (k < minK) nearestSeed(vecs, seeds, idCol)
+      else {
+        val g = math.max(2L, math.round(math.sqrt(k.toDouble)))
+        val superSeeds = seeds.filter(col("sid") < g)
+          .select(col("sid").as("ssid"), col("sv").as("ssv"))
+        // seeds → super-cells: k×√k rows, broadcast-tiny
+        val seedSuper = nearestSeed(
+            seeds.select(col("sid").as("__sid"), col("sv").as("v")),
+            superSeeds.select(col("ssid").as("sid"), col("ssv").as("sv")),
+            "__sid")
+          .select(col("__sid").as("sid"), col("cell").as("scell"))
+        val seedsWithSuper = broadcast(seeds.join(seedSuper, "sid"))
+        // vectors → their TOP-2 super-cells: n×√k scored rows through the
+        // bounded topk_min heap (coarse probe2 — one extra candidate list
+        // per vector roughly halves the routing loss of a pure argmax
+        // route for ~2× the level-2 work, the same recall/cost knob the
+        // query side's nprobe turns)
+        graft.functions.TopK.register(vecs.sparkSession)
+        val sKey = {
+          val csq0 = round(round(cosineNative(col("v"), col("ssv")), 4)
+            * 10000, 0).cast("long")
+          (csq0 + lit(20000L)) * lit(1L << 21) + (lit(1L << 20) - col("ssid"))
+        }
+        val vecSuper = vecs.select(col(idCol), col("v"))
+          .crossJoin(broadcast(superSeeds))
+          .groupBy(idCol)
+          .agg(graft.functions.TopK.minK(-sKey, 2).as("__nks"))
+          .select(col(idCol), explode(col("__nks")).as("__nk"))
+          .select(col(idCol),
+            (lit(1L << 20) - pmod(-col("__nk"), lit(1L << 21))).as("scell"))
+        // vectors → their super-cell's member seeds only: ~n·√k rows
+        val csq = round(round(cosineNative(col("v"), col("sv")), 4) * 10000, 0)
+          .cast("long")
+        val key = (csq + lit(20000L)) * lit(1L << 21) +
+          (lit(1L << 20) - col("sid"))
+        val twoLevel = vecs.select(col(idCol), col("v"))
+          .join(vecSuper, Seq(idCol))
+          .join(seedsWithSuper, Seq("scell"))
+          .groupBy(idCol).agg(max(key).as("__k"))
+          .select(col(idCol),
+            (lit(1L << 20) - pmod(col("__k"), lit(1L << 21))).as("cell"))
+        // seedless-super-cell rescue: exact pass over the (normally zero)
+        // vectors the two-level join dropped
+        val missing = vecs.select(col(idCol), col("v"))
+          .join(twoLevel, Seq(idCol), "left_anti")
+        twoLevel.unionByName(nearestSeed(missing, seeds, idCol))
+      }
     vecs.join(cells, Seq(idCol))
   }
 
@@ -214,7 +302,7 @@ object SimilarityQueries {
     val vecs = prepared(Tables.embeddings(s, d))
     val seeds = vecs.filter(col("vec_id") < lit(ivfK(s, d)))
       .select(col("vec_id").as("sid"), col("v").as("sv"))
-    val assigned = ivfAssign(vecs.select("vec_id", "v"), seeds, "vec_id")
+    val assigned = ivfAssign(vecs.select("vec_id", "v"), seeds, "vec_id", ivfK(s, d))
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
     val sims = assigned.join(q, "cell")
@@ -241,7 +329,7 @@ object SimilarityQueries {
     val vecs = prepared(Tables.embeddings(s, d))
     val seeds = vecs.filter(col("vec_id") < lit(ivfK(s, d)))
       .select(col("vec_id").as("sid"), col("v").as("sv"))
-    val assigned = ivfAssign(vecs.select("vec_id", "v"), seeds, "vec_id")
+    val assigned = ivfAssign(vecs.select("vec_id", "v"), seeds, "vec_id", ivfK(s, d))
     // the top-2 cut needs an actual ranking, but only over the PROBE-sized
     // query set (10 × k rows) — the corpus-wide rn=1 assignment above is
     // the aggregate argmax
@@ -300,7 +388,7 @@ object SimilarityQueries {
     val vecs = prepared(Tables.embeddings(s, d))
     val seeds = vecs.filter(col("vec_id") < lit(ivfK(s, d)))
       .select(col("vec_id").as("sid"), col("v").as("sv"))
-    val assigned = ivfAssign(vecs.select("vec_id", "v", "label"), seeds, "vec_id")
+    val assigned = ivfAssign(vecs.select("vec_id", "v", "label"), seeds, "vec_id", ivfK(s, d))
       .select("vec_id", "v", "label", "cell")
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -473,7 +561,7 @@ object SimilarityQueries {
     val vecs = prepared(Tables.embeddings(s, d)).select("vec_id", "v")
     val seeds = vecs.filter(col("vec_id") < lit(ivfK(s, d)))
       .select(col("vec_id").as("sid"), col("v").as("sv"))
-    val assigned = ivfAssign(vecs, seeds, "vec_id")
+    val assigned = ivfAssign(vecs, seeds, "vec_id", ivfK(s, d))
     val cbs = pqCbs(s, d)
     // the stored index rows: (vec_id, cell, 8 code bytes) — `v` dropped
     val codes = Similarity.pqEncode(assigned, cbs).drop("v")
@@ -606,7 +694,7 @@ object SimilarityQueries {
         .filter(col("vec_id") < embSplit(s, d))
       val seeds = corpus.filter(col("vec_id") < lit(ivfK(s, d)))
         .select(col("vec_id").as("sid"), col("v").as("sv"))
-      val assigned = ivfAssign(corpus.select("vec_id", "v"), seeds, "vec_id")
+      val assigned = ivfAssign(corpus.select("vec_id", "v"), seeds, "vec_id", ivfK(s, d))
         .select(col("vec_id"), col("cell"), col("v"))
       graft.operators.Layout.writeBucketed(assigned, "cell", tbl, 4)
       tbl
@@ -639,7 +727,7 @@ object SimilarityQueries {
     val seeds = prepared(Tables.embeddings(s, d))
       .filter(col("vec_id") < lit(ivfK(s, d)))
       .select(col("vec_id").as("sid"), col("v").as("sv"))
-    val q = ivfAssign(batch.select("vec_id", "v"), seeds, "vec_id")
+    val q = ivfAssign(batch.select("vec_id", "v"), seeds, "vec_id", ivfK(s, d))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
     val sims = corpus.join(q, "cell")
       .select(col("qid"), col("vec_id"), col("cell"),

@@ -55,6 +55,108 @@ object ScaleSmoke {
       if (ratios.isEmpty) 1.0 else ratios.max
     }
     def reset(): Unit = durs.clear()
+
+    /** Per-stage (stageId, nTasks, medianMs, maxMs) for pin debugging. */
+    def stageStats(): Seq[(Int, Int, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      durs.asScala.toSeq.sortBy(_._1).map { case (sid, q) =>
+        val ts = q.asScala.map(_.toLong).toSeq.sorted
+        (sid, ts.size, if (ts.isEmpty) 0L else ts(ts.size / 2),
+          if (ts.isEmpty) 0L else ts.last)
+      }
+    }
+  }
+
+  final case class SkewResult(twoPathSec: Double, plainSec: Double,
+                              twoStraggler: Double, plainStraggler: Double)
+
+  /** Hot-key-scoped salted join on a PLANTED-skew fixture: 70% of `rows`
+    * fact rows land on ONE key. AQE's skew-join split is disabled for the
+    * measurement — it would rescue the plain join here, and the operator
+    * exists precisely for the skews AQE cannot see or reach (aggregate
+    * shuffles, bucketed sides, off-plan engines). AQE partition
+    * coalescing is disabled too: it would merge the 32 reducers of a
+    * ~modest-MB shuffle into a handful of tasks, dropping the join stage
+    * below the listener's ≥16-task qualifier and making the straggler
+    * metric read scheduler noise instead of the planted skew. The pins:
+    * the fixture genuinely bites (the plain join's widest stage has a
+    * ≥4x-median straggler task), the two-path form has NO task past 4x
+    * its stage median, its row count is identical, and it holds wall-time
+    * parity with the straggling plain join. Requirements fire on
+    * violation; returns the measured numbers for the artifact line.
+    */
+  def measureSkew(spark: SparkSession, rows: Long): SkewResult = {
+    val skewKeys = 100000L
+    val skewFact = spark.range(rows).select(
+        when(pmod(col("id"), lit(10L)) < 7, lit(7L))
+          .otherwise(pmod(abs(hash(col("id"))), lit(skewKeys)).cast("long")).as("k"),
+        col("id").as("rowid"), (col("id") % 1000L).as("v"))
+      .localCheckpoint(true) // both runs time the JOIN, not range codegen
+    val skewDim = spark.range(skewKeys)
+      .select(col("id").as("dk"), (col("id") % 97L).as("attr"))
+      .localCheckpoint(true)
+    // Heavy CPU-bound per-joined-row work (nested sha2 + hash), folded to
+    // ONE (xor-of-row-hash, count) pair. Two jobs at once: (a) on
+    // local[32] every concurrently-running task stretches to a similar
+    // wall time (32 tasks share one memory bus, so a fetch/sort-bound
+    // stage contends to near-uniform durations and the planted hot task
+    // reads only ~2x its stage median); per-row CPU work restores the
+    // contrast a real cluster would see — the hot reducer's work grows
+    // with its row count, not the contention floor. (b) xor-of-hash over
+    // every output row makes the two-path ≡ plain pin CONTENT identity,
+    // not just a row count.
+    def probeAgg(joined: DataFrame): (Long, Long) = {
+      val r = joined.select(
+          xxhash64(sha2(concat_ws("-", col("rowid"), col("attr"), col("v"),
+            sha2(concat_ws(":", col("rowid"), col("v")), 256)), 256)).as("__h"))
+        .agg(expr("bit_xor(__h)").as("s"), count(lit(1)).as("n"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val stats = new TaskDurListener
+    spark.sparkContext.addSparkListener(stats)
+    val confKeys = Seq("spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val prevConf = confKeys.map(k => k -> spark.conf.get(k, "true"))
+    confKeys.foreach(spark.conf.set(_, "false"))
+    val (tTwoPath, nTwoPath, twoStraggler) =
+      try {
+        val t0 = System.nanoTime()
+        val n = probeAgg(graft.operators.Skew.hotScopedJoin(skewFact, skewDim,
+          "k", "dk", hotMinRows = rows / 100L, salts = 64, saltOn = col("rowid")))
+        val t = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000) // listener bus drain
+        if (sys.env.contains("SPARK_GRAFT_SKEW_DEBUG"))
+          stats.stageStats().foreach { case (sid, k, med, mx) =>
+            println(s"[skew-debug two-path] stage=$sid tasks=$k medMs=$med maxMs=$mx") }
+        (t, n, stats.worstStragglerRatio())
+      } finally stats.reset()
+    val (tPlainJoin, nPlainJoin, plainStraggler) =
+      try {
+        val t0 = System.nanoTime()
+        val n = probeAgg(skewFact
+          .join(skewDim.hint("merge"), col("k") === col("dk")))
+        val t = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        if (sys.env.contains("SPARK_GRAFT_SKEW_DEBUG"))
+          stats.stageStats().foreach { case (sid, k, med, mx) =>
+            println(s"[skew-debug plain] stage=$sid tasks=$k medMs=$med maxMs=$mx") }
+        (t, n, stats.worstStragglerRatio())
+      } finally {
+        spark.sparkContext.removeSparkListener(stats)
+        prevConf.foreach { case (k, v) => spark.conf.set(k, v) }
+        skewFact.unpersist(); skewDim.unpersist()
+      }
+    require(nTwoPath == nPlainJoin,
+      s"two-path salted join changed the output content " +
+        s"(xor-of-row-hash, count): $nTwoPath != $nPlainJoin")
+    require(plainStraggler >= 4.0,
+      f"planted skew did not bite (plain-join straggler $plainStraggler%.1fx) — the pin is vacuous")
+    require(twoStraggler <= 4.0,
+      f"two-path salted join still straggles: worst task $twoStraggler%.1fx its stage median")
+    require(tTwoPath <= tPlainJoin * 1.5,
+      f"two-path salted join lost wall-time parity: $tTwoPath%.1fs vs plain $tPlainJoin%.1fs")
+    SkewResult(tTwoPath, tPlainJoin, twoStraggler, plainStraggler)
   }
 
   /** N disjoint-vocabulary replicas of a documents frame. */
@@ -339,6 +441,12 @@ object ScaleSmoke {
     // the whole corpus, and that gap is the entire point of keeping
     // state at 100 TB (recorded in the JSON, not pinned: wall ratios on
     // a shared box are evidence, not invariants)
+    // the memo flag goes OFF for this section: the rebuild's cost IS the
+    // corpus-wide tokenize/shingle/band work, and the assertion section's
+    // still-checkpointed frames would hand it exactly that work for free
+    // (observed: rebuild 81 s cold in round 9 vs 23 s riding the memo),
+    // flattering the from-scratch side of the merge-vs-rebuild evidence
+    spark.conf.set("spark.graft.dedup.sharePairs", "false")
     val nineDocs = Tables.documents(spark, dir)
       .filter(col("doc_id") < 9L * Offset)
     val batchDocs = Tables.documents(spark, dir)
@@ -353,6 +461,7 @@ object ScaleSmoke {
     graft.queries.DedupQueries.buildFullState(spark,
       Tables.documents(spark, dir), nFull)
     val tRebuild = (System.nanoTime() - t0Rebuild) / 1e9
+    spark.conf.set("spark.graft.dedup.sharePairs", "true")
     Seq("bands" -> ((s: graft.operators.DedupState.Names) =>
           graft.operators.DedupState.bands(spark, s)),
         "toks" -> ((s: graft.operators.DedupState.Names) =>
@@ -405,59 +514,9 @@ object ScaleSmoke {
       funnel.spanCutDocs <= funnel.fuzzyKept,
       s"corpus funnel broken at 10x: $funnel")
 
-    // hot-key-scoped salted join on a PLANTED-skew fixture at 10x row
-    // scale: 30% of the fact rows land on ONE key. AQE's skew-join split
-    // is disabled for the measurement — it would rescue the plain join
-    // here, and the operator exists precisely for the skews AQE cannot
-    // see or reach (aggregate shuffles, bucketed sides, off-plan
-    // engines). The pins: the fixture genuinely bites (the plain join's
-    // widest stage has a ≥4x-median straggler task), the two-path form
-    // has NO task past 4x its stage median, its row count is identical,
-    // and it holds wall-time parity with the straggling plain join.
     val skewRows = nDocs * 100L
-    val skewKeys = 100000L
-    val skewFact = spark.range(skewRows).select(
-        when(pmod(col("id"), lit(10L)) < 3, lit(7L))
-          .otherwise(pmod(abs(hash(col("id"))), lit(skewKeys)).cast("long")).as("k"),
-        col("id").as("rowid"), (col("id") % 1000L).as("v"))
-      .localCheckpoint(true) // both runs time the JOIN, not range codegen
-    val skewDim = spark.range(skewKeys)
-      .select(col("id").as("dk"), (col("id") % 97L).as("attr"))
-      .localCheckpoint(true)
-    val stats = new TaskDurListener
-    spark.sparkContext.addSparkListener(stats)
-    val skewConfKey = "spark.sql.adaptive.skewJoin.enabled"
-    val prevSkewConf = spark.conf.get(skewConfKey, "true")
-    spark.conf.set(skewConfKey, "false")
-    val (tTwoPath, nTwoPath, twoStraggler) =
-      try {
-        val t0 = System.nanoTime()
-        val n = graft.operators.Skew.hotScopedJoin(skewFact, skewDim, "k", "dk",
-          hotMinRows = skewRows / 100L, salts = 32, saltOn = col("rowid")).count()
-        val t = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(2000) // listener bus drain
-        (t, n, stats.worstStragglerRatio())
-      } finally stats.reset()
-    val (tPlainJoin, nPlainJoin, plainStraggler) =
-      try {
-        val t0 = System.nanoTime()
-        val n = skewFact
-          .join(skewDim.hint("merge"), col("k") === col("dk")).count()
-        val t = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(2000)
-        (t, n, stats.worstStragglerRatio())
-      } finally {
-        spark.sparkContext.removeSparkListener(stats)
-        spark.conf.set(skewConfKey, prevSkewConf)
-      }
-    require(nTwoPath == nPlainJoin,
-      s"two-path salted join changed the row count: $nTwoPath != $nPlainJoin")
-    require(plainStraggler >= 4.0,
-      f"planted skew did not bite (plain-join straggler $plainStraggler%.1fx) — the pin is vacuous")
-    require(twoStraggler <= 4.0,
-      f"two-path salted join still straggles: worst task $twoStraggler%.1fx its stage median")
-    require(tTwoPath <= tPlainJoin * 1.5,
-      f"two-path salted join lost wall-time parity: $tTwoPath%.1fs vs plain $tPlainJoin%.1fs")
+    val SkewResult(tTwoPath, tPlainJoin, twoStraggler, plainStraggler) =
+      measureSkew(spark, skewRows)
 
     val total = tPairs + tClusters + tNgram + tContain + tSpans + tSpansMin +
       tHeavy + tGraph + tBigram + tPrefix + tTri + tCdc + tPhash + tBpe +
