@@ -22,10 +22,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    The table is bucketed on exactly that key, so the fold is
   *    EXCHANGE-FREE (AggStateSpec pins the plan) — epochs of appends cost
   *    one co-located aggregation to serve, not a fact rescan.
-  *  - `compact` when partials-per-key grows past taste: fold and
-  *    overwrite, one partial per key again. Reader-equivalent by the
-  *    monoid laws (reassociating sums/counts/mins/maxes changes nothing);
-  *    overwrite is idempotent, so a crashed compaction just reruns.
+  *  - `compact` when partials-per-key grows past taste: fold back to one
+  *    partial per key through the staged two-rename swap of
+  *    [[Compaction.compactBucketed]]. Reader-equivalent by the monoid
+  *    laws (reassociating sums/counts/mins/maxes changes nothing), and
+  *    crash-safe: the live table is never dropped before the folded copy
+  *    is on disk and hash-verified, so a crash at any point leaves a
+  *    readable state that the next compact (or `Compaction.recover`)
+  *    heals.
   *
   * Same crash contract as [[DedupState.merge]]: each write is job-atomic
   * but merge is not blindly re-runnable (a replayed append would
@@ -75,16 +79,16 @@ object AggState {
     */
   def read(s: SparkSession, n: Name): DataFrame = s.table(n.parts)
 
-  /** Fold the accumulated partials back to one row per key and overwrite.
-    * `fold` is the view's own partial-combining aggregation; the result is
-    * materialized BEFORE the overwrite so the write can never consume the
-    * table it is replacing.
+  /** Fold the accumulated partials back to one row per key and swap the
+    * folded copy in. `fold` is the view's own partial-combining
+    * aggregation; the swap is the staged crash-safe protocol of
+    * [[Compaction.compactBucketed]] — the naive overwrite this used to be
+    * is a drop-then-recreate that loses the standing view entirely on a
+    * mid-write crash.
     */
   def compact(s: SparkSession, n: Name, key: String, buckets: Int)
-             (fold: DataFrame => DataFrame): Unit = {
-    val folded = fold(read(s, n)).localCheckpoint(true)
-    write(folded, key, n, buckets)
-  }
+             (fold: DataFrame => DataFrame): Compaction.Stats =
+    Compaction.compactBucketed(s, n.parts, key, buckets, fold)
 
   /** Whether the view's state table exists in the session catalog. */
   def exists(s: SparkSession, n: Name): Boolean =

@@ -199,4 +199,21 @@ object DedupState {
   /** Whether both state tables exist in the session catalog. */
   def exists(s: SparkSession, n: Names): Boolean =
     s.catalog.tableExists(n.bands) && s.catalog.tableExists(n.toks)
+
+  /** Compact every state table that exists back to one file per bucket —
+    * the periodic maintenance that bounds probe-side read cost after E
+    * epochs of [[merge]] appends (E files per bucket otherwise). Content
+    * is row-identical (hash-verified before the swap) and the bucket spec
+    * survives, so the exchange-free probe contract is untouched; the swap
+    * itself is the staged two-rename protocol of
+    * [[Compaction.compactBucketed]], safe to re-run after any crash.
+    * Returns one [[Compaction.Stats]] per table compacted.
+    */
+  def compact(s: SparkSession, idCol: String, n: Names,
+              buckets: Int): Seq[Compaction.Stats] =
+    Seq((n.bands, "band_key"), (n.toks, idCol),
+        (n.comps, idCol), (n.spans, "span_md5"))
+      .collect { case (t, k) if s.catalog.tableExists(t) =>
+        Compaction.compactBucketed(s, t, k, buckets)
+      }
 }
