@@ -85,7 +85,12 @@ object CorpusJob {
       // and training fails loudly
       clfTarget: String = "src1",
       diversePerCell: Int = 0,
-      embeddingsDir: String = "")
+      embeddingsDir: String = "",
+      // stage-boundary resume ([[StageStore]]): when set, each curation
+      // stage persists its output under this durable dir and a re-run
+      // resumes from the first unsealed stage instead of recomputing the
+      // whole ladder
+      resumeDir: String = "")
 
   def parse(args: Array[String]): Config = {
     def parseMix(v: String): Map[String, Double] =
@@ -124,13 +129,14 @@ object CorpusJob {
       case "--diverse-per-cell" :: v :: t =>
         loop(t, cfg.copy(diversePerCell = v.toInt))
       case "--embeddings" :: v :: t  => loop(t, cfg.copy(embeddingsDir = v))
+      case "--resume-dir" :: v :: t  => loop(t, cfg.copy(resumeDir = v))
       case Nil                       => cfg
       case bad :: _ => throw new IllegalArgumentException(
         s"unknown argument '$bad'; expected --input --out " +
           "[--min-tokens n] [--min-distinct-ratio r] [--min-avg-logp x] " +
           "[--salt s] [--mix lang:share,...] [--bin-tokens n] [--span-state] " +
           "[--no-fuzzy-decontam] [--media-decontam] [--budget-share x] " +
-          "[--diverse-per-cell n] [--embeddings dir]")
+          "[--diverse-per-cell n] [--embeddings dir] [--resume-dir dir]")
     }
     val cfg = loop(args.toList, Config())
     require(cfg.input.nonEmpty && cfg.out.nonEmpty, "--input and --out are required")
@@ -153,44 +159,60 @@ object CorpusJob {
       perSplit: Map[String, Long])
 
   /** Run the curation; writes the corpus partitioned by split and returns
-    * (curated frame, stage funnel).
+    * (curated frame, stage funnel). With `cfg.resumeDir` set the run is
+    * RESUMABLE: each stage seals its output under that dir and a re-run
+    * recomputes only from the first unsealed/invalidated stage
+    * ([[StageStore]] owns the fingerprint and crash contract).
     */
-  def execute(spark: SparkSession, cfg: Config): (DataFrame, Funnel) = {
+  def execute(spark: SparkSession, cfg: Config): (DataFrame, Funnel) =
+    executeWith(spark, cfg, new StageStore(spark, cfg.resumeDir, cfg.input))
+
+  /** [[execute]] with a caller-owned [[StageStore]] — the seam the resume
+    * spec uses to count sealed-stage hits across re-runs.
+    */
+  private[graft] def executeWith(spark: SparkSession, cfg: Config,
+                                 store: StageStore): (DataFrame, Funnel) = {
     Bloom.register(spark) // no-op when GraftExtensions installed them already
     val docs = Tables.documents(spark, cfg.input)
     val nInput = docs.count()
 
     // 1. exact dedup: min doc_id per text hash, via a broadcast-friendly
     // self semi-join on (hash, min_id)
-    val keepIds = docs.select(col("doc_id"), md5(col("text")).as("h"))
-      .groupBy("h").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    val exact = docs.join(keepIds, Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
+    val exact = store.stage("exact", "") {
+      val keepIds = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        .groupBy("h").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      docs.join(keepIds, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+    }
     val nExact = exact.count()
 
     // 1b. bag-of-words dedup: min doc_id per sorted-token-multiset hash —
     // catches reordered-content duplicates the text hash misses, still a
     // per-row map + one hash agg (far cheaper than the near-dup machinery
     // it shields)
-    val bowKeep = exact
-      .select(col("doc_id"),
-        md5(concat_ws(" ", sort_array(TextAnalysis.tokens(col("text"))))).as("bh"))
-      .groupBy("bh").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    val bow = exact.join(bowKeep, Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
+    val bow = store.stage("bow", "") {
+      val bowKeep = exact
+        .select(col("doc_id"),
+          md5(concat_ws(" ", sort_array(TextAnalysis.tokens(col("text"))))).as("bh"))
+        .groupBy("bh").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      exact.join(bowKeep, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+    }
     val nBow = bow.count()
 
     // 2. near-dup: simhash Hamming<=3 pairs (the shared Dedup.simhashPairs
     // definition) -> components -> keep each component's minimum doc
-    val pairs = Dedup.simhashPairs(bow, "doc_id", "text", maxHamming = 3)
-      .select("a", "b")
-    val comps = Dedup.connectedComponents(pairs, bow.select("doc_id"), "doc_id")
-    val near = bow.join(
-        comps.filter(col("doc_id") === col("comp")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
+    val near = store.stage("near", "") {
+      val pairs = Dedup.simhashPairs(bow, "doc_id", "text", maxHamming = 3)
+        .select("a", "b")
+      val comps = Dedup.connectedComponents(pairs, bow.select("doc_id"), "doc_id")
+      bow.join(
+          comps.filter(col("doc_id") === col("comp")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+    }
     val nNear = near.count()
 
     // 3. decontamination vs the eval blocklist (doc_id % 10 = 0), via the
@@ -198,17 +220,19 @@ object CorpusJob {
     // blocklist hashes ORIGINAL eval text (exact dedup may have removed
     // the eval twin from the frame, so hashes come from the raw input),
     // and only pre-cut text can match those hashes byte-for-byte.
-    val blocklist = docs.filter(col("doc_id") % 10 === 0)
-      .select(md5(col("text")).as("h"))
-    val clean0 = Bloom.decontaminate(
-      near.filter(col("doc_id") % 10 =!= 0), md5(col("text")), blocklist)
+    val clean0 = store.stage("clean0", "") {
+      val blocklist = docs.filter(col("doc_id") % 10 === 0)
+        .select(md5(col("text")).as("h"))
+      Bloom.decontaminate(
+        near.filter(col("doc_id") % 10 =!= 0), md5(col("text")), blocklist)
+    }
 
     // the eval side of the FUZZY decontamination tier: original eval
     // text, pre-dedup (an eval doc deduplicated away upstream must still
     // contaminate its surviving near-twin)
     val evalDocs = docs.filter(col("doc_id") % 10 === 0)
       .select("doc_id", "text")
-    val (out, t) = curateTail(spark, clean0, evalDocs, nInput, cfg)
+    val (out, t) = curateTail(spark, clean0, evalDocs, nInput, cfg, store)
     (out, Funnel(nInput, nExact, nBow, nNear, t.cleanKept, t.fuzzyKept,
                  t.mmKept, t.spanCutDocs, t.screenedKept, t.qualityKept,
                  t.budgetKept, t.mixKept, t.diverseKept, t.nBins, t.perSplit))
@@ -233,7 +257,7 @@ object CorpusJob {
     */
   private[pipeline] def curateTail(spark: SparkSession, clean0: DataFrame,
                                    evalDocs: DataFrame, nInput: Long,
-                                   cfg: Config): (DataFrame, TailCounts) = {
+                                   cfg: Config, store: StageStore): (DataFrame, TailCounts) = {
     val nClean0 = clean0.count()
 
     // 3a. FUZZY decontamination (the dedup_decontam_fuzzy tier composed):
@@ -242,8 +266,8 @@ object CorpusJob {
     // blocklist cannot see. Cross-candidates only: the surviving corpus
     // is never self-paired, the eval side is benchmark-sized.
     val fuzzy =
-      if (!cfg.fuzzyDecontam) clean0
-      else {
+      if (!cfg.fuzzyDecontam) { store.skip("fuzzy", "off"); clean0 }
+      else store.stage("fuzzy", "on") {
         val bad = Dedup.fuzzyContaminatedIds(
           clean0.select("doc_id", "text"), evalDocs, "doc_id", "text")
         clean0.join(bad, Seq("doc_id"), "left_anti").localCheckpoint(true)
@@ -261,8 +285,8 @@ object CorpusJob {
     // the SAME pre-dedup evalDocs the fuzzy tier probes, so a
     // deduplicated-away eval twin still contaminates.
     val mm =
-      if (!cfg.mediaDecontam) fuzzy
-      else {
+      if (!cfg.mediaDecontam) { store.skip("mm", "off"); fuzzy }
+      else store.stage("mm", "on") {
         import graft.multimodal.Multimodal
         def fp(df: DataFrame): DataFrame = Dedup.hammingLongBands(
           Multimodal.ahash(Multimodal.mediaFromText(
@@ -286,23 +310,28 @@ object CorpusJob {
     // kept first occurrence. Zero-token docs fall out of the operator's
     // token stream; the left join + coalesce keeps them with their
     // original text.
-    val kept = Dedup.spanCut(mm, "doc_id", "text", w = 8)
-      .select(col("doc_id"), col("n_cut"), col("kept_text"))
-    val cutAll = mm.join(kept, Seq("doc_id"), "left_outer")
-      .withColumn("text", coalesce(col("kept_text"), col("text")))
-      .drop("kept_text")
-      .localCheckpoint(true)
+    val cutAll = store.stage("spancut", "") {
+      val kept = Dedup.spanCut(mm, "doc_id", "text", w = 8)
+        .select(col("doc_id"), col("n_cut"), col("kept_text"))
+      mm.join(kept, Seq("doc_id"), "left_outer")
+        .withColumn("text", coalesce(col("kept_text"), col("text")))
+        .drop("kept_text")
+        .localCheckpoint(true)
+    }
     val nSpanCutDocs = cutAll.filter(col("n_cut") > 0).count()
     val clean = cutAll.drop("n_cut")
 
     // 4. quality screens on materialized tokens (never inline in a HOF)
-    val screened = clean
-      .withColumn("toks", TextAnalysis.tokens(col("text")))
-      .filter(size(col("toks")) >= cfg.minTokens)
-      .filter(size(array_distinct(col("toks"))).cast("double") >=
-        size(col("toks")).cast("double") * cfg.minDistinctRatio)
-      .drop("toks")
-      .localCheckpoint(true)
+    val screened = store.stage("screened",
+        s"${cfg.minTokens}|${cfg.minDistinctRatio}") {
+      clean
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .filter(size(col("toks")) >= cfg.minTokens)
+        .filter(size(array_distinct(col("toks"))).cast("double") >=
+          size(col("toks")).cast("double") * cfg.minDistinctRatio)
+        .drop("toks")
+        .localCheckpoint(true)
+    }
     val nScreened = screened.count()
     require(nScreened > 0,
       s"curation emptied the corpus (input=$nInput): relax --min-tokens/--min-distinct-ratio")
@@ -315,8 +344,9 @@ object CorpusJob {
     // branch — the screen judges corpus-typicality, and "no evidence" must
     // not silently count as atypical.
     val quality =
-      if (cfg.minAvgLogp == Double.NegativeInfinity) screened
-      else {
+      if (cfg.minAvgLogp == Double.NegativeInfinity) {
+        store.skip("quality", "off"); screened
+      } else store.stage("quality", s"${cfg.minAvgLogp}") {
         val lm = TextAnalysis.unigramLogprob(screened, "doc_id", "text")
           .select("doc_id", "avg_logp")
         screened.join(lm, Seq("doc_id"), "left")
@@ -339,8 +369,8 @@ object CorpusJob {
     // deterministic doc_id order through the two-phase grouped prefix
     // sum, so the cut is exact to the last partial document.
     val budgeted =
-      if (cfg.budgetShare >= 1.0) quality
-      else {
+      if (cfg.budgetShare >= 1.0) { store.skip("budget", "off"); quality }
+      else store.stage("budget", s"${cfg.budgetShare}|${cfg.clfTarget}") {
         // labeled, doc-normalized hashed-unigram features (the
         // text_quality_classifier construction with the configurable
         // trusted-domain label)
@@ -382,8 +412,10 @@ object CorpusJob {
     // retries keep the same docs. The per-lang frame is #languages rows —
     // the one collect a mix plan is allowed.
     val mixed =
-      if (cfg.mix.isEmpty) budgeted
-      else {
+      if (cfg.mix.isEmpty) { store.skip("mixed", "off"); budgeted }
+      else store.stage("mixed",
+          cfg.mix.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(",") +
+            s"|${cfg.salt}") {
         val rates = budgeted.groupBy("lang").agg(count(lit(1)).as("n")).collect()
           .map { r =>
             val lang = r.getString(0)
@@ -403,8 +435,9 @@ object CorpusJob {
     // cannot provide. Docs without an embedding row are kept: the cap
     // bounds known redundancy, absence of evidence is not redundancy.
     val diverse =
-      if (cfg.diversePerCell <= 0) mixed
-      else {
+      if (cfg.diversePerCell <= 0) { store.skip("diverse", "off"); mixed }
+      else store.stage("diverse",
+          s"${cfg.diversePerCell}|${cfg.embeddingsDir}|${cfg.salt}") {
         import org.apache.spark.sql.expressions.Window
         graft.functions.VectorFunctions.register(spark)
         val vecs = graft.operators.Similarity.prepared(

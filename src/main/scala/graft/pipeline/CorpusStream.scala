@@ -381,7 +381,8 @@ object CorpusStream {
       stateTable(s, n, n.block, wm, sys.error("block state table missing")))
     val evalDocs = stateTable(s, n, n.evals, wm,
       sys.error("evals state table missing"))
-    val res = CorpusJob.curateTail(s, clean0, evalDocs, raw.count(), cfg)
+    val res = CorpusJob.curateTail(s, clean0, evalDocs, raw.count(), cfg,
+      StageStore.disabled(s))
     // optional versioned release: every epoch's snapshot goes through the
     // transactional SnapshotStore swap too — readers follow `_CURRENT` and
     // can never observe a half-written corpus, each epoch is a time-travel
