@@ -248,53 +248,64 @@ object SimilarityQueries {
       .get(TwoLevelMinKConf, TwoLevelMinKDefault.toString).toLong
     val cells =
       if (k < minK) nearestSeed(vecs, seeds, idCol)
-      else {
-        val g = math.max(2L, math.round(math.sqrt(k.toDouble)))
-        val superSeeds = seeds.filter(col("sid") < g)
-          .select(col("sid").as("ssid"), col("sv").as("ssv"))
-        // seeds → super-cells: k×√k rows, broadcast-tiny
-        val seedSuper = nearestSeed(
-            seeds.select(col("sid").as("__sid"), col("sv").as("v")),
-            superSeeds.select(col("ssid").as("sid"), col("ssv").as("sv")),
-            "__sid")
-          .select(col("__sid").as("sid"), col("cell").as("scell"))
-        val seedsWithSuper = broadcast(seeds.join(seedSuper, "sid"))
-        // vectors → their TOP-2 super-cells: n×√k scored rows through the
-        // bounded topk_min heap (coarse probe2 — one extra candidate list
-        // per vector roughly halves the routing loss of a pure argmax
-        // route for ~2× the level-2 work, the same recall/cost knob the
-        // query side's nprobe turns)
-        graft.functions.TopK.register(vecs.sparkSession)
-        val sKey = {
-          val csq0 = round(round(cosineNative(col("v"), col("ssv")), 4)
-            * 10000, 0).cast("long")
-          (csq0 + lit(20000L)) * lit(1L << 21) + (lit(1L << 20) - col("ssid"))
-        }
-        val vecSuper = vecs.select(col(idCol), col("v"))
-          .crossJoin(broadcast(superSeeds))
-          .groupBy(idCol)
-          .agg(graft.functions.TopK.minK(-sKey, 2).as("__nks"))
-          .select(col(idCol), explode(col("__nks")).as("__nk"))
-          .select(col(idCol),
-            (lit(1L << 20) - pmod(-col("__nk"), lit(1L << 21))).as("scell"))
-        // vectors → their super-cell's member seeds only: ~n·√k rows
-        val csq = round(round(cosineNative(col("v"), col("sv")), 4) * 10000, 0)
-          .cast("long")
-        val key = (csq + lit(20000L)) * lit(1L << 21) +
-          (lit(1L << 20) - col("sid"))
-        val twoLevel = vecs.select(col(idCol), col("v"))
-          .join(vecSuper, Seq(idCol))
-          .join(seedsWithSuper, Seq("scell"))
-          .groupBy(idCol).agg(max(key).as("__k"))
-          .select(col(idCol),
-            (lit(1L << 20) - pmod(col("__k"), lit(1L << 21))).as("cell"))
-        // seedless-super-cell rescue: exact pass over the (normally zero)
-        // vectors the two-level join dropped
-        val missing = vecs.select(col(idCol), col("v"))
-          .join(twoLevel, Seq(idCol), "left_anti")
-        twoLevel.unionByName(nearestSeed(missing, seeds, idCol))
-      }
+      else twoLevelAssign(vecs, seeds, idCol, k)
     vecs.join(cells, Seq(idCol))
+  }
+
+  /** The two-level coarse-quantized assignment core (the large-k branch of
+    * [[ivfAssign]], factored so `sim_ivf_twolevel` can exercise — and the
+    * oracle hash-verify — the exact production path at fixture scale
+    * without the conf threshold): seeds group into √k super-cells, each
+    * vector routes through its top-2 super-cells and scores only their
+    * member seeds, and vectors whose probed super-cells hold no seeds get
+    * an exact-pass rescue. Returns `(idCol, cell)`.
+    */
+  private[graft] def twoLevelAssign(vecs: DataFrame, seeds: DataFrame,
+                                    idCol: String, k: Long): DataFrame = {
+    val g = math.max(2L, math.round(math.sqrt(k.toDouble)))
+    val superSeeds = seeds.filter(col("sid") < g)
+      .select(col("sid").as("ssid"), col("sv").as("ssv"))
+    // seeds → super-cells: k×√k rows, broadcast-tiny
+    val seedSuper = nearestSeed(
+        seeds.select(col("sid").as("__sid"), col("sv").as("v")),
+        superSeeds.select(col("ssid").as("sid"), col("ssv").as("sv")),
+        "__sid")
+      .select(col("__sid").as("sid"), col("cell").as("scell"))
+    val seedsWithSuper = broadcast(seeds.join(seedSuper, "sid"))
+    // vectors → their TOP-2 super-cells: n×√k scored rows through the
+    // bounded topk_min heap (coarse probe2 — one extra candidate list
+    // per vector roughly halves the routing loss of a pure argmax
+    // route for ~2× the level-2 work, the same recall/cost knob the
+    // query side's nprobe turns)
+    graft.functions.TopK.register(vecs.sparkSession)
+    val sKey = {
+      val csq0 = round(round(cosineNative(col("v"), col("ssv")), 4)
+        * 10000, 0).cast("long")
+      (csq0 + lit(20000L)) * lit(1L << 21) + (lit(1L << 20) - col("ssid"))
+    }
+    val vecSuper = vecs.select(col(idCol), col("v"))
+      .crossJoin(broadcast(superSeeds))
+      .groupBy(idCol)
+      .agg(graft.functions.TopK.minK(-sKey, 2).as("__nks"))
+      .select(col(idCol), explode(col("__nks")).as("__nk"))
+      .select(col(idCol),
+        (lit(1L << 20) - pmod(-col("__nk"), lit(1L << 21))).as("scell"))
+    // vectors → their super-cell's member seeds only: ~n·√k rows
+    val csq = round(round(cosineNative(col("v"), col("sv")), 4) * 10000, 0)
+      .cast("long")
+    val key = (csq + lit(20000L)) * lit(1L << 21) +
+      (lit(1L << 20) - col("sid"))
+    val twoLevel = vecs.select(col(idCol), col("v"))
+      .join(vecSuper, Seq(idCol))
+      .join(seedsWithSuper, Seq("scell"))
+      .groupBy(idCol).agg(max(key).as("__k"))
+      .select(col(idCol),
+        (lit(1L << 20) - pmod(col("__k"), lit(1L << 21))).as("cell"))
+    // seedless-super-cell rescue: exact pass over the (normally zero)
+    // vectors the two-level join dropped
+    val missing = vecs.select(col(idCol), col("v"))
+      .join(twoLevel, Seq(idCol), "left_anti")
+    twoLevel.unionByName(nearestSeed(missing, seeds, idCol))
   }
 
   def ivfAnn(s: SparkSession, d: String): DataFrame = {
@@ -346,6 +357,27 @@ object SimilarityQueries {
     sims.withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 3)
       .select("qid", "vec_id", "cell", "sim", "rnk")
       .orderBy("qid", "rnk")
+  }
+
+  /** The two-level coarse-quantized IVF assignment as a first-class,
+    * oracle-verified query. The production path above
+    * [[TwoLevelMinKConf]] seeds was previously exercised only by
+    * IvfTwoLevelSpec (engine-side agreement/rescue/determinism pins);
+    * this query runs [[twoLevelAssign]] itself over the full embedding
+    * table — k seeds, √k super-cells, top-2 routing, member-seed argmax,
+    * exact-pass rescue — and the oracle restates every step in SQL, so
+    * the approximation's SEMANTICS (not just its quality floor) are
+    * hash-pinned at every scale factor. Scale: the routed candidate set
+    * is ~3n√k rows vs the flat path's n·k — the whole point of the path.
+    */
+  def ivfTwoLevel(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val vecs = prepared(Tables.embeddings(s, d))
+    val k = ivfK(s, d)
+    val seeds = vecs.filter(col("vec_id") < lit(k))
+      .select(col("vec_id").as("sid"), col("v").as("sv"))
+    twoLevelAssign(vecs.select("vec_id", "v"), seeds, "vec_id", k)
+      .orderBy("vec_id")
   }
 
   /** Recall AUDIT as a first-class query — the number an operator reads
@@ -761,6 +793,7 @@ object SimilarityQueries {
     "sim_recall_audit" -> (recallAudit _),
     "sim_ivf_probe2" -> (ivfProbe2 _),
     "sim_ivf_filtered" -> (ivfFiltered _),
+    "sim_ivf_twolevel" -> (ivfTwoLevel _),
   )
 
   /** Lloyd assignment in DuckDB, the ONE statement of the distance+argmin
@@ -897,6 +930,47 @@ object SimilarityQueries {
          |JOIN nm na ON pr.doc_a = na.doc_id
          |JOIN nm nb ON pr.doc_b = nb.doc_id
          |ORDER BY cosine DESC, doc_a, doc_b LIMIT $SparseK""".stripMargin,
+    // the two-level coarse-quantized assignment, step for step: k seeds,
+    // g = max(2, round(√k)) super-cells, seed→super argmax, vector→top-2
+    // super routing, member-seed argmax, exact rescue for vectors whose
+    // probed super-cells hold no seeds (all orderings under the shared
+    // (round(cos,4) DESC, id ASC) tie rule the Spark packed-key argmax
+    // implements)
+    "sim_ivf_twolevel" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |kk AS (SELECT $ivfKSql AS k),
+         |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < (SELECT k FROM kk)),
+         |gg AS (SELECT greatest(2, CAST(round(sqrt(CAST(k AS DOUBLE)), 0) AS BIGINT)) AS g FROM kk),
+         |ss AS (SELECT sid AS ssid, sv AS ssv FROM s WHERE sid < (SELECT g FROM gg)),
+         |sp AS (SELECT sid, scell FROM (
+         |  SELECT s.sid, ss.ssid AS scell,
+         |    row_number() OVER (PARTITION BY s.sid
+         |      ORDER BY round(${duckCos("s.sv", "ss.ssv")}, 4) DESC, ss.ssid ASC) AS rn
+         |  FROM s, ss) t WHERE rn = 1),
+         |vs AS (SELECT vec_id, scell FROM (
+         |  SELECT e.vec_id, ss.ssid AS scell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${duckCos("e.v", "ss.ssv")}, 4) DESC, ss.ssid ASC) AS rn
+         |  FROM e, ss) t WHERE rn <= 2),
+         |cand AS (
+         |  SELECT e.vec_id, s.sid, round(${duckCos("e.v", "s.sv")}, 4) AS cs
+         |  FROM e JOIN vs ON e.vec_id = vs.vec_id
+         |         JOIN sp ON sp.scell = vs.scell
+         |         JOIN s ON s.sid = sp.sid),
+         |asg2 AS (SELECT vec_id, sid AS cell FROM (
+         |  SELECT vec_id, sid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid ASC) AS rn
+         |  FROM cand) t WHERE rn = 1),
+         |miss AS (SELECT e.vec_id, e.v FROM e
+         |  LEFT JOIN asg2 a ON e.vec_id = a.vec_id WHERE a.cell IS NULL),
+         |resc AS (SELECT vec_id, sid AS cell FROM (
+         |  SELECT m.vec_id, s.sid,
+         |    row_number() OVER (PARTITION BY m.vec_id
+         |      ORDER BY round(${duckCos("m.v", "s.sv")}, 4) DESC, s.sid ASC) AS rn
+         |  FROM miss m, s) t WHERE rn = 1)
+         |SELECT vec_id, cell FROM asg2
+         |UNION ALL SELECT vec_id, cell FROM resc
+         |ORDER BY vec_id""".stripMargin,
     "sim_pq_ann" -> {
       val codeJoin = (1 until Similarity.PqM)
         .map(m => s"JOIN cq$m USING (vec_id)").mkString(" ")

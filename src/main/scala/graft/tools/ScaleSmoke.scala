@@ -474,6 +474,28 @@ object ScaleSmoke {
       require(m == f, s"epoch-advance $what table diverged at 10x: $m != $f")
     }
 
+    // standing-state compaction at 10x: the epoch merge above left every
+    // bucket of the merged state holding one file per write (build +
+    // append); the staged-swap compaction must fold each table back to
+    // ≤bucket-count files with zero row drift (the band-key fold is the
+    // cheap full-scan probe twin), and its wall cost is recorded — the
+    // price of restoring day-one read cost after an ingest epoch
+    val foldBefore = graft.operators.DedupState.bands(spark, nMerged)
+      .groupBy("band_key").count().count()
+    val filesBefore = graft.operators.Compaction.fileCount(spark, nMerged.bands)
+    val t0Compact = System.nanoTime()
+    val cstats = graft.operators.DedupState.compact(spark, "doc_id", nMerged, 16)
+    val tCompact = (System.nanoTime() - t0Compact) / 1e9
+    val filesAfter = graft.operators.Compaction.fileCount(spark, nMerged.bands)
+    require(filesBefore > 16 && filesAfter <= 16,
+      s"band compaction did not shrink files: $filesBefore -> $filesAfter")
+    cstats.foreach(st => require(st.rowsAfter == st.rowsBefore,
+      s"compaction changed a table's rows at 10x: $st"))
+    val foldAfter = graft.operators.DedupState.bands(spark, nMerged)
+      .groupBy("band_key").count().count()
+    require(foldBefore == foldAfter,
+      s"band fold diverged across compaction: $foldBefore != $foldAfter")
+
     // stored graph maintenance at 10x: the per-epoch edge-partial
     // decomposition (corpus-self off the bucketed state + one batch delta
     // via the SAME incremental probes the merge above just priced) must
@@ -520,17 +542,18 @@ object ScaleSmoke {
 
     val total = tPairs + tClusters + tNgram + tContain + tSpans + tSpansMin +
       tHeavy + tGraph + tBigram + tPrefix + tTri + tCdc + tPhash + tBpe +
-      tClf + tPack + tMerge + tRebuild + tGstBuild + tGstRank + tCorpus
+      tClf + tPack + tMerge + tRebuild + tCompact + tGstBuild + tGstRank + tCorpus
     require(total <= budgetSec,
       f"budget blown: pairs $tPairs%.1f + clusters $tClusters%.1f + ngram $tNgram%.1f + " +
         f"containment $tContain%.1f + spans $tSpans%.1f + spans_min $tSpansMin%.1f + " +
         f"heavy $tHeavy%.1f + graph $tGraph%.1f + bigram $tBigram%.1f + " +
         f"prefix $tPrefix%.1f + triangles $tTri%.1f + cdc $tCdc%.1f + " +
         f"phash $tPhash%.1f + bpe $tBpe%.1f + clf $tClf%.1f + pack $tPack%.1f + " +
-        f"merge $tMerge%.1f + rebuild $tRebuild%.1f + graph-state $tGstBuild%.1f/$tGstRank%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
+        f"merge $tMerge%.1f + rebuild $tRebuild%.1f + compact $tCompact%.1f + " +
+        f"graph-state $tGstBuild%.1f/$tGstRank%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
 
     val json =
-      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"skew_two_path_sec":$tTwoPath%.2f,"skew_plain_sec":$tPlainJoin%.2f,"skew_straggler_two":$twoStraggler%.2f,"skew_straggler_plain":$plainStraggler%.2f,"skew_rows":$skewRows,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"bpe_sec":$tBpe%.2f,"bpe_types":$types10,"clf_sec":$tClf%.2f,"pack_sec":$tPack%.2f,"merge_sec":$tMerge%.2f,"rebuild_sec":$tRebuild%.2f,"graph_state_build_sec":$tGstBuild%.2f,"graph_state_rank_sec":$tGstRank%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.diverseKept},"span_cut_docs":${funnel.spanCutDocs},"fuzzy_kept":${funnel.fuzzyKept},"budget_kept":${funnel.budgetKept},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"skew_two_path_sec":$tTwoPath%.2f,"skew_plain_sec":$tPlainJoin%.2f,"skew_straggler_two":$twoStraggler%.2f,"skew_straggler_plain":$plainStraggler%.2f,"skew_rows":$skewRows,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"bpe_sec":$tBpe%.2f,"bpe_types":$types10,"clf_sec":$tClf%.2f,"pack_sec":$tPack%.2f,"merge_sec":$tMerge%.2f,"rebuild_sec":$tRebuild%.2f,"compact_sec":$tCompact%.2f,"compact_files_before":$filesBefore,"compact_files_after":$filesAfter,"graph_state_build_sec":$tGstBuild%.2f,"graph_state_rank_sec":$tGstRank%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.diverseKept},"span_cut_docs":${funnel.spanCutDocs},"fuzzy_kept":${funnel.fuzzyKept},"budget_kept":${funnel.budgetKept},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -175,6 +175,7 @@ class QueriesSpec extends SparkSpec {
     "profile_median_scalable" -> 1L,
     "sketch_kmv_rolling" -> 30L,
     "sim_ivf_filtered" -> 30L,
+    "sim_ivf_twolevel" -> 500L,
     "sample_dsir_stored" -> 50L,
   )
 
