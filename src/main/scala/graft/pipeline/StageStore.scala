@@ -35,6 +35,13 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *  - markers are fingerprint-checked on read, so a stale resume dir from
   *    a different config or input is recomputed, never trusted.
   *
+  * Single-writer, like every staged-swap surface here ([[graft.sinks
+  * .SnapshotStore]] documents the same stance): one curation run owns a
+  * resume dir at a time — two concurrent runs against the same dir could
+  * interleave marker deletes with each other's data writes. Concurrent
+  * runs get distinct dirs (they'd share nothing anyway: the chain seed
+  * includes the input).
+  *
   * Cost: one corpus-sized parquet write per stage — the standard price of
   * checkpointing a long pipeline, paid only when `--resume-dir` is given.
   * With the store disabled (the default, and always for the streaming
