@@ -525,6 +525,108 @@ object TextQueries {
       .orderBy("query_doc", "rnk")
   }
 
+  /** The BM25 index as PARTIALS, epoch-advanced — what turns the frozen
+    * [[bm25State]] deployment story into a maintainable one at 100 TB:
+    * every stored relation is a commutative-monoid partial, so absorbing
+    * an ingest epoch is three bucket-aligned APPENDS (never a rebuild,
+    * never reading the standing tables):
+    *
+    *  - postings `(token, doc_id, tf, dl)` — per-doc rows; docs live
+    *    wholly inside one epoch, so batch-computed `dl` IS corpus `dl`;
+    *  - token partials `(token, df)` — df is a count over disjoint doc
+    *    sets, summing per-epoch partials is exact (the probe folds them
+    *    exchange-free on the bucket key and derives idf from the folded
+    *    df and N — idf is NOT stored, precisely because it changes with
+    *    every epoch);
+    *  - corpus-stat rows `(t, n, maxtf)` — folded by (sum, sum, max).
+    *
+    * Built here as standing = first ¾ of the stored-family split, then
+    * one epoch advance up to the split — `fold(advance(build))` lands on
+    * exactly the one-shot index over `doc_id < split`, so the probe is
+    * row-identical to [[bm25Stored]] and the oracle IS the stored query's
+    * SQL: the merge ≡ rebuild proof runs cross-engine on every hash gate.
+    */
+  private val bm25AdvCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String, String)]()
+
+  private def bm25Partials(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val tf = TextAnalysis.tokenRows(docs, "doc_id", "text")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dlW = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val postings = tf.withColumn("dl", sum("tf").over(dlW))
+    val toks = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val spark = docs.sparkSession
+    val st = tf.agg(coalesce(sum("tf"), lit(0L)).as("t"),
+                    coalesce(max("tf"), lit(0L)).as("maxtf")).head()
+    val stats = spark.createDataFrame(
+        Seq((st.getLong(0), docs.count(), st.getLong(1))))
+      .toDF("t", "n", "maxtf")
+    (postings, toks, stats)
+  }
+
+  private[graft] def bm25AdvState(s: SparkSession, d: String): (String, String, String) = {
+    if (bm25AdvCache.size > 3) bm25AdvCache.clear()
+    bm25AdvCache.computeIfAbsent((s, d), _ => {
+      val pTbl = graft.operators.AggState.name("graft_bm25pa", d).parts
+      val tTbl = graft.operators.AggState.name("graft_bm25ta", d).parts
+      val sTbl = graft.operators.AggState.name("graft_bm25sa", d).parts
+      val split = DedupQueries.splitId(s, d)
+      val t2 = split * 3L / 4L
+      val all = Tables.documents(s, d)
+      // standing head: one-shot build over the first ¾ of the split range
+      val (p0, t0, s0) = bm25Partials(all.filter(col("doc_id") < t2))
+      graft.operators.Layout.writeBucketed(p0, "token", pTbl, 4)
+      graft.operators.Layout.writeBucketed(t0, "token", tTbl, 4)
+      s0.write.mode("overwrite").format("parquet").saveAsTable(sTbl)
+      // epoch advance: three bucket-aligned appends of batch partials
+      val (p1, t1, s1) = bm25Partials(
+        all.filter(col("doc_id") >= t2 && col("doc_id") < split))
+      p1.write.mode("append").format("parquet")
+        .bucketBy(4, "token").sortBy("token").saveAsTable(pTbl)
+      t1.write.mode("append").format("parquet")
+        .bucketBy(4, "token").sortBy("token").saveAsTable(tTbl)
+      s1.write.mode("append").format("parquet").saveAsTable(sTbl)
+      (pTbl, tTbl, sTbl)
+    })
+  }
+
+  /** text_bm25_advance — [[bm25Stored]]'s probe against the epoch-ADVANCED
+    * partial index ([[bm25AdvState]]): fold the stat rows (sum/sum/max),
+    * fold the token partials to df and derive idf, and rank the standing
+    * docs for each batch query doc. Row-identical to [[bm25Stored]] by
+    * the monoid laws — pinned cross-engine by sharing its oracle SQL.
+    */
+  def bm25Advance(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (pTbl, tTbl, sTbl) = bm25AdvState(s, d)
+    val st = s.table(sTbl)
+      .agg(sum("t").as("t"), sum("n").as("n"), max("maxtf").as("maxtf")).head()
+    val (bigT, bigN, maxTf) =
+      (st.getLong(0), st.getLong(1), st.getLong(2))
+    val idf = s.table(tTbl).groupBy("token").agg(sum("df").as("df"))
+      .withColumn("idf_micro",
+        floor(log((lit(2.0) * bigN + lit(2.0))
+          / (col("df").cast("double") * 2.0 + lit(1.0))) * 1e6).cast("long"))
+      .select("token", "idf_micro")
+    val batch = Tables.documents(s, d)
+      .filter(col("doc_id") >= DedupQueries.splitId(s, d) &&
+              col("doc_id") % 100 === 0)
+    val q = TextAnalysis.tokenRows(batch, "doc_id", "text")
+      .select(col("doc_id").as("query_doc"), col("token")).distinct()
+      .join(idf, "token")
+    val w = Window.partitionBy("query_doc")
+      .orderBy(desc("score_micro"), asc("doc_id"))
+    q.join(s.table(pTbl), Seq("token"))
+      .withColumn("tffac", expr(tffacSql(bigT, bigN, maxTf)))
+      .groupBy("query_doc", "doc_id")
+      .agg(expr("sum(idf_micro * tffac) div 1000000").as("score_micro"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("query_doc", "rnk", "doc_id", "score_micro")
+      .orderBy("query_doc", "rnk")
+  }
+
   /** Token-distribution entropy per doc, in nats: H = ln(n) − (1/n)·Σ c·ln(c)
     * over within-doc type counts c — the degenerate-generation screen that
     * catches what repetition ratios miss (many distinct tokens, skewed
@@ -1045,6 +1147,7 @@ object TextQueries {
     "text_entropy" -> (entropy _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_bm25_stored" -> (bm25Stored _),
+    "text_bm25_advance" -> (bm25Advance _),
     "text_boilerplate" -> (boilerplate _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_bigram_logprob" -> (bigramLogprob _),
@@ -1214,6 +1317,46 @@ object TextQueries {
        |     + CAST(coalesce(g.gn, 0) AS DOUBLE) / (2.0 * n.nneg)) / 1000.0)
        |    AS BIGINT) AS w
        |  FROM w${k - 1} w LEFT JOIN g$k g ON w.bucket = g.bucket, n)""".stripMargin
+
+  /** The text_bm25_stored oracle — the standing/batch split of the
+    * bm25 chain (index statistics over doc_id < split ONLY; the batch
+    * contributes nothing but its query terms). Shared VERBATIM by
+    * text_bm25_advance: the epoch-advanced partial index must fold to
+    * exactly this one-shot index, so one SQL statement pins both.
+    */
+  private def bm25StoredSql: String =
+    s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf0 AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |        FROM tk WHERE token <> '' GROUP BY doc_id, token),
+         |st AS (SELECT * FROM tf0 WHERE doc_id < ${DedupQueries.splitSql}),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM st GROUP BY doc_id),
+         |ss AS (SELECT CAST(sum(tf) AS BIGINT) AS T,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM documents
+         |          WHERE doc_id < ${DedupQueries.splitSql}) AS N
+         |       FROM st),
+         |idf AS (SELECT token,
+         |    CAST(floor(ln((2.0 * ss.N + 2.0) / (2.0 * CAST(df AS DOUBLE) + 1.0))
+         |               * 1000000.0) AS BIGINT) AS idf_micro
+         |  FROM (SELECT token, CAST(count(*) AS BIGINT) AS df FROM st GROUP BY token), ss),
+         |q AS (SELECT doc_id AS query_doc, token FROM tf0
+         |      WHERE doc_id >= ${DedupQueries.splitSql} AND doc_id % 100 = 0),
+         |cand AS (
+         |  SELECT q.query_doc, t.doc_id,
+         |    CAST(sum(i.idf_micro *
+         |      CAST((22 * CAST(ss.T AS HUGEINT) * t.tf * 1000000)
+         |        // (10 * CAST(ss.T AS HUGEINT) * t.tf + 3 * CAST(ss.T AS HUGEINT)
+         |            + 9 * CAST(d.dl AS HUGEINT) * ss.N) AS BIGINT))
+         |      // 1000000 AS BIGINT) AS score_micro
+         |  FROM q
+         |  JOIN st t ON q.token = t.token
+         |  JOIN dl d ON t.doc_id = d.doc_id
+         |  JOIN idf i ON q.token = i.token, ss
+         |  GROUP BY q.query_doc, t.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_doc
+         |        ORDER BY score_micro DESC, doc_id) AS rn FROM cand)
+         |SELECT query_doc, CAST(rn AS BIGINT) AS rnk, doc_id, score_micro
+         |FROM r WHERE rn <= 5 ORDER BY query_doc, rnk""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "text_quality_classifier" ->
@@ -1420,42 +1563,12 @@ object TextQueries {
         |        ORDER BY score_micro DESC, doc_id) AS rn FROM cand)
         |SELECT query_doc, CAST(rn AS BIGINT) AS rnk, doc_id, score_micro
         |FROM r WHERE rn <= 5 ORDER BY query_doc, rnk""".stripMargin,
-    "text_bm25_stored" ->
-      // the standing/batch split of the bm25 chain: index statistics are
-      // computed over doc_id < split ONLY (the frozen tables), the batch
-      // side contributes nothing but its query terms
-      s"""WITH tk AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-         |tf0 AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-         |        FROM tk WHERE token <> '' GROUP BY doc_id, token),
-         |st AS (SELECT * FROM tf0 WHERE doc_id < ${DedupQueries.splitSql}),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM st GROUP BY doc_id),
-         |ss AS (SELECT CAST(sum(tf) AS BIGINT) AS T,
-         |         (SELECT CAST(count(*) AS BIGINT) FROM documents
-         |          WHERE doc_id < ${DedupQueries.splitSql}) AS N
-         |       FROM st),
-         |idf AS (SELECT token,
-         |    CAST(floor(ln((2.0 * ss.N + 2.0) / (2.0 * CAST(df AS DOUBLE) + 1.0))
-         |               * 1000000.0) AS BIGINT) AS idf_micro
-         |  FROM (SELECT token, CAST(count(*) AS BIGINT) AS df FROM st GROUP BY token), ss),
-         |q AS (SELECT doc_id AS query_doc, token FROM tf0
-         |      WHERE doc_id >= ${DedupQueries.splitSql} AND doc_id % 100 = 0),
-         |cand AS (
-         |  SELECT q.query_doc, t.doc_id,
-         |    CAST(sum(i.idf_micro *
-         |      CAST((22 * CAST(ss.T AS HUGEINT) * t.tf * 1000000)
-         |        // (10 * CAST(ss.T AS HUGEINT) * t.tf + 3 * CAST(ss.T AS HUGEINT)
-         |            + 9 * CAST(d.dl AS HUGEINT) * ss.N) AS BIGINT))
-         |      // 1000000 AS BIGINT) AS score_micro
-         |  FROM q
-         |  JOIN st t ON q.token = t.token
-         |  JOIN dl d ON t.doc_id = d.doc_id
-         |  JOIN idf i ON q.token = i.token, ss
-         |  GROUP BY q.query_doc, t.doc_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_doc
-         |        ORDER BY score_micro DESC, doc_id) AS rn FROM cand)
-         |SELECT query_doc, CAST(rn AS BIGINT) AS rnk, doc_id, score_micro
-         |FROM r WHERE rn <= 5 ORDER BY query_doc, rnk""".stripMargin,
+    "text_bm25_stored" -> bm25StoredSql,
+    // the epoch-advanced partial index folds to EXACTLY the one-shot
+    // index over doc_id < split (df/t/n/maxtf are monoid partials over
+    // disjoint doc sets), so the advance query's oracle IS the stored
+    // query's SQL — the merge ≡ rebuild proof runs on every hash gate
+    "text_bm25_advance" -> bm25StoredSql,
     "text_unigram_logprob" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -168,6 +168,7 @@ class QueriesSpec extends SparkSpec {
     "c30_user_paths" -> 10L,
     "dedup_decontam_purge" -> 18L,
     "text_bm25_stored" -> 5L,
+    "text_bm25_advance" -> 5L,
     "profile_eval_overlap" -> 50L,
     "sample_match_dist" -> 6L,
     "sample_weighted_grouped" -> 50L,
