@@ -85,18 +85,93 @@ object Layout {
                     path: String, numFiles: Int): Unit =
     writeZOrdered(df, Seq(colA, colB), path, numFiles)
 
-  /** N-dim form: one agg pass for ALL dimensions' bounds, then the same
-    * single range exchange on the interleaved value.
+  /** N-dim form: one agg pass for ALL dimensions' bounds, one EXACT
+    * coarse-histogram pass over the z-value, then a single hash exchange
+    * into per-file partitions.
+    *
+    * Deterministic by construction — `repartitionByRange` is NOT used
+    * because its range boundaries come from reservoir sampling seeded by
+    * the RDD id, so the file layout (and therefore the per-file min/max
+    * boxes a pruning engine reads) shifts between runs of the same data.
+    * Instead:
+    *   1. bucket `__z` into at most 4096 fixed-width coarse cells and
+    *      count rows per cell exactly (one groupBy, bounded collect);
+    *   2. walk the cells in z order on the driver and cut them into
+    *      `numFiles` contiguous cell ranges of ~equal row count — the
+    *      explicit split points the sampled range exchange only
+    *      approximated;
+    *   3. route each row to its file with ONE hash exchange: file id k is
+    *      mapped to a driver-precomputed token whose Murmur3(seed 42)
+    *      value lands in partition k of a `numFiles`-way HashPartitioning
+    *      (the exact partitioner `repartition(n, col)` uses), so every
+    *      output partition holds exactly one contiguous z range.
+    * Cost at 100 TB: the histogram is a map-side-combined agg over <=4096
+    * groups (bytes to the driver), and the data still moves through a
+    * single full exchange — same shuffle volume as the range version,
+    * minus its sampling job, plus run-to-run reproducible file boxes.
     */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
                     numFiles: Int, bits: Int = Bits): Unit = {
+    require(numFiles > 0, "writeZOrdered needs numFiles > 0")
     val b = boundsN(df, cols)
-    df.withColumn("__z", zvalue(
-        cols.zip(b).map { case (c, (lo, hi)) => scaled(col(c), lo, hi) }, bits))
-      .repartitionByRange(numFiles, col("__z"))
+    val zdf = df.withColumn("__z", zvalue(
+      cols.zip(b).map { case (c, (lo, hi)) => scaled(col(c), lo, hi) }, bits))
+
+    // 1. exact coarse histogram: z lives in [0, 2^(n*bits)); shave bits
+    //    until at most 4096 cells remain.
+    val zBits = cols.size * bits
+    val cellBits = math.min(zBits, 12)
+    val shift = zBits - cellBits
+    val numCells = 1 << cellBits
+    val counts = new Array[Long](numCells)
+    zdf.groupBy(shiftright(col("__z"), shift).cast("int").as("__c"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    val total = counts.sum
+
+    // 2. explicit split points: contiguous cell ranges of ~total/numFiles
+    //    rows each (cell-granular; cells never split across files).
+    val cellToFile = new Array[Int](numCells)
+    var f = 0
+    var cum = 0L
+    for (c <- 0 until numCells) {
+      cellToFile(c) = f
+      cum += counts(c)
+      while (f < numFiles - 1 && cum * numFiles >= (f + 1).toLong * total)
+        f += 1
+    }
+
+    // 3. one token per file id whose hash partition IS that file id.
+    val tokens = hashTokens(numFiles)
+    val cellToken = cellToFile.map(tokens)
+
+    zdf.withColumn("__t",
+        element_at(lit(cellToken), shiftright(col("__z"), shift).cast("int") + 1))
+      .repartition(numFiles, col("__t"))
       .sortWithinPartitions("__z")
-      .drop("__z")
+      .drop("__z", "__t")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** For each partition id p in [0, n), the smallest non-negative Int
+    * token t with `pmod(murmur3_int(t, seed=42), n) == p` — the exact
+    * arithmetic of Catalyst's `HashPartitioning.partitionIdExpression`,
+    * so `repartition(n, col(token))` routes token t to partition p with
+    * no collisions and no sampling.
+    */
+  private[operators] def hashTokens(n: Int): Array[Int] = {
+    val tokens = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var t = 0
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(t, 42)
+      val p = ((h % n) + n) % n
+      if (!found(p)) { found(p) = true; tokens(p) = t; remaining -= 1 }
+      t += 1
+    }
+    tokens
   }
 
   /** Comparison baseline: the same data linearly sorted on `colA` only —

@@ -166,13 +166,14 @@ class LayoutSpec extends SparkSpec {
       val (lo, hi) = b(dim)
       (lo + from * (hi - lo), lo + to * (hi - lo))
     }
-    // 5% band on the THIRD dimension alone: a 64-file 3-dim layout is ~a
-    // 4x4x4 grid, so the band keeps ~one slab (1/4 of files) + boundary
-    // slack — the dimension a linear or 2-dim layout can't prune at all
+    // 5% band on the THIRD dimension alone: a 64-file 3-dim layout is a
+    // 4x4x4 grid, so the band keeps exactly one slab (16 of 64 files) —
+    // the dimension a linear or 2-dim layout can't prune at all. Exact
+    // because writeZOrdered's histogram split points are deterministic.
     val (plo, phi) = band(2, 0.40, 0.45)
     val pStats = Layout.fileStats(zBack, "o_totalprice")
     val pCand = pStats.filter($"hi" >= plo && $"lo" <= phi).count()
-    assert(pCand <= files / 2,
+    assert(pCand === 16L,
       s"3rd-dim candidates $pCand of $files — no pruning on the added dim")
 
     // a box over ALL THREE dims multiplies the per-dim cuts: <= k/16
@@ -187,7 +188,7 @@ class LayoutSpec extends SparkSpec {
               $"bhi" >= blo && $"blo" <= bhi &&
               $"hi" >= plo && $"lo" <= phi)
       .count()
-    assert(boxCand <= files / 16,
+    assert(boxCand === 3L,
       s"3-dim box candidates $boxCand of $files — boxes not tight in all dims")
   }
 
@@ -220,17 +221,20 @@ class LayoutSpec extends SparkSpec {
     assert(zTotal === files && linTotal === files)
     // linear-on-custkey files each span ~the full price range: no pruning
     assert(linCand >= files - 1, s"linear layout unexpectedly pruned: $linCand")
-    // a 16-file z-layout is ~a 4x4 grid; a 5% band hits one B-row of the
-    // grid (~4 files) — allow slack for range-sampling boundaries
-    assert(zCand <= files / 2,
-      s"z-order candidates $zCand of $zTotal — boxes too wide, no skip win")
+    // writeZOrdered's split points are computed from an exact histogram
+    // (no sampled range exchange), so the file boxes — and these candidate
+    // counts — are run-order-independent and can be pinned EXACTLY: a
+    // 16-file z-layout on sf0.01 orders is a 4x4 grid and the 5% price
+    // band hits exactly one B-row of it.
+    assert(zCand === 4L,
+      s"z-order candidates $zCand of $zTotal — layout no longer deterministic?")
 
     // and the primary dimension still prunes too (the box is small BOTH
-    // ways): a 5% custkey band keeps at most half the files
+    // ways): the 5% custkey band deterministically keeps 5 of 16 files
     val (alo, ahi) = (b(0) + 0.40 * (b(1) - b(0)), b(0) + 0.45 * (b(1) - b(0)))
     val aStats = Layout.fileStats(zBack, "o_custkey")
     val aCand = aStats.filter($"hi" >= alo && $"lo" <= ahi).count()
-    assert(aCand <= files / 2, s"z-order custkey candidates $aCand of $zTotal")
+    assert(aCand === 5L, s"z-order custkey candidates $aCand of $zTotal")
   }
 
   test("matching bucketed tables join and aggregate with zero exchanges") {
