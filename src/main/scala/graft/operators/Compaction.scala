@@ -43,6 +43,20 @@ import org.apache.spark.sql.functions._
   * the retired marker makes that window self-healing — the same argument
   * (and the same kill-at-every-step spec shape) as the meta migration.
   *
+  * READER visibility: these standing-state tables are serving tables —
+  * probes read them — and during the rename window (steps 3→4, two
+  * catalog operations, not data moves) a concurrent reader resolving the
+  * live name gets a transient `TABLE_OR_VIEW_NOT_FOUND`. The session
+  * catalog has no atomic two-table swap, so the contract is: the vacancy
+  * is bounded (milliseconds — no data is copied inside the window),
+  * self-healing (the retired marker lets any next toucher finish the
+  * promote), and NEVER wrong — a reader sees the old state, the new
+  * state, or a retriable not-found, never a torn mixture. Readers of
+  * compactable state should treat not-found as retriable (one retry
+  * suffices in-process; schedule compaction in quiesced windows when
+  * probes can't retry). The single-writer stance above covers writers;
+  * this paragraph is the reader half.
+  *
   * Content contract: with the default identity `fold`, the compacted
   * table is row-for-row the same multiset (verified by hash before the
   * commit point — CompactionSpec pins probe-result identity and that the

@@ -165,7 +165,11 @@ object CorpusJob {
     * ([[StageStore]] owns the fingerprint and crash contract).
     */
   def execute(spark: SparkSession, cfg: Config): (DataFrame, Funnel) =
-    executeWith(spark, cfg, new StageStore(spark, cfg.resumeDir, cfg.input))
+    executeWith(spark, cfg, new StageStore(spark, cfg.resumeDir,
+      // seed = path + CONTENT fingerprint: a sealed resume dir must be
+      // invalidated when the data at the same path changes between runs
+      // (append/rewrite/compaction), not only when the path string does
+      cfg.input + "|" + StageStore.contentFingerprint(spark, cfg.input)))
 
   /** [[execute]] with a caller-owned [[StageStore]] — the seam the resume
     * spec uses to count sealed-stage hits across re-runs.
@@ -437,7 +441,11 @@ object CorpusJob {
     val diverse =
       if (cfg.diversePerCell <= 0) { store.skip("diverse", "off"); mixed }
       else store.stage("diverse",
-          s"${cfg.diversePerCell}|${cfg.embeddingsDir}|${cfg.salt}") {
+          // embeddings are a SECOND input the chain seed doesn't cover:
+          // fingerprint their content too, not just the dir path
+          s"${cfg.diversePerCell}|${cfg.embeddingsDir}|" +
+            s"${StageStore.contentFingerprint(spark, cfg.embeddingsDir)}|" +
+            s"${cfg.salt}") {
         import org.apache.spark.sql.expressions.Window
         graft.functions.VectorFunctions.register(spark)
         val vecs = graft.operators.Similarity.prepared(

@@ -91,6 +91,12 @@ final class StageStore(spark: SparkSession, dir: String, seed: String) {
       nMisses += 1
       Files.createDirectories(root)
       Files.deleteIfExists(marker) // invalidate BEFORE touching the data
+      // sweep orphan tmp markers from runs that crashed between writing
+      // _DONE.tmp-<uuid> and the atomic move — nothing else cleans them
+      val sweep = Files.list(root)
+      try sweep.filter(p => p.getFileName.toString.startsWith("_DONE.tmp-"))
+        .forEach(p => Files.deleteIfExists(p))
+      finally sweep.close()
       val df = compute
       df.write.mode("overwrite").parquet(data.toString)
       val tmp = root.resolve(s"_DONE.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -113,4 +119,28 @@ object StageStore {
   private[pipeline] def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Cheap CONTENT fingerprint of a data directory: md5 over the sorted
+    * recursive file listing (path, length, mtime). Mixed into the chain
+    * seed so a resume dir sealed against yesterday's corpus is invalidated
+    * when the data at the SAME path is appended, rewritten or compacted —
+    * path identity alone would silently reuse sealed stages and emit stale
+    * output on exactly the multi-day reruns resume exists for. mtime+size
+    * is the standard make/rsync staleness test: it never misses a rewrite
+    * that changes either, and a byte-identical rewrite that refreshes
+    * mtimes merely recomputes (safe direction). Cost: one namenode listing
+    * of the input dir — metadata only, no data read; goes through the
+    * Hadoop FS API so it prices the same on HDFS/S3A as on local disk.
+    */
+  def contentFingerprint(spark: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val s = it.next()
+      entries += s"${s.getPath.toUri.getPath}|${s.getLen}|${s.getModificationTime}"
+    }
+    md5hex("graft-content-fp|" + entries.sorted.mkString("\n"))
+  }
 }

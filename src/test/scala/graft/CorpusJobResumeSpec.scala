@@ -83,6 +83,47 @@ class CorpusJobResumeSpec extends SparkSpec {
     assert(rows(out) === outRows)
   }
 
+  test("rewritten data at the SAME path invalidates every sealed stage") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // a private copy of the corpus whose file we can legally touch
+    val dataDir = Files.createTempDirectory("graft-resume-data")
+    Files.copy(Paths.get(sf("sf0.001"), "documents.parquet"),
+      dataDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rd = Files.createTempDirectory("graft-resume-store2").toString
+    val c = cfg.copy(input = dataDir.toString, out = freshOut(), resumeDir = rd)
+    def contentSeed() = // exactly what CorpusJob.execute seeds with
+      c.input + "|" + StageStore.contentFingerprint(spark, c.input)
+    val s1 = new StageStore(spark, rd, contentSeed())
+    CorpusJob.executeWith(spark, c, s1)
+    assert(s1.misses === ActiveStages)
+    // same path, same bytes, NEW mtime — the make/rsync staleness test
+    // must recompute (path identity alone would silently reuse the seal)
+    val f = dataDir.resolve("documents.parquet").toFile
+    assert(f.setLastModified(f.lastModified() + 60000L))
+    val s2 = new StageStore(spark, rd, contentSeed())
+    CorpusJob.executeWith(spark, c.copy(out = freshOut()), s2)
+    assert(s2.hits === 0 && s2.misses === ActiveStages,
+      s"stale seal reused: hits=${s2.hits} misses=${s2.misses}")
+    // untouched data resumes fully again
+    val s3 = new StageStore(spark, rd, contentSeed())
+    CorpusJob.executeWith(spark, c.copy(out = freshOut()), s3)
+    assert(s3.hits === ActiveStages && s3.misses === 0)
+  }
+
+  test("orphan _DONE.tmp markers from crashed seals are swept on recompute") {
+    first
+    val near = java.nio.file.Paths.get(resumeDir, "near")
+    val orphan = near.resolve("_DONE.tmp-deadbeef")
+    java.nio.file.Files.write(orphan, "stale".getBytes("UTF-8"))
+    // lose the real marker too: the stage recomputes and must sweep
+    java.nio.file.Files.deleteIfExists(near.resolve("_DONE"))
+    val store = new StageStore(spark, resumeDir, cfg.input)
+    CorpusJob.executeWith(spark, cfg.copy(out = freshOut()), store)
+    assert(store.misses === 1)
+    assert(!java.nio.file.Files.exists(orphan), "orphan tmp marker not swept")
+    assert(java.nio.file.Files.exists(near.resolve("_DONE")))
+  }
+
   test("a stale dir (different input fingerprint) is recomputed, not trusted") {
     val (outRows, f, _) = first
     val store = new StageStore(spark, resumeDir, "some/other/corpus")
