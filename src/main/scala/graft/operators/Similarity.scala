@@ -344,4 +344,21 @@ object Similarity {
         codes(m).cast("string"))))
       round(graft.functions.DistanceFunctions.sqDist(sub, cw), 6)
     }.reduce(_ + _)
+
+  /** Residual vectors v − seed(cell) for IVF-PQ residual encoding — the
+    * actual IVFADC recipe of Jégou et al. 2011 (§III): within a Voronoi
+    * cell the residuals are near-zero-mean and much lower-variance than
+    * the raw vectors, so the same [[PqK]] codewords per subspace carry
+    * more precision when they quantize residuals. Exact double
+    * subtraction (no rounding needed — both engines compute the identical
+    * IEEE difference of stored values). The seed side is the IVF centroid
+    * table (k = n/[[graft.queries.SimilarityQueries.IvfCellTarget]] rows),
+    * broadcast exactly as cell assignment already broadcasts it, so the
+    * residual projection is narrow — no corpus shuffle.
+    */
+  def cellResiduals(assigned: DataFrame, seeds: DataFrame): DataFrame =
+    assigned.join(org.apache.spark.sql.functions.broadcast(seeds),
+        col("cell") === col("sid"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("sv"), (a, b) => a - b).as("v"))
 }

@@ -68,6 +68,33 @@ object SimilarityQueries {
     DedupQueries.memo(pqCbCache, (s, d), () =>
       Similarity.pqCodebooks(prepared(Tables.embeddings(s, d)).select("vec_id", "v")))
 
+  /** Cell-residual vectors for the IVFADC recipe: every corpus vector
+    * joined to its IVF seed and replaced by v − seed. Materialized
+    * ([[graft.operators.Materialize]]) before PQ training/encoding — the
+    * residual is a zip_with projection, and without the barrier Catalyst's
+    * project-collapse would inline the 64-element lambda into each of the
+    * M×K per-codeword distances (128 re-evaluations per row). An index
+    * build materializes its input exactly once anyway.
+    */
+  private def residualFrame(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val vecs = prepared(Tables.embeddings(s, d)).select("vec_id", "v")
+    val seeds = vecs.filter(col("vec_id") < lit(ivfK(s, d)))
+      .select(col("vec_id").as("sid"), col("v").as("sv"))
+    val assigned = ivfAssign(vecs, seeds, "vec_id", ivfK(s, d))
+    graft.operators.Materialize.frame(Similarity.cellResiduals(assigned, seeds))
+  }
+
+  /** Residual PQ codebooks (trained on v − seed(cell), not raw vectors),
+    * cached per (session, sf dir) like [[pqCbs]].
+    */
+  private val pqResCbCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[Seq[(Int, Seq[Double])]]]()
+
+  private def pqResCbs(s: SparkSession, d: String): Seq[Seq[(Int, Seq[Double])]] =
+    DedupQueries.memo(pqResCbCache, (s, d), () =>
+      Similarity.pqCodebooks(residualFrame(s, d).select("vec_id", "v")))
+
   /** C13 — brute-force cosine similarity to vector 0, top-10. */
   def c13(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
@@ -609,6 +636,41 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Residual-encoding IVF-PQ — the full IVFADC recipe of Jégou et al.
+    * 2011 (§III.C): [[ivfPqAnn]] quantizes RAW vectors, but the paper
+    * encodes the residual v − centroid(cell), because within a Voronoi
+    * cell residuals are near-zero-mean and far lower-variance, so the
+    * same [[Similarity.PqK]] codewords per subspace spend their precision
+    * on the part of the vector the coarse quantizer did NOT already
+    * explain. Pipeline: assign cells against the broadcast seed set →
+    * subtract the cell seed ([[Similarity.cellResiduals]], exact double
+    * subtraction) → train/encode PQ over residuals → per query, ADC of
+    * the QUERY's residual (against its own cell's seed) vs the cell's
+    * residual codes. Top-5 per query by (ADC asc, vec_id).
+    *
+    * Scale shape identical to [[ivfPqAnn]]: the residual projection is a
+    * narrow broadcast join (no corpus shuffle), codes are 8 bytes/vector,
+    * and the probe is the same cell equi-join — never a cartesian.
+    * AnnRecallSpec pins that residual encoding does not lose recall vs
+    * the raw-vector composition.
+    */
+  def ivfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val res = residualFrame(s, d)
+    val cbs = pqResCbs(s, d)
+    // the stored index rows: (vec_id, cell, 8 residual-code bytes)
+    val codes = Similarity.pqEncode(res, cbs).drop("v")
+    val q = res.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+    val codeCols = (0 until Similarity.PqM).map(m => col(s"c$m"))
+    val scored = codes.join(q, "cell")
+      .withColumn("adc", Similarity.pqAdc(col("qv"), codeCols, cbs))
+    val w = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id"), col("cell"),
+        round(col("adc"), 4).as("adc"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Posting-list cap for [[sparseTopk]]: tokens in more than this many
     * docs are dropped (and df=1 tokens can't pair). The cap is what makes
     * the inverted-index join scale: a token with df=f generates f² pair
@@ -779,6 +841,7 @@ object SimilarityQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_stored" -> (ivfStored _),
     "sim_ivfpq_ann" -> (ivfPqAnn _),
+    "sim_ivfpq_residual" -> (ivfPqResidual _),
     "sim_sparse_topk" -> (sparseTopk _),
     "sim_pq_ann" -> (pqAnn _),
     "sim_pq_rerank" -> (pqRerank _),
@@ -850,13 +913,21 @@ object SimilarityQueries {
        |$nxt AS (SELECT p.cid, coalesce(m${m}_$r.cv, p.cv) AS cv
        |  FROM $prev p LEFT JOIN m${m}_$r ON p.cid = m${m}_$r.cid)""".stripMargin
   }
-  private def pqTrainCtes: String = (0 until Similarity.PqM).map { m =>
+  private def pqTrainCtes: String = pqTrainCtesFrom("e")
+
+  /** PQ training CTEs over an arbitrary (vec_id, v DOUBLE[]) source CTE —
+    * `e` for the raw-vector queries, `re` (cell residuals) for
+    * sim_ivfpq_residual. Training data is the ONLY thing that changes;
+    * the Lloyd algebra is shared verbatim.
+    */
+  private def pqTrainCtesFrom(src: String): String =
+    (0 until Similarity.PqM).map { m =>
     val off = m * Similarity.PqSub
     val rounds = (0 until Similarity.PqKmRounds)
       .map(r => pqKmRoundSql(m, r)).mkString(",\n")
     s"""sl$m AS (SELECT vec_id,
        |  list_transform(range(1, ${Similarity.PqSub + 1}), i -> v[$off + i]) AS v
-       |  FROM e),
+       |  FROM $src),
        |cb${m}r0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv
        |  FROM sl$m WHERE vec_id < ${Similarity.PqK}),
        |$rounds,
@@ -1042,6 +1113,44 @@ object SimilarityQueries {
          |          FROM (SELECT * FROM cq0 $codeJoin) c
          |          JOIN asg g ON c.vec_id = g.vec_id),
          |q AS (SELECT vec_id AS qid, v AS qv, cell FROM asg WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT q.qid, x.vec_id, x.cell,
+         |    $adcSum AS adc
+         |  FROM codes x JOIN q USING (cell)
+         |  $cbJoins)
+         |SELECT qid, vec_id, cell, round(adc, 4) AS adc,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS INTEGER) AS rnk
+         |FROM adc QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    },
+    "sim_ivfpq_residual" -> {
+      val codeJoin = (1 until Similarity.PqM)
+        .map(m => s"JOIN cq$m USING (vec_id)").mkString(" ")
+      val cbJoins = (0 until Similarity.PqM)
+        .map(m => s"JOIN cbr$m cb$m ON cb$m.k = x.c$m").mkString("\n  ")
+      val adcSum = (0 until Similarity.PqM)
+        .map(pqAdcTerm).mkString("\n    + ")
+      // identical to sim_ivfpq_ann except the PQ chain trains on, encodes
+      // and queries with RESIDUALS re = v - seed(cell): exact double
+      // subtraction, so no extra rounding rule enters the chain
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < $ivfKSql),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, s.sid, round(${duckCos("e.v", "s.sv")}, 4) AS cs
+         |  FROM e, s),
+         |asg AS (
+         |  SELECT vec_id, v, sid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid ASC) AS rn
+         |    FROM scored) t WHERE rn = 1),
+         |re AS (
+         |  SELECT a.vec_id, a.cell,
+         |    list_transform(range(1, len(a.v)+1), i -> a.v[i] - s.sv[i]) AS v
+         |  FROM asg a JOIN s ON a.cell = s.sid),
+         |${pqTrainCtesFrom("re")},
+         |$pqCodeCtes,
+         |codes AS (SELECT c.*, g.cell
+         |          FROM (SELECT * FROM cq0 $codeJoin) c
+         |          JOIN re g ON c.vec_id = g.vec_id),
+         |q AS (SELECT vec_id AS qid, v AS qv, cell FROM re WHERE vec_id < 10),
          |adc AS (
          |  SELECT q.qid, x.vec_id, x.cell,
          |    $adcSum AS adc

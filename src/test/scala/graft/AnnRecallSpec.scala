@@ -127,6 +127,32 @@ class AnnRecallSpec extends SparkSpec {
     info(s"IVF-PQ recall@5 = $recall")
   }
 
+  test("residual-encoded IVF-PQ: recall@5 at least matches raw-vector IVF-PQ") {
+    graft.functions.VectorFunctions.register(spark)
+    val vecs = Similarity.prepared(Tables.embeddings(spark, sf("sf0.01")))
+      .select($"vec_id", $"v")
+    val queries = vecs.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"v".as("qv"))
+    val t5 = Similarity.bruteForceTopK(vecs, queries, 5).select("qid", "vec_id")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => (q, xs.map(_._2).toSet) }
+    def recall5(xs: Seq[(Long, Long)]): Double = {
+      val got = xs.groupBy(_._1).map { case (q, ys) => (q, ys.map(_._2).toSet) }
+      t5.map { case (q, t) => (got.getOrElse(q, Set.empty[Long]) & t).size }.sum
+        .toDouble / t5.values.map(_.size).sum
+    }
+    val raw = recall5(SimilarityQueries.ivfPqAnn(spark, sf("sf0.01"))
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSeq)
+    val res = recall5(SimilarityQueries.ivfPqResidual(spark, sf("sf0.01"))
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSeq)
+    // residuals are near-zero-mean within a cell, so the 16 codewords per
+    // subspace quantize what the coarse quantizer did NOT explain — the
+    // Jégou IVFADC argument; encoding residuals must not LOSE recall vs
+    // encoding raw vectors, and must hold the raw composition's 0.42 floor
+    assert(res >= raw, s"residual IVF-PQ recall@5 $res < raw $raw")
+    assert(res >= 0.42, s"residual IVF-PQ recall@5 = $res")
+    info(s"IVF-PQ recall@5: raw = $raw, residual-encoded = $res")
+  }
+
   test("banded LSH still prunes: candidate pairs below the 10x-corpus cross join") {
     graft.functions.VectorFunctions.register(spark)
     val vecs = Similarity.prepared(Tables.embeddings(spark, sf("sf0.01")))

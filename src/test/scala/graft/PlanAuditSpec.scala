@@ -146,6 +146,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("sim_ivfpq_residual: probe is the cell equi-join, never a cartesian") {
+    val plan = finalPlan(SimilarityQueries.ivfPqResidual(spark, sf()))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("sim_lsh_multiprobe: probe expansion joins on the bucket key only") {
     val plan = finalPlan(SimilarityQueries.lshMultiprobe(spark, sf()))
     assert(!plan.contains("CartesianProduct"), plan)

@@ -134,6 +134,7 @@ class QueriesSpec extends SparkSpec {
     "c27_dense_ids" -> 500L,
     "sample_bootstrap" -> 15L,
     "sim_ivfpq_ann" -> 50L,
+    "sim_ivfpq_residual" -> 50L,
     "dedup_cdc_chunks" -> 208L,
     "mm_phash_pairs" -> 28L,
     "graph_domain_rank_stored" -> 20L,
