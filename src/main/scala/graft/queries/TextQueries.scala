@@ -281,6 +281,69 @@ object TextQueries {
       .orderBy("lang", "bin")
   }
 
+  /** Best-fit-decreasing WHOLE-DOC packing ([[graft.operators.Packing]]):
+    * [[packBins]] concatenates the stream and cuts every 2048 tokens, so
+    * a document can straddle — i.e. be truncated at — a window edge; BFD
+    * keeps every document whole and fills each bin to ≤ 2048 exactly,
+    * trading a little end-of-bin slack for zero truncation. Exact BFD per
+    * (lang, [[graft.operators.Packing.ShardDocs]]-doc shard) — the same
+    * shard decomposition idea as the running-sum cut, because a global
+    * sequential best-fit over one language is a single task (see the
+    * operator's scaladoc). Same bin schema as [[packBins]];
+    * `text_pack_waste` is the head-to-head wasted-token comparison.
+    */
+  def packBinsBfd(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+              size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+    graft.operators.Packing.bestFitDecreasing(base,
+        graft.operators.Packing.ShardDocs)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("bin_toks"),
+           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
+  /** Wasted-window-token comparison of the two packing strategies, one
+    * row per (lang, algo). The accounting model is WHOLE-DOC training: a
+    * window slot only counts as used by tokens of documents that sit
+    * entirely inside their 2048-token window; everything else —
+    * end-of-bin slack, and for the sequential cut the tokens of every
+    * straddling document — is wasted capacity. wasted = n_bins·2048 −
+    * packed. For `bfd` every doc fits whole by construction (slack is the
+    * only waste); for `seq` ([[packBins]]' assignment) a doc fits iff its
+    * first-token offset within the window plus its length stays ≤ 2048.
+    * PackBfdSpec pins bfd wasting strictly less than seq per language.
+    */
+  def packWaste(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+              size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+    val w = lit(graft.operators.Packing.Window)
+    val bfd = graft.operators.Packing.bestFitDecreasing(base,
+        graft.operators.Packing.ShardDocs)
+      .groupBy("lang", "bin").agg(sum("n_toks").as("bin_toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_bins"),
+           sum(least(col("bin_toks"), w)).as("packed_toks"))
+      .select(col("lang"), lit("bfd").as("algo"), col("n_bins"),
+        col("packed_toks"),
+        (col("n_bins") * w - col("packed_toks")).as("wasted_toks"))
+    val seq = graft.operators.PrefixSum.runningSumGrouped(base, Seq("lang"),
+        floor(col("doc_id") / lit(PackBucketDocs)), Seq(col("doc_id")),
+        col("n_toks"), "cum")
+      .withColumn("bin", floor((col("cum") - col("n_toks")) / w))
+      .withColumn("fit",
+        ((col("cum") - col("n_toks")) % w + col("n_toks")) <= w)
+      .groupBy("lang")
+      .agg(countDistinct("bin").as("n_bins"),
+           sum(when(col("fit"), col("n_toks")).otherwise(lit(0L))).as("packed_toks"))
+      .select(col("lang"), lit("seq").as("algo"), col("n_bins"),
+        col("packed_toks"),
+        (col("n_bins") * w - col("packed_toks")).as("wasted_toks"))
+    bfd.unionByName(seq).orderBy("lang", "algo")
+  }
+
   /** Repetition signals (the Gopher-rule family): fraction of the doc made
     * of its most-frequent token, of its most-frequent 2-gram, and the
     * distinct-token ratio — the cheap screens that catch boilerplate and
@@ -1157,6 +1220,8 @@ object TextQueries {
     "text_tfidf" -> (tfidf _),
     "text_pack_bins" -> (packBins _),
     "text_pack_bins_bpe" -> (packBinsBpe _),
+    "text_pack_bins_bfd" -> (packBinsBfd _),
+    "text_pack_waste" -> (packWaste _),
     "c12_tokens" -> (c12Tokens _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "c12_lang" -> (c12Lang _),
@@ -1174,6 +1239,56 @@ object TextQueries {
     * can never apply different tokenizers (the factored-chain rule every
     * trained-model oracle here follows).
     */
+  /** The shard-local best-fit-decreasing placement as a RECURSIVE CTE
+    * chain (the dedup_clusters device: bounded recursion standing in for
+    * the engine's iterative operator) ending in
+    * `asg(lang, bin, doc_id, n_toks)`. One recursion step places doc i+1
+    * of its (lang, shard) chain: the carried state is the open-bin load
+    * list, best fit = the largest load still fitting ties-to-lowest-index
+    * (the struct sort on (-load, j)), no fit opens a new bin — the
+    * word-for-word restatement of [[graft.operators.Packing]]'s loop.
+    * Also emits `t` (per-doc token counts), which text_pack_waste reuses
+    * for the sequential-cut side.
+    */
+  private def bfdAsgSql: String = {
+    val w = graft.operators.Packing.Window
+    s"""t AS (
+       |  SELECT lang, doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks,
+       |    CAST(doc_id // ${graft.operators.Packing.ShardDocs} AS BIGINT) AS shard
+       |  FROM documents),
+       |docs AS (
+       |  SELECT lang, shard, doc_id, n_toks,
+       |    CAST(row_number() OVER (PARTITION BY lang, shard
+       |      ORDER BY n_toks DESC, doc_id ASC) AS BIGINT) AS i
+       |  FROM t),
+       |bfd AS (
+       |  SELECT lang, shard, CAST(0 AS BIGINT) AS i,
+       |         CAST([] AS BIGINT[]) AS loads,
+       |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_toks,
+       |         CAST(NULL AS BIGINT) AS bin
+       |  FROM (SELECT DISTINCT lang, shard FROM docs)
+       |  UNION ALL
+       |  SELECT lang, shard, i,
+       |    CASE WHEN bj IS NULL THEN list_append(loads, n_toks)
+       |         ELSE list_transform(range(1, len(loads)+1),
+       |                x -> CASE WHEN x = bj THEN loads[x] + n_toks ELSE loads[x] END)
+       |    END AS loads,
+       |    doc_id, n_toks,
+       |    CASE WHEN bj IS NULL THEN len(loads) ELSE bj - 1 END AS bin
+       |  FROM (
+       |    SELECT d.lang, d.shard, d.i, b.loads, d.doc_id, d.n_toks,
+       |      (list_sort(list_filter(list_transform(range(1, len(b.loads)+1),
+       |          x -> {'negload': -b.loads[x], 'j': x}),
+       |        s -> b.loads[s.j] + d.n_toks <= $w)))[1].j AS bj
+       |    FROM bfd b JOIN docs d ON d.lang = b.lang AND d.shard = b.shard AND d.i = b.i + 1
+       |  )
+       |),
+       |asg AS (
+       |  SELECT lang, shard * ${graft.operators.Packing.ShardDocs} + bin AS bin, doc_id, n_toks
+       |  FROM bfd WHERE i > 0)""".stripMargin
+  }
+
   private def bpeEncodeChainSql: String = {
     val rounds = (1 to 3).map(bpeRoundSql).mkString(",\n")
     s"""tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
@@ -1699,6 +1814,36 @@ object TextQueries {
         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
         |  CAST(max(doc_id) AS BIGINT) AS last_doc
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "text_pack_bins_bfd" ->
+      s"""WITH RECURSIVE $bfdAsgSql
+         |SELECT lang, bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS bin_toks,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(max(doc_id) AS BIGINT) AS last_doc
+         |FROM asg GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "text_pack_waste" ->
+      s"""WITH RECURSIVE $bfdAsgSql,
+         |bfdb AS (SELECT lang, bin, CAST(sum(n_toks) AS BIGINT) AS bin_toks
+         |         FROM asg GROUP BY lang, bin),
+         |bfdw AS (SELECT lang, 'bfd' AS algo,
+         |    CAST(count(*) AS BIGINT) AS n_bins,
+         |    CAST(sum(least(bin_toks, ${graft.operators.Packing.Window})) AS BIGINT) AS packed_toks
+         |  FROM bfdb GROUP BY lang),
+         |c AS (SELECT lang, doc_id, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t),
+         |seqw AS (SELECT lang, 'seq' AS algo,
+         |    CAST(count(DISTINCT (cum - n_toks) // ${graft.operators.Packing.Window}) AS BIGINT) AS n_bins,
+         |    CAST(sum(CASE WHEN (cum - n_toks) % ${graft.operators.Packing.Window} + n_toks
+         |                       <= ${graft.operators.Packing.Window}
+         |                  THEN n_toks ELSE 0 END) AS BIGINT) AS packed_toks
+         |  FROM c GROUP BY lang),
+         |u AS (SELECT * FROM bfdw UNION ALL SELECT * FROM seqw)
+         |SELECT lang, algo, n_bins, packed_toks,
+         |  CAST(n_bins * ${graft.operators.Packing.Window} - packed_toks AS BIGINT) AS wasted_toks
+         |FROM u ORDER BY lang, algo""".stripMargin,
     "text_pack_bins_bpe" ->
       s"""WITH $bpeEncodeChainSql,
          |dl AS (SELECT d.lang, a.doc_id, a.n_bpe AS n_bpe

@@ -94,6 +94,8 @@ class QueriesSpec extends SparkSpec {
     "text_pii_mask" -> 150L,
     "text_tfidf" -> 1500L,
     "text_pack_bins" -> 16L,
+    "text_pack_bins_bfd" -> 16L,
+    "text_pack_waste" -> 10L,
     "text_repetition" -> 500L,
     "text_chunks" -> 806L,
     "profile_orders" -> 6L,
