@@ -428,17 +428,54 @@ object CorpusStream {
       None
     }
 
+  /** Policy-driven state administration attached to the rolling ingest —
+    * the [[graft.operators.StateAdmin]] sweep (bucketed-state compaction
+    * + snapshot-version retention) driven by the stream's own epochs the
+    * way [[AnnMaintenance]] already drives index upkeep. `targets` names
+    * the deployment's bucketed standing tables (dedup bands/tokens, agg
+    * partials, graph edge partials, media bands, BM25 postings — whatever
+    * this stream's probes read); the snapshot root administered is the
+    * one `run` publishes to.
+    */
+  final case class Admin(targets: Seq[graft.operators.StateAdmin.Target],
+                         policy: graft.operators.StateAdmin.Policy =
+                           graft.operators.StateAdmin.Policy())
+
+  /** One administration pass that CANNOT kill the ingest — same advisory
+    * stance as [[maintainQuietly]]: a failed compaction leaves the
+    * un-compacted (slower but correct) state serving and is retried at
+    * the next cadence, never failing the micro-batch.
+    */
+  private[pipeline] def administerQuietly(
+      s: SparkSession, epoch: Long, a: Admin,
+      snapshotRoot: Option[String]): Option[graft.operators.StateAdmin.Report] =
+    try {
+      val r = graft.operators.StateAdmin.administer(
+        s, epoch, a.targets, a.policy, snapshotRoot)
+      r.failed.foreach { case (t, msg) =>
+        System.err.println("[corpus-stream] state administration: compaction " +
+          s"of $t failed (un-compacted state stays serving): $msg")
+      }
+      Some(r)
+    } catch { case e: Throwable =>
+      System.err.println("[corpus-stream] state administration failed " +
+        s"(un-compacted state stays serving; retried next cadence): ${e.getMessage}")
+      None
+    }
+
   /** Attach the rolling ingest to a streaming documents source: every
     * micro-batch advances the head state (epoch = the streaming batchId,
     * which Structured Streaming reuses on replay — exactly what the
     * idempotent transition needs) and republishes the snapshot; with `ann`
     * configured, every `ann.every`-th epoch also runs the ANN-index
     * maintenance pass (audit → retrain-on-breach → transactional
-    * republish) against the stored IVF snapshot.
+    * republish) against the stored IVF snapshot; with `admin` configured,
+    * the [[graft.operators.StateAdmin]] sweep runs on its policy cadence.
     */
   def run(source: DataFrame, cfg: CorpusJob.Config, n: StateNames,
           snapshotRoot: Option[String] = None,
-          ann: Option[AnnMaintenance] = None): StreamingQuery =
+          ann: Option[AnnMaintenance] = None,
+          admin: Option[Admin] = None): StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
@@ -449,6 +486,7 @@ object CorpusStream {
         // per batch so state growth is bounded by data, not by snapshots
         vacuum(s, n)
         ann.foreach(a => if (batchId % a.every == 0) maintainQuietly(s, a))
+        admin.foreach(a => administerQuietly(s, batchId, a, snapshotRoot))
         ()
       }
       .start()
