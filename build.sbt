@@ -35,4 +35,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK-17 GCLocker starvation workaround: parquet/snappy JNI critical
+  // regions under 32 concurrent tasks can starve a tiny allocation into
+  // a spurious "Retried waiting for GCLocker too often" OutOfMemoryError
+  // (observed allocating 3 WORDS with a mostly-empty 24g heap). Raising
+  // the retry budget removes the false OOM; a genuinely full heap still
+  // OOMs exactly as before.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

@@ -68,7 +68,8 @@ object ScaleSmoke {
   }
 
   final case class SkewResult(twoPathSec: Double, plainSec: Double,
-                              twoStraggler: Double, plainStraggler: Double)
+                              twoStraggler: Double, plainStraggler: Double,
+                              twoPathAqeSec: Double)
 
   /** Hot-key-scoped salted join on a PLANTED-skew fixture: 70% of `rows`
     * fact rows land on ONE key. AQE's skew-join split is disabled for the
@@ -145,18 +146,48 @@ object ScaleSmoke {
       } finally {
         spark.sparkContext.removeSparkListener(stats)
         prevConf.foreach { case (k, v) => spark.conf.set(k, v) }
-        skewFact.unpersist(); skewDim.unpersist()
       }
+    // AQE-COMPATIBILITY arm: the measurement above disables AQE's skew
+    // split to expose the planted straggler; production runs with it ON,
+    // so the operator must COMPOSE with spark.sql.adaptive.skewJoin —
+    // the salted leg's exchange is already near-uniform (nothing for AQE
+    // to split), the cold leg may be split further, and neither may
+    // change content or degenerate the plan (no cartesian fallback, no
+    // nested-loop) — double-splitting a salted exchange would show up as
+    // either. Conf was restored above, i.e. this arm runs the session's
+    // production defaults (adaptive on).
+    val (tTwoAqe, nTwoAqe, planAqe) =
+      try {
+        val t0 = System.nanoTime()
+        val joined = graft.operators.Skew.hotScopedJoin(skewFact, skewDim,
+          "k", "dk", hotMinRows = rows / 100L, salts = 64, saltOn = col("rowid"))
+        val q = joined.select(
+            xxhash64(sha2(concat_ws("-", col("rowid"), col("attr"), col("v"),
+              sha2(concat_ws(":", col("rowid"), col("v")), 256)), 256)).as("__h"))
+          .agg(expr("bit_xor(__h)").as("s"), count(lit(1)).as("n"))
+        val r = q.head()
+        val t = (System.nanoTime() - t0) / 1e9
+        (t, (r.getLong(0), r.getLong(1)),
+          q.queryExecution.executedPlan.toString)
+      } finally { skewFact.unpersist(); skewDim.unpersist() }
     require(nTwoPath == nPlainJoin,
       s"two-path salted join changed the output content " +
         s"(xor-of-row-hash, count): $nTwoPath != $nPlainJoin")
+    require(nTwoAqe == nPlainJoin,
+      s"two-path salted join under AQE changed the output content: " +
+        s"$nTwoAqe != $nPlainJoin")
+    require(!planAqe.contains("CartesianProduct") &&
+        !planAqe.contains("BroadcastNestedLoopJoin"),
+      "two-path salted join under AQE degenerated to a cartesian/nested-loop plan")
+    require(tTwoAqe <= math.max(tTwoPath, tPlainJoin) * 2.0,
+      f"two-path salted join under AQE blew up: $tTwoAqe%.1fs vs AQE-off $tTwoPath%.1fs")
     require(plainStraggler >= 4.0,
       f"planted skew did not bite (plain-join straggler $plainStraggler%.1fx) — the pin is vacuous")
     require(twoStraggler <= 4.0,
       f"two-path salted join still straggles: worst task $twoStraggler%.1fx its stage median")
     require(tTwoPath <= tPlainJoin * 1.5,
       f"two-path salted join lost wall-time parity: $tTwoPath%.1fs vs plain $tPlainJoin%.1fs")
-    SkewResult(tTwoPath, tPlainJoin, twoStraggler, plainStraggler)
+    SkewResult(tTwoPath, tPlainJoin, twoStraggler, plainStraggler, tTwoAqe)
   }
 
   /** N disjoint-vocabulary replicas of a documents frame. */
@@ -537,8 +568,8 @@ object ScaleSmoke {
       s"corpus funnel broken at 10x: $funnel")
 
     val skewRows = nDocs * 100L
-    val SkewResult(tTwoPath, tPlainJoin, twoStraggler, plainStraggler) =
-      measureSkew(spark, skewRows)
+    val SkewResult(tTwoPath, tPlainJoin, twoStraggler, plainStraggler,
+                   tTwoAqe) = measureSkew(spark, skewRows)
 
     val total = tPairs + tClusters + tNgram + tContain + tSpans + tSpansMin +
       tHeavy + tGraph + tBigram + tPrefix + tTri + tCdc + tPhash + tBpe +
@@ -553,7 +584,7 @@ object ScaleSmoke {
         f"graph-state $tGstBuild%.1f/$tGstRank%.1f + corpus $tCorpus%.1f > ${budgetSec}s")
 
     val json =
-      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"skew_two_path_sec":$tTwoPath%.2f,"skew_plain_sec":$tPlainJoin%.2f,"skew_straggler_two":$twoStraggler%.2f,"skew_straggler_plain":$plainStraggler%.2f,"skew_rows":$skewRows,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"bpe_sec":$tBpe%.2f,"bpe_types":$types10,"clf_sec":$tClf%.2f,"pack_sec":$tPack%.2f,"merge_sec":$tMerge%.2f,"rebuild_sec":$tRebuild%.2f,"compact_sec":$tCompact%.2f,"compact_files_before":$filesBefore,"compact_files_after":$filesAfter,"graph_state_build_sec":$tGstBuild%.2f,"graph_state_rank_sec":$tGstRank%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.diverseKept},"span_cut_docs":${funnel.spanCutDocs},"fuzzy_kept":${funnel.fuzzyKept},"budget_kept":${funnel.budgetKept},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
+      f"""{"metric":"scale_smoke","base":"$base","copies":$copies,"docs":$nDocs,"skew_two_path_sec":$tTwoPath%.2f,"skew_plain_sec":$tPlainJoin%.2f,"skew_straggler_two":$twoStraggler%.2f,"skew_straggler_plain":$plainStraggler%.2f,"skew_two_path_aqe_sec":$tTwoAqe%.2f,"skew_rows":$skewRows,"pairs_sec":$tPairs%.2f,"clusters_sec":$tClusters%.2f,"ngram_sec":$tNgram%.2f,"containment_sec":$tContain%.2f,"spans_sec":$tSpans%.2f,"spans_min_sec":$tSpansMin%.2f,"heavy_sec":$tHeavy%.2f,"graph_sec":$tGraph%.2f,"bigram_sec":$tBigram%.2f,"prefix_sec":$tPrefix%.2f,"triangles_sec":$tTri%.2f,"cdc_sec":$tCdc%.2f,"phash_sec":$tPhash%.2f,"bpe_sec":$tBpe%.2f,"bpe_types":$types10,"clf_sec":$tClf%.2f,"pack_sec":$tPack%.2f,"merge_sec":$tMerge%.2f,"rebuild_sec":$tRebuild%.2f,"compact_sec":$tCompact%.2f,"compact_files_before":$filesBefore,"compact_files_after":$filesAfter,"graph_state_build_sec":$tGstBuild%.2f,"graph_state_rank_sec":$tGstRank%.2f,"corpus_sec":$tCorpus%.2f,"corpus_kept":${funnel.diverseKept},"span_cut_docs":${funnel.spanCutDocs},"fuzzy_kept":${funnel.fuzzyKept},"budget_kept":${funnel.budgetKept},"mix_kept":${funnel.mixKept},"n_bins":${funnel.nBins},"pairs":$nPairs,"clusters":$nClusters,"ngram":$nNgram,"containment":$nContain,"spans":$nSpans,"spans_min":$nSpansMin,"heavy":$nHeavy,"graph":$nGraph,"bigram":$nBigram,"prefix":$nPrefix,"triangles":$nTri,"cdc":$nCdc,"phash":$nPhash,"budget_sec":$budgetSec}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
