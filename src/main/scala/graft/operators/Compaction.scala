@@ -81,6 +81,32 @@ object Compaction {
   def fileCount(s: SparkSession, table: String): Long =
     s.table(table).select(input_file_name()).distinct().count()
 
+  /** [[fileCount]] by filesystem METADATA listing of the table location —
+    * no Spark job, no table scan. The [[StateAdmin]] ceiling check runs
+    * on every administration call (per epoch on the stream's commit
+    * path); pricing it as a full-table `input_file_name()` scan per
+    * target per epoch is exactly the hidden-recurring-scan shape this
+    * engine avoids, while a recursive listing is one namenode/object-
+    * store round-trip per table. Counts non-hidden data files (skips
+    * `_SUCCESS` and dot-files); agrees with [[fileCount]] whenever every
+    * data file holds rows — always true for these append-only bucketed
+    * writers — and an empty-file discrepancy only ever OVER-counts,
+    * which for a compaction trigger errs safe.
+    */
+  def fileCountMeta(s: SparkSession, table: String): Long = {
+    val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+    val it = fs.listFiles(loc, true)
+    var n = 0L
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
   /** Row count + order-independent content hash in one pass: decimal(38,0)
     * sum of per-row xxhash64 over all columns — partitioning- and
     * order-insensitive, overflow-free to ~10^19 rows (|xxhash64| ≤ 2^63).

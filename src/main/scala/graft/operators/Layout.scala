@@ -109,13 +109,23 @@ object Layout {
     * groups (bytes to the driver), and the data still moves through a
     * single full exchange — same shuffle volume as the range version,
     * minus its sampling job, plus run-to-run reproducible file boxes.
+    *
+    * NULL dimensions: a row with a NULL in any layout column has no place
+    * on the curve (`scaled(null)` is null, so the interleave is null);
+    * such rows are routed to cell 0 — i.e. the first file — rather than
+    * crashing the histogram (a null group key) or being dropped. Parquet
+    * footer min/max stats skip nulls, so the null dimension contributes
+    * nothing to file 0's bounding box and pruning on the other dimensions
+    * is unaffected; `boundsN` still rejects an ALL-null column, where no
+    * layout is definable at all.
     */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
                     numFiles: Int, bits: Int = Bits): Unit = {
     require(numFiles > 0, "writeZOrdered needs numFiles > 0")
     val b = boundsN(df, cols)
-    val zdf = df.withColumn("__z", zvalue(
-      cols.zip(b).map { case (c, (lo, hi)) => scaled(col(c), lo, hi) }, bits))
+    val zdf = df.withColumn("__z", coalesce(zvalue(
+      cols.zip(b).map { case (c, (lo, hi)) => scaled(col(c), lo, hi) }, bits),
+      lit(0L)))
 
     // 1. exact coarse histogram: z lives in [0, 2^(n*bits)); shave bits
     //    until at most 4096 cells remain.

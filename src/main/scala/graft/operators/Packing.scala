@@ -35,8 +35,13 @@ import org.apache.spark.sql.functions._
   *    one with the LARGEST load, ties to the lowest bin index;
   *  - no bin fits (including docs longer than the window, which then
   *    overflow their own bin) → open a new bin;
-  *  - global bin id = shard · shardDocs + local open order (collision
-  *    free: a shard holds ≤ shardDocs docs, so ≤ shardDocs bins).
+  *  - bin id = shard · shardDocs + local open order — unique only WITHIN
+  *    a language (a shard holds ≤ shardDocs docs, so ≤ shardDocs bins,
+  *    and shard ranges never collide; but two languages sharing a doc_id
+  *    shard reuse the same ids). A bin is therefore keyed by
+  *    `(lang, bin)` — as [[packBinsBfd]]'s output schema and the oracle
+  *    both do — never by `bin` alone; mix the language into the high bits
+  *    if a standalone global id is ever needed.
   */
 object Packing {
 

@@ -84,7 +84,9 @@ object StateAdmin {
     val present = targets.filter(t => s.catalog.tableExists(t.table))
     val outcomes = present.flatMap { t =>
       try {
-        val files = Compaction.fileCount(s, t.table)
+        // metadata listing, not a table scan: this check runs per epoch
+        // per target on the stream's commit path
+        val files = Compaction.fileCountMeta(s, t.table)
         val due = cadenceDue || files > policy.maxFilesPerTable
         // already at one file per bucket: a rewrite buys nothing
         if (due && files > t.buckets)

@@ -168,8 +168,12 @@ object CorpusJob {
     executeWith(spark, cfg, new StageStore(spark, cfg.resumeDir,
       // seed = path + CONTENT fingerprint: a sealed resume dir must be
       // invalidated when the data at the same path changes between runs
-      // (append/rewrite/compaction), not only when the path string does
-      cfg.input + "|" + StageStore.contentFingerprint(spark, cfg.input)))
+      // (append/rewrite/compaction), not only when the path string does.
+      // Priced only when resumable: with no resume dir the store never
+      // reads the seed, so a plain batch run must not pay the recursive
+      // input listing the fingerprint costs.
+      if (cfg.resumeDir.isEmpty) ""
+      else cfg.input + "|" + StageStore.contentFingerprint(spark, cfg.input)))
 
   /** [[execute]] with a caller-owned [[StageStore]] — the seam the resume
     * spec uses to count sealed-stage hits across re-runs.

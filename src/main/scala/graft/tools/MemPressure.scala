@@ -115,7 +115,10 @@ object MemPressure {
     // fold the evidence into scale_smoke.json's object when present
     val smoke = java.nio.file.Paths.get("scale_smoke.json")
     if (java.nio.file.Files.exists(smoke)) {
-      val cur = new String(java.nio.file.Files.readAllBytes(smoke), "UTF-8").trim
+      val raw = new String(java.nio.file.Files.readAllBytes(smoke), "UTF-8").trim
+      // idempotent merge: strip any mem_* keys a previous run appended so
+      // re-running never produces duplicate JSON keys in the artifact
+      val cur = raw.replaceAll(""","mem_[A-Za-z0-9_]+":[^,}]+""", "")
       if (cur.endsWith("}")) {
         val merged = cur.dropRight(1) +
           f""","mem_heap_mb":$heapMb,"mem_spill_mem_bytes":$spillMem,"mem_spill_disk_bytes":$spillDisk,"mem_clusters_sec":$tClusters%.2f,"mem_state_build_sec":$tBuild%.2f,"mem_merge_sec":$tMerge%.2f,"mem_ivf_sec":$tIvf%.2f}"""

@@ -285,6 +285,30 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("rows with a NULL layout dimension land in file 0 — never crash, never drop") {
+    val df = Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 10L, "a"), (2L, 20L, "b"), (null, 30L, "c"),
+      (4L, null, "d"), (4000L, 4000L, "e"), (null, null, "f")
+    ).toDF("a", "b", "tag")
+    val path = tmp("layout_nulls")
+    Layout.writeZOrdered(df, "a", "b", path, 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 6L)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // the null-dim rows share file 0 with the lowest z cell, by contract
+    val fileOfNull = back.filter($"tag" === "c")
+      .select(input_file_name()).head().getString(0)
+    val fileOfLowest = back.filter($"tag" === "a")
+      .select(input_file_name()).head().getString(0)
+    assert(fileOfNull === fileOfLowest)
+    // an ALL-null dimension still has no definable layout: loud reject
+    intercept[IllegalArgumentException] {
+      Layout.writeZOrdered(
+        Seq[(java.lang.Long, java.lang.Long)]((1L, null), (2L, null))
+          .toDF("a", "b"), "a", "b", tmp("layout_allnull"), 2)
+    }
+  }
+
   private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
 
   private def tmp(name: String): String = {

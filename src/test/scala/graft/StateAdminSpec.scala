@@ -47,6 +47,9 @@ class StateAdminSpec extends SparkSpec {
     val n = grownState("graft_admin_a", epochs = 3)
     val before = Compaction.fileCount(spark, n.bands)
     assert(before > Buckets, s"fixture grew only $before files — merges not appending?")
+    // the ceiling check's metadata listing agrees with the scan-based
+    // count on these append-only writers (no empty data files)
+    assert(Compaction.fileCountMeta(spark, n.bands) === before)
     val probeBefore = DedupState.bands(spark, n).collect().map(_.toSeq.mkString("|")).toSeq.sorted
     val r = StateAdmin.administer(spark, epoch = 8, targets(n),
       StateAdmin.Policy(everyEpochs = 8, maxFilesPerTable = 1000))
