@@ -101,6 +101,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("bitset_intersect"),
       info("bitset_intersect", classOf[graft.functions.BitsetIntersectCount]),
       graft.functions.BitsetFunctions.intersectBuilder))
+    e.injectFunction((FunctionIdentifier("graft_in_set"),
+      info("graft_in_set", classOf[graft.functions.InLiteralSet]),
+      graft.functions.SetMembership.inLiteralSetBuilder))
     e.injectFunction((FunctionIdentifier("winnow_spans"),
       info("winnow_spans", classOf[graft.functions.WinnowSpans]),
       graft.functions.WinnowFunctions.winnowBuilder))

@@ -479,19 +479,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
-  test("c24: salted path joins on the widened key; cold path un-replicated") {
+  test("c24: ONE salted join on the widened key; census stays out of the plan") {
     val plan = finalPlan(JoinQueries.saltedJoin(spark, sf()))
-    // the whole point: the HOT path's shuffle key carries the salt, so a
-    // hot orderkey spreads across S partitions...
+    // the whole point: the shuffle key carries the salt, so a hot
+    // orderkey spreads across S partitions (cold keys ride salt 0)...
     assert("SortMergeJoin \\[l_orderkey#\\d+L?, __salt#\\d+L?\\]".r
       .findFirstIn(plan).isDefined, plan)
-    // ...while the COLD path joins on the bare key with no replication:
-    // exactly ONE explode exists in the whole plan (the hot dim slice)
-    assert("SortMergeJoin \\[l_orderkey#\\d+L?\\], \\[o_orderkey#\\d+L?\\]".r
-      .findFirstIn(plan).isDefined, plan)
+    // ...and the round-12 job diet holds: ONE join total, one explode
+    // (the conditional ×S/×1 dim replication), each side scanned once,
+    // and — on the fixture's ≤ InlineHotKeys census — no membership
+    // joins and no census aggregate anywhere in the plan
+    assert("SortMergeJoin".r.findAllIn(plan).size === 1, plan)
     assert("Generate explode".r.findAllIn(plan).size === 1, plan)
-    // the only broadcasts are the tiny hot-key census probes
-    assert("BroadcastHashJoin".r.findAllIn(plan).size <= 3, plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("HashAggregate [l_orderkey"), plan)
+  }
+
+  test("ad-hoc IVF family probes the persisted index: no corpus exchange, no rebuild") {
+    for ((name, df) <- Seq(
+        "sim_ivf_ann" -> SimilarityQueries.ivfAnn(spark, sf()),
+        "sim_ivf_filtered" -> SimilarityQueries.ivfFiltered(spark, sf()),
+        "sim_ivf_probe2" -> SimilarityQueries.ivfProbe2(spark, sf()))) {
+      val plan = finalPlan(df)
+      // the postings come from the persisted snapshot, not an in-plan
+      // assignment (round-11 weak #1: an ad-hoc ANN query must probe,
+      // never build)
+      assert(plan.contains("graft_ivf_full"), s"$name reads no stored index:\n$plan")
+      // the probe side broadcasts; the corpus postings never repartition
+      assert(!"Exchange hashpartitioning\\(cell#\\d+L".r.findFirstIn(plan).isDefined,
+        s"$name shuffles the corpus postings:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name: $plan")
+    }
+    // the PQ pair additionally reads its persisted code postings
+    for ((name, tbl, df) <- Seq(
+        ("sim_ivfpq_ann", "graft_pq_codes", SimilarityQueries.ivfPqAnn(spark, sf())),
+        ("sim_ivfpq_residual", "graft_pq_rescodes", SimilarityQueries.ivfPqResidual(spark, sf())))) {
+      val plan = finalPlan(df)
+      assert(plan.contains(tbl), s"$name reads no stored codes:\n$plan")
+      assert(!"Exchange hashpartitioning\\(cell#\\d+L".r.findFirstIn(plan).isDefined,
+        s"$name shuffles the code postings:\n$plan")
+    }
   }
 
   test("sim_sparse_topk: inverted-index join, no doc-level cross join") {
