@@ -165,7 +165,7 @@ object Bench {
     // THIS run's medians over exactly the queries the comparator completed
     // ("status":"ok") against the comparator's total — same queries, same
     // data, one number the perf gate can read straight off the artifact
-    val duckPath = sys.env.getOrElse("SPARK_GRAFT_DUCK_JSON", "DUCK_r11.json")
+    val duckPath = sys.env.getOrElse("SPARK_GRAFT_DUCK_JSON", "DUCK_r12.json")
     val duck: Option[(Double, Map[String, Double])] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(

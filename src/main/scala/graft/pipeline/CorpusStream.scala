@@ -475,8 +475,18 @@ object CorpusStream {
   def run(source: DataFrame, cfg: CorpusJob.Config, n: StateNames,
           snapshotRoot: Option[String] = None,
           ann: Option[AnnMaintenance] = None,
-          admin: Option[Admin] = None): StreamingQuery =
-    source.writeStream
+          admin: Option[Admin] = None,
+          checkpointDir: Option[String] = None): StreamingQuery = {
+    val sink = source.writeStream
+    // a DURABLE checkpoint makes the stream restartable: a new run() over
+    // the same source + state names resumes from the last committed
+    // offset and REPLAYS any in-flight epoch with the same batchId —
+    // which is exactly the replay the epoch-keyed transition absorbs
+    // idempotently (StreamChaosSpec pins it through a real executor
+    // SIGKILL + restart). Without it Structured Streaming uses a temp
+    // checkpoint and a restart would re-deliver from scratch.
+    checkpointDir.foreach(d => sink.option("checkpointLocation", d))
+    sink
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         ingest(s, batch, n, batchId)
@@ -490,6 +500,7 @@ object CorpusStream {
         ()
       }
       .start()
+  }
 
   /** spark-submit entry — the rolling-ingest sibling of [[CorpusJob.main]]:
     * `--input` names a LANDING directory watched as a parquet file stream
@@ -515,6 +526,10 @@ object CorpusStream {
     // explicit migration entry point: upgrade pre-round-9 meta state once,
     // at startup, before any read path can trip over the legacy schema
     migrateLegacyMeta(spark, n)
-    run(source, cfg, n).awaitTermination()
+    // durable checkpoint next to the output: a restarted submit resumes
+    // from the last committed offset instead of re-delivering the corpus
+    run(source, cfg, n,
+        checkpointDir = Some(cfg.out.stripSuffix("/") + "__checkpoint"))
+      .awaitTermination()
   }
 }

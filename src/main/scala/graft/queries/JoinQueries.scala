@@ -220,18 +220,28 @@ object JoinQueries {
     * hot set bigger than an IN-list is a repartition problem, not a salt
     * problem.
     */
+  /** Census sizes a driver will SERVE as a literal set. Above it the
+    * join recomputes the census in-plan as a broadcast relation
+    * ([[graft.operators.Skew.hotScopedJoin]]) — a "hot" set this large
+    * is no longer a handful of viral keys but a structural fraction of
+    * the key space (the fixture's absolute threshold marks ~43% of
+    * orders hot, so a 10× replica crosses any driver-side bound), and a
+    * megabyte-scale literal in every task binary is worse than one
+    * broadcast. Both forms are row-identical.
+    */
+  private val MaxServedHotKeys = 65536
+
   private val hotKeyCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[Long]]()
-  private def hotOrderKeys(s: SparkSession, d: String): Seq[Long] =
+    (SparkSession, String), Option[Seq[Long]]]()
+  private def hotOrderKeys(s: SparkSession, d: String): Option[Seq[Long]] =
     hotKeyCache.computeIfAbsent((s, d), _ => {
-      val ks = Tables.lineitem(s, d)
+      // count first: never collect an over-bound census to the driver
+      val census = Tables.lineitem(s, d)
         .groupBy("l_orderkey").agg(count(lit(1)).as("__f"))
         .filter(col("__f") >= HotKeyMinRows)
-        .select("l_orderkey").collect().map(_.getLong(0)).sorted.toSeq
-      require(ks.size <= 65536,
-        s"${ks.size} hot keys at threshold $HotKeyMinRows — too many to " +
-          "inline as literals; raise the threshold or repartition instead")
-      ks
+      if (census.limit(MaxServedHotKeys + 1).count() > MaxServedHotKeys) None
+      else Some(census.select("l_orderkey")
+        .collect().map(_.getLong(0)).sorted.toSeq)
     })
 
   def saltedJoin(s: SparkSession, d: String): DataFrame = {
@@ -239,9 +249,12 @@ object JoinQueries {
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
               col("l_linenumber"))
     val ords = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
-    graft.operators.Skew.hotScopedJoinWithKeys(li, ords, "l_orderkey",
-        "o_orderkey", hotOrderKeys(s, d), salts = SaltS,
-        saltOn = col("l_linenumber"))
+    hotOrderKeys(s, d).fold(
+        graft.operators.Skew.hotScopedJoin(li, ords, "l_orderkey",
+          "o_orderkey", hotMinRows = HotKeyMinRows, salts = SaltS,
+          saltOn = col("l_linenumber")))(keys =>
+        graft.operators.Skew.hotScopedJoinWithKeys(li, ords, "l_orderkey",
+          "o_orderkey", keys, salts = SaltS, saltOn = col("l_linenumber")))
       .select("o_orderpriority", "l_extendedprice", "l_discount")
       .groupBy("o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)

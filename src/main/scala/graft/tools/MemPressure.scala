@@ -110,11 +110,17 @@ object MemPressure {
 
     val json =
       f"""{"metric":"mem_pressure","dir":"$dir","heap_mb":$heapMb,"spill_mem_bytes":$spillMem,"spill_disk_bytes":$spillDisk,"peak_exec_mem_bytes":${listener.peakExecMem.get()},"clusters_sec":$tClusters%.2f,"clusters":$nClusters,"state_build_sec":$tBuild%.2f,"merge_sec":$tMerge%.2f,"ivf_sec":$tIvf%.2f,"ivf_rows":$nIvf}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("mem_pressure.json"),
+    // SPARK_GRAFT_MEM_OUT redirects the artifact — the N× scale ladder
+    // (10× vs 30× under the same executor shape) runs this probe once per
+    // replica dir with distinct outputs and adjudicates the ratios
+    val outName = sys.env.getOrElse("SPARK_GRAFT_MEM_OUT", "mem_pressure.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       (json + "\n").getBytes("UTF-8"))
-    // fold the evidence into scale_smoke.json's object when present
+    // fold the evidence into scale_smoke.json's object when present —
+    // only for the DEFAULT (10×) artifact; a ladder run must not
+    // overwrite the smoke's mem_* keys with another scale's numbers
     val smoke = java.nio.file.Paths.get("scale_smoke.json")
-    if (java.nio.file.Files.exists(smoke)) {
+    if (outName == "mem_pressure.json" && java.nio.file.Files.exists(smoke)) {
       val raw = new String(java.nio.file.Files.readAllBytes(smoke), "UTF-8").trim
       // idempotent merge: strip any mem_* keys a previous run appended so
       // re-running never produces duplicate JSON keys in the artifact
