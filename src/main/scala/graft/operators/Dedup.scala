@@ -288,8 +288,20 @@ object Dedup {
     *   large vocabularies (target ~10^5–10^6 tokens per bucket).
     */
   def bitsetPairStats(cand: DataFrame, tokenRows: DataFrame, idCol: String,
-                      idBuckets: Int = 1 << 10): DataFrame =
-    bitsetPairStatsFromMasks(cand, tokenMasks(tokenRows, idCol, idBuckets), idCol)
+                      idBuckets: Int = 1 << 10): DataFrame = {
+    // The mask table is probed TWICE (a-side and b-side of the candidate
+    // join). Left lazy, self-join deduplication hands the two probes
+    // different expression ids, the canonical plans stop matching, and
+    // exchange reuse no longer collapses them — the entire vocab-numbering
+    // + bitset aggregation ran once PER SIDE (measured at sf0.1 as twin
+    // concurrent ~1.2 s stage chains inside every incremental verify).
+    // Materialize the masks once — "build the index once, probe it per
+    // side" — hash-spread on the id so the probe stage inherits core-count
+    // parallelism (r12; guide §2.4 "share one exchange").
+    val masks = Materialize.shared(
+      tokenMasks(tokenRows, idCol, idBuckets), col(idCol))
+    bitsetPairStatsFromMasks(cand, masks, idCol)
+  }
 
   /** The per-id bitset masks [[bitsetPairStats]] probes: `(id, mm, sz)`
     * where `mm` maps 64-bit word index → mask over a dense numbering of
@@ -478,12 +490,22 @@ object Dedup {
         .filter(col("src") =!= col("dst")),
       lit(true), Seq("src", "dst"))
     var g = g0
-    var labels = Materialize.frame(
-      nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
+    // labels stay a LAZY chain of left-outer joins against each round's
+    // CHECKPOINTED min-map (r12 job diet): nothing ever re-executes — every
+    // m_i below is materialized and the chain is at most maxIter joins deep
+    // — and the per-round labels materialization (a full blocking
+    // scheduler round-trip on a real cluster, formerly hidden behind a
+    // concurrent Future) disappears; the chain runs once, inside the
+    // consumer's action.
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
     var i = 0
     var done = e0 == 0L
     while (!done && i < maxIter) {
-      var m = Materialize.frame(neighbourMin(g))
+      // the neighbour-min map starts LAZY (r12): its groupBy exchange is
+      // reused across the squarings' self-joins (same canonical subplan),
+      // so folding it into the first pointer-jump checkpoint saves one
+      // blocking job per round without recomputing anything
+      var m = neighbourMin(g)
       // pointer jumping on the map alone: squaring halves the forest depth
       // per pass, each pass a self-join of the node-sized (never
       // edge-sized) frame; dense graphs stabilize after one pass
@@ -510,38 +532,25 @@ object Dedup {
         m = m2
         j += 1
       }
-      // label relabel and edge remap both depend only on (m, labels, g) —
-      // materialize them CONCURRENTLY (Spark job submission is
-      // thread-safe), collapsing two serial blocking jobs per round into
-      // one wall-clock latency; on a real cluster that is a full
-      // job-submission round-trip saved per CC round
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
+      // relabel LAZILY against the checkpointed m (no job — see the labels
+      // note above); the edge remap stays this round's one blocking job:
+      // canonicalize (least, greatest) so the distinct() collapses both
+      // orientations of a contracted edge, with the edge count riding the
+      // checkpoint job itself
       val prevLabels = labels
-      val fLabels = Future {
-        Materialize.frame(
-          prevLabels.join(m, prevLabels("comp") === m("__mid"), "left_outer")
-            .select(col("id"), coalesce(col("__mv"), col("comp")).as("comp")))
-      }
-      // remap the undirected list; canonicalize (least, greatest) so the
-      // distinct() collapses both orientations of a contracted edge; the
-      // edge count rides the checkpoint job, so the old g.isEmpty probe
-      // job disappears too
-      val fG = Future {
-        checkpointCounting(
-          g.join(m.select(col("__mid").as("__sid"), col("__mv").as("__sv")),
-                 col("src") === col("__sid"))
-            .join(m.select(col("__mid").as("__did"), col("__mv").as("__dv")),
-                  col("dst") === col("__did"))
-            .select(least(col("__sv"), col("__dv")).as("src"),
-                    greatest(col("__sv"), col("__dv")).as("dst"))
-            .filter(col("src") =!= col("dst"))
-            .distinct(),
-          lit(true), Seq("src", "dst"))
-      }
-      labels = Await.result(fLabels, Duration.Inf)
-      val (g2, nEdges) = Await.result(fG, Duration.Inf)
+      labels = prevLabels
+        .join(m, prevLabels("comp") === m("__mid"), "left_outer")
+        .select(col("id"), coalesce(col("__mv"), col("comp")).as("comp"))
+      val (g2, nEdges) = checkpointCounting(
+        g.join(m.select(col("__mid").as("__sid"), col("__mv").as("__sv")),
+               col("src") === col("__sid"))
+          .join(m.select(col("__mid").as("__did"), col("__mv").as("__dv")),
+                col("dst") === col("__did"))
+          .select(least(col("__sv"), col("__dv")).as("src"),
+                  greatest(col("__sv"), col("__dv")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct(),
+        lit(true), Seq("src", "dst"))
       g = g2
       done = nEdges == 0L
       i += 1

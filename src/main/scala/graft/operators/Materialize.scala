@@ -66,4 +66,26 @@ object Materialize {
   }
 
   private val lastDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Materialize a SHARED frame (memoized corpus state, multi-consumer
+    * candidate sets) hash-distributed on `key` across the session's core
+    * count before checkpointing.
+    *
+    * Why (r12, guide §2.5/§6): AQE coalesces shuffle partitions by BYTES,
+    * and several graft frames are compute-dense on tiny bytes — token
+    * arrays feeding band joins, bitmask maps feeding popcount verifies —
+    * so at bench scale the final stage of a memo build lands in 1-2
+    * partitions and EVERY downstream consumer inherits 2-way parallelism
+    * on a 32-core session (measured: an 11.6 s 2-task verify stage inside
+    * dedup_incremental at sf0.1). A checkpointed frame's partitioning is
+    * frozen (no exchange below it for AQE to re-split), so balance is
+    * established once, at build time, with one hash exchange on the frame's
+    * natural key — the same layout a production deployment gets from
+    * bucketing its stored state tables on that key. Row content identical;
+    * only the physical distribution changes.
+    */
+  def shared(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    frame(df.repartition(p, key))
+  }
 }

@@ -214,7 +214,12 @@ object DedupQueries {
               TextAnalysis.tokens(col("text")).as("toks"))
     if (!share(s)) build()
     else {
-      memo(tokFrameCache, (s, d), () => build().localCheckpoint(true),
+      // Materialize.shared: hash-distribute on doc_id across the core count
+      // before checkpointing — a memo frame's partitioning is frozen, and
+      // AQE's byte-based coalescing otherwise leaves this compute-dense
+      // frame 1-2 partitions wide for every downstream consumer (r12)
+      memo(tokFrameCache, (s, d),
+           () => graft.operators.Materialize.shared(build(), col("doc_id")),
            tokMemoHits, tokMemoMisses)
     }
   }
@@ -263,10 +268,10 @@ object DedupQueries {
 
   private[queries] def corpusShingleMasks(s: SparkSession, d: String): DataFrame = {
     memo(maskCache, (s, d), hits = maskMemoHits, misses = maskMemoMisses,
-      make = () =>
-      Dedup.tokenMasks(
-        shingleFrame(s, d).select(col("doc_id"), explode(col("sh")).as("token")),
-        "doc_id").localCheckpoint(true))
+      make = () => graft.operators.Materialize.shared(
+        Dedup.tokenMasks(
+          shingleFrame(s, d).select(col("doc_id"), explode(col("sh")).as("token")),
+          "doc_id"), col("doc_id")))
   }
 
   /** Candidate-pair stats over the corpus 3-gram shingles: the per-query
@@ -282,9 +287,13 @@ object DedupQueries {
   private def tokensAndBands(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     def build(checkpoint: Boolean): (DataFrame, DataFrame) = {
       val toks = Dedup.distinctTokenRows(Tables.documents(s, d), "doc_id", "text")
-      val kept = if (checkpoint) toks.localCheckpoint(true) else toks
+      val kept =
+        if (checkpoint) graft.operators.Materialize.shared(toks, col("doc_id"))
+        else toks
       val bands = Dedup.minhashBands(Dedup.minhashSignatures(kept, "doc_id", K), "doc_id", K, R)
-      (kept, if (checkpoint) bands.localCheckpoint(true) else bands)
+      (kept,
+       if (checkpoint) graft.operators.Materialize.shared(bands, col("doc_id"))
+       else bands)
     }
     if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build(false)
     else memo(bandsCache, (s, d), () => build(true))
@@ -324,7 +333,8 @@ object DedupQueries {
     def build(): DataFrame = Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text")
     if (!share(s)) build()
     else {
-      memo(cdcFrameCache, (s, d), () => build().localCheckpoint(true),
+      memo(cdcFrameCache, (s, d),
+           () => graft.operators.Materialize.shared(build(), col("doc_id")),
            cdcMemoHits, cdcMemoMisses)
     }
   }
@@ -339,7 +349,8 @@ object DedupQueries {
     if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build()
     else {
       val before = pairMemoMisses.get
-      val v = memo(pairCache, (s, d), () => build().localCheckpoint(true),
+      val v = memo(pairCache, (s, d),
+                   () => graft.operators.Materialize.shared(build(), col("a")),
                    pairMemoHits, pairMemoMisses)
       System.err.println(s"[graft] minhashPairsRaw memo " +
         s"${if (pairMemoMisses.get == before) "hit" else "miss"} for $d")
@@ -479,7 +490,8 @@ object DedupQueries {
     def build(): DataFrame = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
     if (!share(s)) build()
     else {
-      memo(simCache, (s, d), () => build().localCheckpoint(true),
+      memo(simCache, (s, d),
+           () => graft.operators.Materialize.shared(build(), col("doc_id")),
            simMemoHits, simMemoMisses)
     }
   }
@@ -524,7 +536,9 @@ object DedupQueries {
         col("x.doc_id") < col("y.doc_id") &&
         abs(col("x.n_chars") - col("y.n_chars")) <= 5)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .localCheckpoint(true) // read 3x: both verify joins + participant set
+      // read 3x: both verify joins + participant set; hash-spread on `a`
+      // so the verify probe inherits core-count parallelism (r12)
+      .transform(df => graft.operators.Materialize.shared(df, col("a")))
     // masks/vocabulary only for candidate PARTICIPANTS (same semi-join
     // prune as containment/prefixPairs): the verify cost tracks the
     // candidate set, not the corpus — jaccard depends only on each
@@ -778,8 +792,10 @@ object DedupQueries {
   def incrementalStored(s: SparkSession, d: String): DataFrame = {
     val st = corpusState(s, d)
     // candidate pairs are consumed twice (participant set + verify join);
-    // the frame is candidate-sized, so checkpoint rather than re-probe
-    val cand = storedCandidateJoin(s, d, st).localCheckpoint(true)
+    // the frame is candidate-sized, so checkpoint rather than re-probe —
+    // hash-spread on `a` for the verify probe's parallelism (r12)
+    val cand = graft.operators.Materialize.shared(
+      storedCandidateJoin(s, d, st), col("a"))
     val parts = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
     val newToks = newBatchToks(s, d)
@@ -918,7 +934,8 @@ object DedupQueries {
   private def storedVerifiedEdges(s: SparkSession, d: String): DataFrame = {
     def build(): DataFrame = stateVerifiedEdges(s, fullCorpusState(s, d))
     if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build()
-    else memo(storedEdgesCache, (s, d), () => build().localCheckpoint(true))
+    else memo(storedEdgesCache, (s, d),
+              () => graft.operators.Materialize.shared(build(), col("a")))
   }
 
   /** Verified near-dup edges read entirely off a persisted state `n` —
@@ -927,9 +944,10 @@ object DedupQueries {
     */
   private[graft] def stateVerifiedEdges(s: SparkSession, n: DedupState.Names): DataFrame = {
     // candidate pairs feed both the participant set and the verify join;
-    // candidate-sized, so checkpoint rather than re-probe the state
-    val cand = Dedup.lshSelfCandidatePairsLong(
-      DedupState.bands(s, n), "doc_id", K / R).localCheckpoint(true)
+    // candidate-sized, so checkpoint rather than re-probe the state —
+    // hash-spread on `a` for the verify probe's parallelism (r12)
+    val cand = graft.operators.Materialize.shared(Dedup.lshSelfCandidatePairsLong(
+      DedupState.bands(s, n), "doc_id", K / R), col("a"))
     val parts = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
     val toks = DedupState.toks(s, n).join(parts, Seq("doc_id"), "left_semi")
@@ -962,15 +980,17 @@ object DedupQueries {
     */
   private[graft] def mergeEpoch(s: SparkSession, batch: DataFrame,
                                 n: DedupState.Names, buckets: Int = 16): Unit = {
-    val toks = Dedup.distinctTokenRows(batch, "doc_id", "text").localCheckpoint(true)
-    val longB = Dedup.longBands(
+    val toks = graft.operators.Materialize.shared(
+      Dedup.distinctTokenRows(batch, "doc_id", "text"), col("doc_id"))
+    val longB = graft.operators.Materialize.shared(Dedup.longBands(
       Dedup.minhashBands(Dedup.minhashSignatures(toks, "doc_id", K), "doc_id", K, R),
-      "doc_id", K / R).localCheckpoint(true)
+      "doc_id", K / R), col("doc_id"))
     val candNN = Dedup.lshSelfCandidatePairsLong(longB, "doc_id", K / R)
     val candNC = Dedup.lshCrossCandidatePairsLong(
       longB, DedupState.bands(s, n), "doc_id", K / R)
     // NN (both ids in batch) and NC (exactly one corpus side) are disjoint
-    val cand = candNN.unionByName(candNC).localCheckpoint(true)
+    val cand = graft.operators.Materialize.shared(
+      candNN.unionByName(candNC), col("a"))
     val parts = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
     val tokenRows = toks.join(parts, Seq("doc_id"), "left_semi")
@@ -1013,11 +1033,15 @@ object DedupQueries {
     def build(checkpoint: Boolean): (DataFrame, DataFrame) = {
       val toks = Dedup.distinctTokenRows(
         Tables.documents(s, d).filter(col("doc_id") >= splitId(s, d)), "doc_id", "text")
-      val kept = if (checkpoint) toks.localCheckpoint(true) else toks
+      val kept =
+        if (checkpoint) graft.operators.Materialize.shared(toks, col("doc_id"))
+        else toks
       val bands = Dedup.longBands(
         Dedup.minhashBands(Dedup.minhashSignatures(kept, "doc_id", K), "doc_id", K, R),
         "doc_id", K / R)
-      (kept, if (checkpoint) bands.localCheckpoint(true) else bands)
+      (kept,
+       if (checkpoint) graft.operators.Materialize.shared(bands, col("doc_id"))
+       else bands)
     }
     if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build(false)
     else memo(batchCache, (s, d), () => build(true))
@@ -1044,8 +1068,12 @@ object DedupQueries {
     val candNC = Dedup.lshCrossCandidatePairsLong(
       batchBands, DedupState.bands(s, st), "doc_id", K / R)
     // NN pairs (both ids >= splitId) and NC pairs (exactly one corpus side)
-    // are disjoint by construction — no distinct() needed
-    val cand = candNN.unionByName(candNC).localCheckpoint(true)
+    // are disjoint by construction — no distinct() needed. Materialize
+    // hash-spread on `a` (Materialize.shared): the candidate frame's frozen
+    // partitioning IS the verify probe's parallelism once the mask sides
+    // broadcast (r12 — this stage previously ran 2-4 tasks wide)
+    val cand = graft.operators.Materialize.shared(
+      candNN.unionByName(candNC), col("a"))
     val parts = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
     val tokenRows = newBatchToks(s, d).join(parts, Seq("doc_id"), "left_semi")
@@ -1150,7 +1178,8 @@ object DedupQueries {
     // winnowed span table gives spansIncremental)
     val w =
       if (!share(s)) spanWindows(s, d).localCheckpoint(true)
-      else memo(winCache, (s, d), () => spanWindows(s, d).localCheckpoint(true))
+      else memo(winCache, (s, d), () =>
+        graft.operators.Materialize.shared(spanWindows(s, d), col("doc_id")))
     val dup = w.groupBy("span_md5")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)

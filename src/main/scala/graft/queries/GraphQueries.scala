@@ -64,9 +64,12 @@ object GraphQueries {
     * runs on DOMAIN-sized relations (≈10⁸ rows at web scale, never
     * corpus-sized). Each superstep is one equi-join rank⋈edges on `src`
     * plus one map-side-combined groupBy(dst) — co-partition both on the
-    * node key (bucketing) and the join moves no data. `localCheckpoint`
-    * per superstep truncates lineage so iteration k never re-runs
-    * iterations 1..k−1 (or the LSH pipeline) from scratch.
+    * node key (bucketing) and the join moves no data. The edge/node frames
+    * are checkpointed ONCE (their lineage contains the whole pair
+    * pipeline); the [[Iters]]-step ladder itself is a lazy plan over them —
+    * fixed, small depth, each round feeding the next through its own
+    * shuffle stage, so nothing re-executes and no per-superstep blocking
+    * job is paid (r12).
     */
   def domainRank(s: SparkSession, d: String): DataFrame = {
     val ec = domainEdges(s, d)
@@ -88,35 +91,52 @@ object GraphQueries {
     val docsrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
     val edges0 = ec
       .join(ec.groupBy("src").agg(sum("w").as("outw")), "src")
-    // Materialize.frame: localCheckpoint by default, reliable checkpoint
-    // under spark.graft.checkpoint.dir — the cluster-durability switch for
-    // every superstep frame here
+    // Materialize.shared: checkpoint hash-distributed on the superstep join
+    // key (reliable under spark.graft.checkpoint.dir as before) — the
+    // frozen memo partitioning note on Materialize.shared applies here too
     val edges =
-      if (checkpointEdges) graft.operators.Materialize.frame(edges0) else edges0
+      if (checkpointEdges) graft.operators.Materialize.shared(edges0, col("src"))
+      else edges0
     val nodes = graft.operators.Materialize.frame(
       docsrc.select(col("source").as("node")).distinct())
-    val nTotal = nodes.agg(count(lit(1)).as("n"))
-
-    var rank: DataFrame = graft.operators.Materialize.frame(
-      nodes.crossJoin(broadcast(nTotal))
-        .select(col("node"), expr(s"CAST($Scale AS BIGINT) div n").as("r")))
+    // ONE bounded driver read (a single scalar — the same sanctioned class
+    // as the k-sized centroid collects) replaces the former per-superstep
+    // broadcast(count(nodes)) rebuild: n enters the plan as a literal in r0
+    // and the damped base term. Scala's Long division is the same ⌊·⌋ both
+    // engines compute, so the arithmetic is bit-identical to the crossJoin
+    // form. (r12 job diet.)
+    val n = nodes.count()
+    require(n > 0, "rankOver: empty node set")
+    // The superstep ladder is LAZY (r12): Iters is a fixed small constant,
+    // every superstep below is ordinary join+aggregate plan growth over the
+    // CHECKPOINTED edges/nodes frames, and nothing in round k re-executes
+    // round k-1 when the whole ladder runs as one action — each round's
+    // aggregate feeds the next through its own shuffle stage. The former
+    // per-superstep Materialize.frame + broadcast pair cost ~9 blocking
+    // jobs per superstep on the bench (53 jobs total for one rank query);
+    // the lazy ladder runs in a handful.
+    var rank: DataFrame = nodes.select(col("node"), lit(Scale / n).as("r"))
     for (_ <- 1 to Iters) {
-      val contrib = rank.join(edges, rank("node") === edges("src"))
+      val contrib = rank.withColumnRenamed("node", "src")
+        .join(edges, "src")
         .select(col("dst").as("node2"),
           expr(s"($Damp * r * w) div ($DampDen * outw)").as("c"))
         .groupBy("node2").agg(sum("c").as("c"))
-      rank = graft.operators.Materialize.frame(
-        nodes.crossJoin(broadcast(nTotal))
-          .join(contrib, col("node") === col("node2"), "left")
-          .select(col("node"),
-            (expr(s"CAST($BaseNum AS BIGINT) div n") + coalesce(col("c"), lit(0L))).as("r")))
+      rank = nodes
+        .join(contrib, col("node") === col("node2"), "left")
+        .select(col("node"),
+          (lit(BaseNum / n) + coalesce(col("c"), lit(0L))).as("r"))
     }
     // derive in-weights from the CHECKPOINTED edge frame, not the lazy ec
     // plan — ec's lineage contains the whole pair pipeline, which would
     // re-execute here whenever sharePairs is off (Verify, ScaleSmoke);
     // the outw join is 1:1 so summing w over `edges` is identical
+    // name-based using-join: `edges` also lives inside the lazy rank
+    // ladder's lineage now, so dataset-column refs across the two sides
+    // would trip the ambiguous-self-join guard
     val inw = edges.groupBy("dst").agg(sum("w").as("dup_w"))
-    rank.join(inw, rank("node") === inw("dst"), "left")
+      .withColumnRenamed("dst", "node")
+    rank.join(inw, Seq("node"), "left")
       .select(col("node").as("source"), col("r").as("rank_micro"),
         round(col("r").cast("double") / Scale.toDouble, 6).as("rank_score"),
         coalesce(col("dup_w"), lit(0L)).as("dup_w"))

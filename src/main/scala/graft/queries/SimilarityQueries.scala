@@ -51,7 +51,8 @@ object SimilarityQueries {
     }
     if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build()
     else DedupQueries.memo(bucketCache, (s, d),
-      () => build().localCheckpoint(true), annMemoHits, annMemoMisses)
+      () => graft.operators.Materialize.shared(build(), col("vec_id")),
+      annMemoHits, annMemoMisses)
   }
 
   /** Lloyd-refined PQ codebooks for the corpus, cached per (session, sf
