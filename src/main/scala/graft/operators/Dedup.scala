@@ -288,18 +288,24 @@ object Dedup {
     *   large vocabularies (target ~10^5–10^6 tokens per bucket).
     */
   def bitsetPairStats(cand: DataFrame, tokenRows: DataFrame, idCol: String,
-                      idBuckets: Int = 1 << 10): DataFrame = {
+                      idBuckets: Int = 1 << 10,
+                      materializeMasks: Boolean = false): DataFrame = {
     // The mask table is probed TWICE (a-side and b-side of the candidate
     // join). Left lazy, self-join deduplication hands the two probes
     // different expression ids, the canonical plans stop matching, and
     // exchange reuse no longer collapses them — the entire vocab-numbering
-    // + bitset aggregation ran once PER SIDE (measured at sf0.1 as twin
+    // + bitset aggregation runs once PER SIDE (measured at sf0.1 as twin
     // concurrent ~1.2 s stage chains inside every incremental verify).
-    // Materialize the masks once — "build the index once, probe it per
-    // side" — hash-spread on the id so the probe stage inherits core-count
-    // parallelism (r12; guide §2.4 "share one exchange").
-    val masks = Materialize.shared(
-      tokenMasks(tokenRows, idCol, idBuckets), col(idCol))
+    // `materializeMasks` builds the table once — "build the index once,
+    // probe it per side" — hash-spread on the id so the probe stage
+    // inherits parallelism (r12; guide §2.4 "share one exchange"). It is
+    // OPT-IN: for candidate sets whose mask build is sub-second the eager
+    // checkpoint interrupts an otherwise fully-lazy plan for a net loss
+    // (measured +0.9 s on dedup_decontam_purge), so only the heavy
+    // corpus/incremental verifies enable it.
+    val masks0 = tokenMasks(tokenRows, idCol, idBuckets)
+    val masks =
+      if (materializeMasks) Materialize.shared(masks0, col(idCol)) else masks0
     bitsetPairStatsFromMasks(cand, masks, idCol)
   }
 
@@ -375,8 +381,9 @@ object Dedup {
 
   /** Exact Jaccard for candidate pairs via [[bitsetPairStats]]'s popcounts. */
   def jaccardVerifyBitset(cand: DataFrame, tokenRows: DataFrame, idCol: String,
-                          idBuckets: Int = 1 << 10): DataFrame =
-    bitsetPairStats(cand, tokenRows, idCol, idBuckets)
+                          idBuckets: Int = 1 << 10,
+                          materializeMasks: Boolean = false): DataFrame =
+    bitsetPairStats(cand, tokenRows, idCol, idBuckets, materializeMasks)
       .select(col("a"), col("b"),
               (col("n_inter").cast("double") /
                (col("sz_a") + col("sz_b") - col("n_inter")).cast("double")).as("jaccard"))
@@ -501,11 +508,13 @@ object Dedup {
     var i = 0
     var done = e0 == 0L
     while (!done && i < maxIter) {
-      // the neighbour-min map starts LAZY (r12): its groupBy exchange is
-      // reused across the squarings' self-joins (same canonical subplan),
-      // so folding it into the first pointer-jump checkpoint saves one
-      // blocking job per round without recomputing anything
-      var m = neighbourMin(g)
+      // the neighbour-min map materializes EAGERLY before the pointer-jump
+      // squarings: the squarings self-join it 4×, and self-join
+      // deduplication re-aliases the copies' expression ids so exchange
+      // reuse cannot collapse a lazy groupBy across them — a lazy m here
+      // recomputed the edge-sized aggregation once per copy (r12: the same
+      // reuse failure bitsetPairStats documents)
+      var m = Materialize.frame(neighbourMin(g))
       // pointer jumping on the map alone: squaring halves the forest depth
       // per pass, each pass a self-join of the node-sized (never
       // edge-sized) frame; dense graphs stabilize after one pass

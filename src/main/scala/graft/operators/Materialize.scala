@@ -85,7 +85,17 @@ object Materialize {
     * only the physical distribution changes.
     */
   def shared(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    val s = df.sparkSession
+    // spark.graft.shared.parallelism: partition count for shared frames.
+    // Each partition of a checkpointed frame costs every consumer stage one
+    // task (~5-10 ms apiece on the bench box), so a CHEAP consumer pays
+    // ~p×task-overhead per read while a compute-dense consumer gains p-way
+    // parallelism. Default cores/2 — the measured sweet spot on a mixed
+    // cheap/heavy consumer set (A/B at p∈{8,16,32} on 14 queries: 25.6 /
+    // 23.1 / 25.4 s) — overridable per session.
+    val p = s.conf.getOption("spark.graft.shared.parallelism")
+      .map(_.toInt)
+      .getOrElse(math.max(2, s.sparkContext.defaultParallelism / 2))
     frame(df.repartition(p, key))
   }
 }

@@ -88,7 +88,11 @@ object Similarity {
     val collected = collectAnchors(anchors)
     val bucket = collected
       .map { case (aid, av) =>
-        val litAnchor = array(av.map(lit): _*)
+        // typedLit: ONE Literal node per anchor (a CreateArray of 64 lit
+        // children costs ~64x the analysis/codegen budget per expression and
+        // constant-folds to the same ArrayData anyway — r12, measured as
+        // driver-side analysis dominating the vector queries)
+        val litAnchor = typedLit(av)
         when(dot(col("v"), litAnchor) > 0, lit(1L << aid.toInt)).otherwise(lit(0L))
       }
       .reduce(_ + _)
@@ -122,7 +126,7 @@ object Similarity {
     // (|margin|, aid) structs; array_sort's default struct ordering is
     // lexicographic = margin asc, aid asc — the deterministic weak-bit order
     val margins = array(collected.toIndexedSeq.map { case (aid, av) =>
-      val litAnchor = array(av.map(lit): _*)
+      val litAnchor = typedLit(av) // one Literal node (see withBuckets)
       struct(abs(dot(col("v"), litAnchor)).as("m"), lit(aid.toInt).as("aid"))
     }: _*)
     // materialize the sorted weak-bit list once as a column: the probe
@@ -154,7 +158,7 @@ object Similarity {
     // assignment evaluates it k times per row, the suite's hottest scalar
     graft.functions.DistanceFunctions.register(vecs.sparkSession)
     def sqDist(cv: Seq[Double]): Column = {
-      val litC = array(cv.map(lit): _*)
+      val litC = typedLit(cv) // one Literal node (see withBuckets)
       round(graft.functions.DistanceFunctions.sqDist(col("v"), litC), 6)
     }
     val scored = array(cents.map { case (cid, cv) =>
@@ -229,7 +233,7 @@ object Similarity {
     require(bandBits >= 1 && collected.length % bandBits == 0,
       s"bandBits=$bandBits must divide the anchor count ${collected.length}")
     val nBands = collected.length / bandBits
-    val dots = collected.map { case (_, av) => dot(col("v"), array(av.map(lit): _*)) }
+    val dots = collected.map { case (_, av) => dot(col("v"), typedLit(av)) }
     // materialize dots as columns: each is an interpreted HOF fold referenced
     // twice (bit + threshold); CollapseProject keeps non-cheap
     // multi-referenced aliases as separate projections, so this sticks
@@ -314,7 +318,7 @@ object Similarity {
       val sub = slice(col("v"), m * PqSub + 1, PqSub)
       val scored = array(cb.map { case (cid, cv) =>
         struct(
-          round(graft.functions.DistanceFunctions.sqDist(sub, array(cv.map(lit): _*)), 6)
+          round(graft.functions.DistanceFunctions.sqDist(sub, typedLit(cv)), 6)
             .as("dist"),
           lit(cid).as("cid"))
       }: _*)
@@ -332,16 +336,25 @@ object Similarity {
   def pqAdc(qv: Column, codes: Seq[Column], cbs: Seq[Seq[(Int, Seq[Double])]]): Column =
     cbs.zipWithIndex.map { case (cb, m) =>
       val sub = slice(qv, m * PqSub + 1, PqSub)
-      // a code outside the codebook means the codes did NOT come from
-      // pqEncode with these codebooks — fail loudly instead of silently
-      // yielding a NULL distance that sinks the row to the ranking bottom
-      val cw = cb.tail.foldLeft(
-        when(codes(m) === cb.head._1, array(cb.head._2.map(lit): _*))) {
-        case (acc, (cid, cv)) => acc.when(codes(m) === cid, array(cv.map(lit): _*))
-      }.otherwise(raise_error(concat(
-        lit(s"pqAdc: code for subspace $m outside codebook (expected one of " +
-          s"${cb.map(_._1).mkString("[", ",", "]")}), got "),
-        codes(m).cast("string"))))
+      // codeword lookup = element_at over ONE literal K×Sub matrix node
+      // (typedLit), replacing a K-branch when-chain of K CreateArrays: the
+      // expression tree shrinks ~K·Sub×, which removes the per-execution
+      // driver analysis + whole-stage codegen cost that dominated the PQ
+      // scans (r12; jstack showed Janino and CreateArray.dataType, not the
+      // executors, as the hot frames). Codeword ids are dense 0..K-1 by
+      // kmeansFit construction — asserted, since the matrix is positional.
+      // A code outside [0, K) still fails loudly instead of silently
+      // yielding a NULL distance that sinks the row to the ranking bottom.
+      val sorted = cb.sortBy(_._1)
+      require(sorted.map(_._1) == (0 until sorted.size),
+        s"pqAdc: subspace $m codeword ids not dense 0..${sorted.size - 1}: " +
+          sorted.map(_._1).mkString(","))
+      val mat = typedLit(sorted.map(_._2))
+      val cw = when(codes(m) >= 0 && codes(m) < sorted.size,
+          element_at(mat, codes(m).cast("int") + 1))
+        .otherwise(raise_error(concat(
+          lit(s"pqAdc: code for subspace $m outside codebook [0,${sorted.size}), got "),
+          codes(m).cast("string"))))
       round(graft.functions.DistanceFunctions.sqDist(sub, cw), 6)
     }.reduce(_ + _)
 

@@ -343,7 +343,7 @@ object DedupQueries {
     def build(): DataFrame = {
       val (toks, bands) = tokensAndBands(s, d)
       val cand = Dedup.lshCandidatePairs(bands, "doc_id", K / R)
-      Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
+      Dedup.jaccardVerifyBitset(cand, toks, "doc_id", materializeMasks = true)
         .filter(col("jaccard") >= 0.7)
     }
     if (!s.conf.get("spark.graft.dedup.sharePairs", "false").toBoolean) build()
@@ -536,9 +536,11 @@ object DedupQueries {
         col("x.doc_id") < col("y.doc_id") &&
         abs(col("x.n_chars") - col("y.n_chars")) <= 5)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      // read 3x: both verify joins + participant set; hash-spread on `a`
-      // so the verify probe inherits core-count parallelism (r12)
-      .transform(df => graft.operators.Materialize.shared(df, col("a")))
+      // read 3x: both verify joins + participant set. Plain checkpoint, NO
+      // repartition: this candidate set is tiny (≤ tens of thousands of
+      // pairs) and its verify probes the memoized corpus mask table, so a
+      // hash-spread here is pure overhead (r12: measured +0.7 s)
+      .localCheckpoint(true)
     // masks/vocabulary only for candidate PARTICIPANTS (same semi-join
     // prune as containment/prefixPairs): the verify cost tracks the
     // candidate set, not the corpus — jaccard depends only on each
@@ -772,7 +774,8 @@ object DedupQueries {
       "doc_id", K / R)
     val parts = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
-    Dedup.jaccardVerifyBitset(cand, toks.join(parts, Seq("doc_id"), "left_semi"), "doc_id")
+    Dedup.jaccardVerifyBitset(cand, toks.join(parts, Seq("doc_id"), "left_semi"),
+        "doc_id", materializeMasks = true)
       .filter(col("jaccard") >= 0.7)
       .select(col("a").as("new_id"), col("b").as("corpus_id"),
               round(col("jaccard"), 4).as("jaccard"))
@@ -798,10 +801,11 @@ object DedupQueries {
       storedCandidateJoin(s, d, st), col("a"))
     val parts = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
-    val newToks = newBatchToks(s, d)
-    val tokenRows = newToks.join(parts, Seq("doc_id"), "left_semi")
-      .unionByName(DedupState.toks(s, st).join(parts, Seq("doc_id"), "left_semi"))
-    Dedup.jaccardVerifyBitset(cand, tokenRows, "doc_id")
+    // union then ONE semi-join — see incrementalVerifiedEdges (r12)
+    val tokenRows = newBatchToks(s, d)
+      .unionByName(DedupState.toks(s, st))
+      .join(parts, Seq("doc_id"), "left_semi")
+    Dedup.jaccardVerifyBitset(cand, tokenRows, "doc_id", materializeMasks = true)
       .filter(col("jaccard") >= 0.7)
       .select(col("a").as("new_id"), col("b").as("corpus_id"),
               round(col("jaccard"), 4).as("jaccard"))
@@ -951,7 +955,7 @@ object DedupQueries {
     val parts = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
     val toks = DedupState.toks(s, n).join(parts, Seq("doc_id"), "left_semi")
-    Dedup.jaccardVerifyBitset(cand, toks, "doc_id")
+    Dedup.jaccardVerifyBitset(cand, toks, "doc_id", materializeMasks = true)
       .filter(col("jaccard") >= 0.7).select("a", "b")
   }
 
@@ -993,9 +997,11 @@ object DedupQueries {
       candNN.unionByName(candNC), col("a"))
     val parts = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
-    val tokenRows = toks.join(parts, Seq("doc_id"), "left_semi")
-      .unionByName(DedupState.toks(s, n).join(parts, Seq("doc_id"), "left_semi"))
-    val edges = Dedup.jaccardVerifyBitset(cand, tokenRows, "doc_id")
+    // union then ONE semi-join — see incrementalVerifiedEdges (r12)
+    val tokenRows = toks
+      .unionByName(DedupState.toks(s, n))
+      .join(parts, Seq("doc_id"), "left_semi")
+    val edges = Dedup.jaccardVerifyBitset(cand, tokenRows, "doc_id", materializeMasks = true)
       .filter(col("jaccard") >= 0.7).select("a", "b")
     DedupState.merge(s, "doc_id", batch.select("doc_id"), toks, longB,
       winnowSelect(batch, SpanW, WinnowW), edges, n, buckets)
@@ -1076,9 +1082,14 @@ object DedupQueries {
       candNN.unionByName(candNC), col("a"))
     val parts = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
-    val tokenRows = newBatchToks(s, d).join(parts, Seq("doc_id"), "left_semi")
-      .unionByName(DedupState.toks(s, st).join(parts, Seq("doc_id"), "left_semi"))
-    Dedup.jaccardVerifyBitset(cand, tokenRows, "doc_id")
+    // union THEN one semi-join (identical rows — a semi-join distributes
+    // over union): two per-branch semi-joins duplicated the `parts`
+    // subtree, and self-join dedup stops exchange reuse from collapsing
+    // the copies (r12 — measured as twin 64-task distinct jobs)
+    val tokenRows = newBatchToks(s, d)
+      .unionByName(DedupState.toks(s, st))
+      .join(parts, Seq("doc_id"), "left_semi")
+    Dedup.jaccardVerifyBitset(cand, tokenRows, "doc_id", materializeMasks = true)
       .filter(col("jaccard") >= 0.7).select("a", "b")
   }
 

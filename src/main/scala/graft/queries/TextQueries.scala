@@ -39,8 +39,30 @@ object TextQueries {
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         .localCheckpoint(true)
     if (!DedupQueries.share(s)) build()
-    else DedupQueries.memo(tfFrameCache, (s, d), () => build(),
-                           tfMemoHits, tfMemoMisses)
+    else DedupQueries.memo(tfFrameCache, (s, d),
+      () => graft.operators.Materialize.shared(
+        TextAnalysis.tokenRows(Tables.documents(s, d), "doc_id", "text")
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
+        col("doc_id")),
+      tfMemoHits, tfMemoMisses)
+  }
+
+  /** [[tfFrame]] with the per-doc length `dl` folded in at posting grain —
+    * the exact stored-postings shape [[bm25State]] persists (token, doc_id,
+    * tf, dl). Under the memo this pays the doc-length window once per
+    * (session, dir) instead of once per BM25 rep; the from-scratch path
+    * computes the identical window inline (rows bit-identical either way).
+    */
+  private val tfDlFrameCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def tfDlFrame(s: SparkSession, d: String): DataFrame = {
+    def withDl(tf: DataFrame): DataFrame = tf.withColumn("dl",
+      sum("tf").over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    if (!DedupQueries.share(s)) withDl(tfFrame(s, d))
+    else DedupQueries.memo(tfDlFrameCache, (s, d),
+      () => graft.operators.Materialize.shared(withDl(tfFrame(s, d)), col("token")),
+      tfMemoHits, tfMemoMisses)
   }
 
   /** C12a — top-20 tokens by frequency (explode + agg + top-k). */
@@ -460,11 +482,12 @@ object TextQueries {
   def bm25TopK(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf0 = tfFrame(s, d) // read 3×: dl fold, df, and the probe
-    // fold dl INTO the posting rows at posting grain, BEFORE the probe
+    // dl folded into the posting rows at posting grain, BEFORE the probe
     // fan-out — joining dl after the query×posting join would re-touch
-    // every (query, posting) row instead of every posting once
-    val dlW = Window.partitionBy("doc_id")
-    val tf = tf0.withColumn("dl", sum("tf").over(dlW))
+    // every (query, posting) row instead of every posting once; under the
+    // memo the fold is paid once per (session, dir), the stored-postings
+    // shape (r12)
+    val tf = tfDlFrame(s, d)
     val stats = tf0.agg(sum("tf").as("t"), max("tf").as("mtf")).head()
     val (bigT, maxTf) = (stats.getLong(0), stats.getLong(1))
     val bigN = Tables.documents(s, d).count()
